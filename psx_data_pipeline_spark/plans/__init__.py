@@ -1,0 +1,18 @@
+"""Query registry — the single source of truth behind __spark_entry__.py.
+
+Importing this package imports every plan module, which registers its
+queries (and their DuckDB oracle SQL) via the ``@query`` decorator in
+``registry``.
+"""
+
+from psx_data_pipeline_spark.plans.registry import QUERIES, ORACLE_SQL, query  # noqa: F401
+
+# Plan modules register themselves on import — keep this list in sync
+# with SURVEY.md §2 coverage.
+from psx_data_pipeline_spark.plans import tpch  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import ticker  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import analytics  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import dedup  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import text  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import similarity  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import events  # noqa: F401,E402

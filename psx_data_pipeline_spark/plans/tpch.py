@@ -1,0 +1,65 @@
+"""TPC-H-style relational queries over the driver fixture tables.
+
+These exercise the SURVEY.md §2 relational core (filter, project,
+group-agg, joins, sort/top-k) on the star schema the driver checks
+against DuckDB. Each query is pure DataFrame API — Catalyst handles
+predicate pushdown / column pruning / broadcast selection; AQE picks
+shuffle-partition counts at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.sources.fixtures import load_table
+
+
+Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  {dsum_sql('l_extendedprice')} AS sum_base_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {davg_sql('l_quantity')} AS avg_qty,
+  {davg_sql('l_extendedprice')} AS avg_price,
+  {davg_sql('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary", Q1_ORACLE)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-filter-aggregate with 8 aggregates.
+
+    Scale notes: single shuffle on two low-cardinality keys with
+    map-side partial aggregation; filter and 7-column projection push
+    into the parquet scan (verified via explain — PushedFilters +
+    ReadSchema).
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -1,0 +1,36 @@
+"""Readers for the driver-generated parquet fixture tables.
+
+The reference reads its snapshots from CSV/JSON with header-inferred
+all-string columns (reference scrape_tickers.py:465-489,
+update_ticker_info.py:62-81); here every read is a parquet scan with
+the schema carried by the file — columnar, predicate-pushdown- and
+column-pruning-friendly. At cluster scale these paths are object-store
+URIs; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from psx_data_pipeline_spark.schemas import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Read one fixture table (parquet scan, schema from footer)."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    """Read every fixture table; also registers each as a temp view so
+    SQL-form operators can refer to them by name."""
+    out: dict[str, DataFrame] = {}
+    for name in FIXTURE_TABLES:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

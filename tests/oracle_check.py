@@ -1,0 +1,73 @@
+"""Local stand-in for the driver's DuckDB oracle comparison.
+
+Mirrors the documented check (__spark_entry__.py): row count, column
+names, and an order-insensitive value hash. We canonicalize values
+conservatively (repr of floats, str of Decimals normalized) so any
+value that passes here should pass any reasonable driver hashing.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+
+import duckdb
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def duckdb_run(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str):
+    """Return (ok, message) comparing a Spark DataFrame against DuckDB."""
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    d_cols, d_rows = duckdb_run(oracle_sql, sf_dir)
+    if sorted(map(str.lower, s_cols)) != sorted(map(str.lower, d_cols)):
+        return False, f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    s_canon = _canon_rows([c.lower() for c in s_cols], s_rows)
+    d_canon = _canon_rows([c.lower() for c in d_cols], d_rows)
+    if s_canon != d_canon:
+        diffs = [(a, b) for a, b in zip(s_canon, d_canon) if a != b][:5]
+        return False, f"value mismatch; first diffs: {diffs}"
+    return True, "ok"
