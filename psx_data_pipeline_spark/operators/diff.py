@@ -1,0 +1,124 @@
+"""Snapshot diff + fuzzy rename detection (reference parity).
+
+Reference semantics: ``identify_changes`` at
+reference scrape_tickers.py:574-624 — two set differences (added /
+deleted) plus a greedy fuzzy name match promoting (deleted, added)
+pairs to renames. The greedy pass iterates Python sets, so the
+reference is order-dependent; here the 1:1 assignment is made
+deterministic via row_number over (score, old_key, new_key) — see
+SURVEY.md §7.4.
+
+Scale notes: the diff is ONE full-outer join on the key (sort-merge
+or broadcast if one snapshot is small); rename detection joins only
+the added×deleted *residual* (tiny relative to the table) through an
+exploded-token equi-join instead of a cross join, so it stays
+shuffle-bounded by the change volume, not the table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(current: DataFrame, previous: DataFrame, key: str) -> DataFrame:
+    """Classify keys into ADDED / DELETED / COMMON in one full-outer join.
+
+    Reference: the two set differences at scrape_tickers.py:586-591;
+    a single join replaces both anti-joins (one shuffle, not two).
+    """
+    cur = current.select(F.col(key).alias("cur_key"))
+    prev = previous.select(F.col(key).alias("prev_key"))
+    joined = cur.join(prev, cur.cur_key == prev.prev_key, "full_outer")
+    return joined.select(
+        F.when(F.col("prev_key").isNull(), F.lit("ADDED"))
+        .when(F.col("cur_key").isNull(), F.lit("DELETED"))
+        .otherwise(F.lit("COMMON"))
+        .alias("change_type"),
+        F.coalesce(F.col("cur_key"), F.col("prev_key")).alias(key),
+    )
+
+
+def detect_renames(
+    deleted: DataFrame,
+    added: DataFrame,
+    key: str = "symbol",
+    name: str = "name",
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Deterministic re-spec of the reference's fuzzy rename matcher.
+
+    Predicate (reference scrape_tickers.py:612-614): lowercase
+    substring containment either way, OR (both names longer than 10
+    chars and a token of the old name with len>min_token_len appears
+    in the new name).
+
+    Instead of the reference's O(|deleted|×|added|) nested loop, we
+    build candidate pairs with an exploded-token inverted-index join
+    and apply the full predicate on candidates only; 1:1 assignment
+    keeps the best pair per old key and per new key via two
+    row_number passes ordered by (score desc, old_key, new_key) —
+    deterministic where the reference's set iteration was not.
+
+    Returns (old_key, new_key, old_name, new_name).
+    """
+    old = deleted.select(
+        F.col(key).alias("old_key"), F.lower(F.col(name)).alias("old_name")
+    )
+    new = added.select(
+        F.col(key).alias("new_key"), F.lower(F.col(name)).alias("new_name")
+    )
+
+    def keyed_tokens(df: DataFrame, side: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.col(f"{side}_name"), r"\s+"),
+            lambda w: F.length(w) > min_token_len,
+        )
+        return df.select(f"{side}_key", f"{side}_name", F.explode(toks).alias("tok"))
+
+    # inverted-index candidates: share a significant token
+    cand_tok = (
+        keyed_tokens(old, "old")
+        .join(keyed_tokens(new, "new"), "tok")
+        .select("old_key", "old_name", "new_key", "new_name")
+        .distinct()
+    )
+    # substring-containment candidates can lack shared tokens (e.g.
+    # concatenations), so union a containment join on the residual —
+    # expressed directly as a theta-join; the inputs are change sets,
+    # small by construction.
+    cand_sub = old.join(
+        new,
+        F.col("new_name").contains(F.col("old_name"))
+        | F.col("old_name").contains(F.col("new_name")),
+    ).select("old_key", "old_name", "new_key", "new_name")
+
+    cand = cand_tok.unionByName(cand_sub).distinct()
+
+    contains = F.col("new_name").contains(F.col("old_name")) | F.col(
+        "old_name"
+    ).contains(F.col("new_name"))
+    token_hit = (F.length("old_name") > 10) & (F.length("new_name") > 10)
+    shared = F.size(
+        F.array_intersect(
+            F.filter(F.split(F.col("old_name"), r"\s+"), lambda w: F.length(w) > min_token_len),
+            F.filter(F.split(F.col("new_name"), r"\s+"), lambda w: F.length(w) > min_token_len),
+        )
+    )
+    matched = cand.where(contains | (token_hit & (shared > 0))).withColumn(
+        "score", F.when(contains, F.lit(2)).otherwise(F.lit(1)) * (1 + shared)
+    )
+
+    w_old = Window.partitionBy("old_key").orderBy(
+        F.desc("score"), F.asc("new_key")
+    )
+    w_new = Window.partitionBy("new_key").orderBy(
+        F.desc("score"), F.asc("old_key")
+    )
+    return (
+        matched.withColumn("r_old", F.row_number().over(w_old))
+        .where(F.col("r_old") == 1)
+        .withColumn("r_new", F.row_number().over(w_new))
+        .where(F.col("r_new") == 1)
+        .select("old_key", "new_key", "old_name", "new_name")
+    )

@@ -1,1 +1,404 @@
-"""Plan module — populated incrementally."""
+"""Reference-parity queries: the ticker-sync pipeline re-expressed on
+the driver's fixture tables.
+
+The reference's universe is a snapshot table of entities
+(symbol/name/sector) diffed run-over-run (reference
+scrape_tickers.py:574-624), conditionally merged with fresh details
+(update_ticker_info.py:83-211) and logged (scrape_tickers.py:517-571).
+Here ``customer`` stands in for the entity snapshots: "previous" and
+"current" snapshots are derived deterministically (modular predicates
++ a synthetic rename population), so the Spark pipeline and the
+DuckDB oracle compute from identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.operators.diff import detect_renames, snapshot_diff
+from psx_data_pipeline_spark.operators.merge import scd1_merge
+from psx_data_pipeline_spark.operators.sessions import latest_per_key
+from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.sources.fixtures import load_table
+
+# --- derived snapshot fixtures (identical in Spark + SQL) -------------------
+#
+# prev  = customers with custkey % 5 != 0
+# cur   = customers with custkey % 7 != 0
+#         ∪ renamed twins (key+100000, name || ' ltd') of customers
+#           with custkey % 21 = 0 and % 5 != 0   (those are deleted
+#           from prev, so the twin is a textbook rename candidate)
+
+PREV_SQL = """
+  SELECT c_custkey AS symbol_id, c_name AS name, c_mktsegment AS sector
+  FROM customer WHERE c_custkey % 5 <> 0
+"""
+CUR_SQL = """
+  SELECT c_custkey AS symbol_id, c_name AS name, c_mktsegment AS sector
+  FROM customer WHERE c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 100000 AS symbol_id, c_name || ' ltd' AS name,
+         c_mktsegment AS sector
+  FROM customer WHERE c_custkey % 21 = 0 AND c_custkey % 5 <> 0
+"""
+
+
+def _prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    return c.where(F.col("c_custkey") % 5 != 0).select(
+        F.col("c_custkey").alias("symbol_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("sector"),
+    )
+
+
+def _cur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    base = c.where(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("symbol_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("sector"),
+    )
+    renamed = (
+        c.where((F.col("c_custkey") % 21 == 0) & (F.col("c_custkey") % 5 != 0))
+        .select(
+            (F.col("c_custkey") + 100000).alias("symbol_id"),
+            F.concat(F.col("c_name"), F.lit(" ltd")).alias("name"),
+            F.col("c_mktsegment").alias("sector"),
+        )
+    )
+    return base.unionByName(renamed)
+
+
+# --- snapshot diff (R5/R11) -------------------------------------------------
+
+SNAPSHOT_DIFF_ORACLE = f"""
+WITH prev AS ({PREV_SQL}), cur AS ({CUR_SQL})
+SELECT
+  CASE WHEN p.symbol_id IS NULL THEN 'ADDED'
+       WHEN c.symbol_id IS NULL THEN 'DELETED'
+       ELSE 'COMMON' END AS change_type,
+  COALESCE(c.symbol_id, p.symbol_id) AS symbol_id
+FROM cur c FULL OUTER JOIN prev p USING (symbol_id)
+"""
+
+
+@query("snapshot_diff", SNAPSHOT_DIFF_ORACLE)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full snapshot diff in one full-outer join (reference set
+    differences at scrape_tickers.py:586-591, SURVEY.md §2 R5)."""
+    return snapshot_diff(_cur(spark, sf_dir), _prev(spark, sf_dir), "symbol_id")
+
+
+# --- rename detection (R6) ---------------------------------------------------
+
+_RENAME_CAND_SQL = f"""
+WITH prev AS ({PREV_SQL}), cur AS ({CUR_SQL}),
+added AS (
+  SELECT c.* FROM cur c LEFT JOIN prev p USING (symbol_id)
+  WHERE p.symbol_id IS NULL
+),
+deleted AS (
+  SELECT p.* FROM prev p LEFT JOIN cur c USING (symbol_id)
+  WHERE c.symbol_id IS NULL
+),
+cand AS (
+  SELECT d.symbol_id AS old_key, lower(d.name) AS old_name,
+         a.symbol_id AS new_key, lower(a.name) AS new_name,
+         len(list_intersect(
+           list_filter(str_split_regex(lower(d.name), '\\s+'), w -> len(w) > 3),
+           list_filter(str_split_regex(lower(a.name), '\\s+'), w -> len(w) > 3)
+         )) AS shared,
+         (contains(lower(a.name), lower(d.name))
+          OR contains(lower(d.name), lower(a.name))) AS has_contain
+  FROM deleted d CROSS JOIN added a
+),
+matched AS (
+  SELECT *, (CASE WHEN has_contain THEN 2 ELSE 1 END) * (1 + shared) AS score
+  FROM cand
+  WHERE has_contain
+     OR (length(old_name) > 10 AND length(new_name) > 10 AND shared > 0)
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY old_key
+            ORDER BY score DESC, new_key) AS r_old FROM matched
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY new_key
+            ORDER BY score DESC, old_key) AS r_new
+  FROM r1 WHERE r_old = 1
+)
+SELECT old_key, new_key, old_name, new_name FROM r2 WHERE r_new = 1
+"""
+
+
+@query("rename_detection", _RENAME_CAND_SQL)
+def q_rename_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy rename matcher (reference scrape_tickers.py:596-622, R6)
+    with deterministic 1:1 assignment; candidates via inverted-token
+    join instead of a cross join (the oracle may cross-join — it is
+    allowed to be slow)."""
+    cur, prev = _cur(spark, sf_dir), _prev(spark, sf_dir)
+    added = cur.join(prev, "symbol_id", "left_anti")
+    deleted = prev.join(cur, "symbol_id", "left_anti")
+    return detect_renames(deleted, added, key="symbol_id", name="name")
+
+
+# --- the flagship: full ticker-sync change log --------------------------------
+
+TICKER_SYNC_ORACLE = f"""
+WITH diff AS ({SNAPSHOT_DIFF_ORACLE}),
+ren AS ({_RENAME_CAND_SQL})
+SELECT 'RENAMED' AS change_type, old_key AS old_symbol_id,
+       new_key AS new_symbol_id
+FROM ren
+UNION ALL
+SELECT 'ADDED', NULL, symbol_id FROM diff
+WHERE change_type = 'ADDED'
+  AND symbol_id NOT IN (SELECT new_key FROM ren)
+UNION ALL
+SELECT 'DELETED', symbol_id, NULL FROM diff
+WHERE change_type = 'DELETED'
+  AND symbol_id NOT IN (SELECT old_key FROM ren)
+"""
+
+
+@query("ticker_sync_changes", TICKER_SYNC_ORACLE)
+def q_ticker_sync_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole sync stage (scrape_tickers.py:627-660):
+    diff two snapshots, promote fuzzy-matched (deleted, added) pairs
+    to RENAMED, emit the typed change log (SURVEY.md §1.1)."""
+    cur, prev = _cur(spark, sf_dir), _prev(spark, sf_dir)
+    diff = snapshot_diff(cur, prev, "symbol_id")
+    added_keys = diff.where(F.col("change_type") == "ADDED").select("symbol_id")
+    deleted_keys = diff.where(F.col("change_type") == "DELETED").select("symbol_id")
+    added = cur.join(added_keys, "symbol_id", "left_semi")
+    deleted = prev.join(deleted_keys, "symbol_id", "left_semi")
+    ren = detect_renames(deleted, added, key="symbol_id", name="name")
+    renamed = ren.select(
+        F.lit("RENAMED").alias("change_type"),
+        F.col("old_key").alias("old_symbol_id"),
+        F.col("new_key").alias("new_symbol_id"),
+    )
+    pure_added = (
+        added_keys.join(
+            ren.select(F.col("new_key").alias("symbol_id")), "symbol_id", "left_anti"
+        )
+        .select(
+            F.lit("ADDED").alias("change_type"),
+            F.lit(None).cast("long").alias("old_symbol_id"),
+            F.col("symbol_id").alias("new_symbol_id"),
+        )
+    )
+    pure_deleted = (
+        deleted_keys.join(
+            ren.select(F.col("old_key").alias("symbol_id")), "symbol_id", "left_anti"
+        )
+        .select(
+            F.lit("DELETED").alias("change_type"),
+            F.col("symbol_id").alias("old_symbol_id"),
+            F.lit(None).cast("long").alias("new_symbol_id"),
+        )
+    )
+    return renamed.unionByName(pure_added).unionByName(pure_deleted)
+
+
+# --- change-log presentation view (K3) ----------------------------------------
+
+CHANGE_LOG_ORACLE = f"""
+WITH ch AS ({TICKER_SYNC_ORACLE})
+SELECT change_type,
+  CASE change_type
+    WHEN 'ADDED' THEN '+ ' || CAST(new_symbol_id AS VARCHAR)
+    WHEN 'DELETED' THEN '- ' || CAST(old_symbol_id AS VARCHAR)
+    ELSE '* ' || CAST(old_symbol_id AS VARCHAR) || ' -> '
+             || CAST(new_symbol_id AS VARCHAR)
+  END AS line
+FROM ch
+"""
+
+
+@query("change_log_format", CHANGE_LOG_ORACLE)
+def q_change_log_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-readable +/-/* change lines (reference
+    scrape_tickers.py:548-566) as a presentation projection over the
+    typed change table — formatting is a view, not storage."""
+    ch = q_ticker_sync_changes(spark, sf_dir)
+    return ch.select(
+        "change_type",
+        F.when(
+            F.col("change_type") == "ADDED",
+            F.concat(F.lit("+ "), F.col("new_symbol_id").cast("string")),
+        )
+        .when(
+            F.col("change_type") == "DELETED",
+            F.concat(F.lit("- "), F.col("old_symbol_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("* "),
+                F.col("old_symbol_id").cast("string"),
+                F.lit(" -> "),
+                F.col("new_symbol_id").cast("string"),
+            )
+        )
+        .alias("line"),
+    )
+
+
+# --- SCD-1 conditional merge (R7) + update stats (R9) --------------------------
+
+_UPDATES_SQL = """
+  SELECT c_custkey AS symbol_id,
+         CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) END AS name,
+         CASE WHEN c_custkey % 6 = 0 THEN 'TECHNOLOGY' END AS sector
+  FROM customer
+"""
+
+SCD1_ORACLE = f"""
+WITH base AS ({PREV_SQL}), upd AS ({_UPDATES_SQL})
+SELECT b.symbol_id,
+  CASE WHEN u.name IS NOT NULL AND u.name IS DISTINCT FROM b.name
+       THEN u.name ELSE b.name END AS name,
+  CASE WHEN u.sector IS NOT NULL AND u.sector IS DISTINCT FROM b.sector
+       THEN u.sector ELSE b.sector END AS sector,
+  (u.name IS NOT NULL AND u.name IS DISTINCT FROM b.name) AS name_updated,
+  (u.sector IS NOT NULL AND u.sector IS DISTINCT FROM b.sector) AS sector_updated
+FROM base b LEFT JOIN upd u USING (symbol_id)
+"""
+
+
+def _updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        F.col("c_custkey").alias("symbol_id"),
+        F.when(F.col("c_custkey") % 3 == 0, F.upper("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 6 == 0, F.lit("TECHNOLOGY")).alias("sector"),
+    )
+
+
+@query("scd1_merge", SCD1_ORACLE)
+def q_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional per-field update (reference
+    update_ticker_info.py:170-197): one broadcast left join + when
+    chains — the SCD-1 upsert without a mutable store."""
+    return scd1_merge(
+        _prev(spark, sf_dir),
+        _updates(spark, sf_dir),
+        key="symbol_id",
+        fields=["name", "sector"],
+    ).select("symbol_id", "name", "sector", "name_updated", "sector_updated")
+
+
+UPDATE_STATS_ORACLE = f"""
+WITH merged AS ({SCD1_ORACLE})
+SELECT COUNT(*) AS total,
+  SUM(CASE WHEN name_updated THEN 1 ELSE 0 END) AS updated_names,
+  SUM(CASE WHEN sector_updated THEN 1 ELSE 0 END) AS updated_sectors,
+  SUM(CASE WHEN NOT name_updated AND NOT sector_updated THEN 1 ELSE 0 END)
+    AS no_change
+FROM merged
+"""
+
+
+@query("update_stats", UPDATE_STATS_ORACLE)
+def q_update_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's run statistics (update_ticker_info.py:98-105,
+    :267-273) as one conditional-count aggregation."""
+    m = q_scd1_merge(spark, sf_dir)
+    flag = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
+    return m.agg(
+        F.count(F.lit(1)).alias("total"),
+        flag("name_updated").alias("updated_names"),
+        flag("sector_updated").alias("updated_sectors"),
+        F.sum(
+            F.when(~F.col("name_updated") & ~F.col("sector_updated"), 1).otherwise(0)
+        ).alias("no_change"),
+    )
+
+
+# --- latest-snapshot selection (S10 replacement) -------------------------------
+
+LATEST_ORDER_ORACLE = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+
+@query("latest_per_key", LATEST_ORDER_ORACLE)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-borne 'latest version' selection — replaces the
+    reference's mtime-based latest-file pick
+    (update_ticker_info.py:47-56) with max-by-column semantics."""
+    o = load_table(spark, "orders", sf_dir)
+    latest = latest_per_key(o, "o_custkey", "o_orderdate", "o_orderkey")
+    return latest.select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("order_date")
+    )
+
+
+# --- scalar-function pack (F1/F2/F9/F10) ---------------------------------------
+
+SYMBOL_NORMALIZE_ORACLE = """
+SELECT c_custkey,
+  upper(trim(str_split(c_name || '.' || c_mktsegment, '.')[1])) AS symbol,
+  'https://dps.psx.com.pk/company/'
+    || upper(trim(str_split(c_name || '.' || c_mktsegment, '.')[1])) AS url
+FROM customer
+WHERE length(upper(trim(str_split(c_name || '.' || c_mktsegment, '.')[1]))) > 1
+  AND NOT contains(upper(trim(str_split(c_name || '.' || c_mktsegment, '.')[1])),
+                   'SELECT')
+"""
+
+
+@query("symbol_normalize", SYMBOL_NORMALIZE_ORACLE)
+def q_symbol_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format_ticker_symbol (reference scripts/utils.py:168-184) +
+    validity filter (scrape_tickers.py:304) + URL templating
+    (config.py:30) as pure codegen expressions."""
+    from psx_data_pipeline_spark.functions.textfns import (
+        normalize_symbol,
+        valid_symbol,
+    )
+
+    c = load_table(spark, "customer", sf_dir)
+    raw = F.concat_ws(".", F.col("c_name"), F.col("c_mktsegment"))
+    sym = normalize_symbol(raw)
+    return (
+        c.select("c_custkey", sym.alias("symbol"))
+        .where(valid_symbol("symbol"))
+        .withColumn(
+            "url", F.concat(F.lit("https://dps.psx.com.pk/company/"), F.col("symbol"))
+        )
+    )
+
+
+# --- calendar dimension (F11) ---------------------------------------------------
+
+CALENDAR_ORACLE = """
+SELECT CAST(g AS DATE) AS d
+FROM (
+  SELECT unnest(generate_series(
+    (SELECT CAST(min(o_orderdate) AS DATE) FROM orders),
+    (SELECT CAST(max(o_orderdate) AS DATE) FROM orders),
+    INTERVAL 1 DAY)) AS g
+)
+"""
+
+
+@query("calendar_range", CALENDAR_ORACLE)
+def q_calendar_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_range (reference scripts/utils.py:116-150) as
+    sequence+explode over data-derived bounds — a generated dimension,
+    not a driver-side loop."""
+    o = load_table(spark, "orders", sf_dir)
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    return bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
