@@ -1,0 +1,68 @@
+"""Per-round benchmark: run every registered query at sf0.1 and print
+ONE JSON line with per-query wall times.
+
+Contract (driver): {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...} on stdout. The driver records
+this as BENCH_r{N}.json and compares against BASELINE.md.
+
+Each query is materialized through the built-in ``noop`` writer so the
+FULL physical plan executes (a bare .count() would let Catalyst prune
+the very work being measured). One warm-up action runs first so JVM /
+codegen startup is not attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+from psx_data_pipeline_spark.plans import QUERIES
+from psx_data_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf"))
+    except ValueError:
+        return 0.0
+
+
+def main() -> int:
+    spark = get_spark("bench")
+    # warm-up: JVM, parquet footer reads, codegen
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        try:
+            df = QUERIES[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep benching the rest
+            failed[name] = f"{type(exc).__name__}: {exc}"
+            traceback.print_exc(file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
+    return 0 if not failed else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -291,13 +291,16 @@ def q_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("symbol_id", "name", "sector", "name_updated", "sector_updated")
 
 
+# DuckDB SUM over integers returns HUGEINT (int128) — the driver's
+# value hash distinguishes that from Spark's BIGINT, so every SUM is
+# cast back to BIGINT explicitly (round-1 failure root cause).
 UPDATE_STATS_ORACLE = f"""
 WITH merged AS ({SCD1_ORACLE})
 SELECT COUNT(*) AS total,
-  SUM(CASE WHEN name_updated THEN 1 ELSE 0 END) AS updated_names,
-  SUM(CASE WHEN sector_updated THEN 1 ELSE 0 END) AS updated_sectors,
-  SUM(CASE WHEN NOT name_updated AND NOT sector_updated THEN 1 ELSE 0 END)
-    AS no_change
+  CAST(SUM(CASE WHEN name_updated THEN 1 ELSE 0 END) AS BIGINT) AS updated_names,
+  CAST(SUM(CASE WHEN sector_updated THEN 1 ELSE 0 END) AS BIGINT) AS updated_sectors,
+  CAST(SUM(CASE WHEN NOT name_updated AND NOT sector_updated THEN 1 ELSE 0 END)
+    AS BIGINT) AS no_change
 FROM merged
 """
 

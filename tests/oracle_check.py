@@ -1,9 +1,12 @@
 """Local stand-in for the driver's DuckDB oracle comparison.
 
 Mirrors the documented check (__spark_entry__.py): row count, column
-names, and an order-insensitive value hash. We canonicalize values
-conservatively (repr of floats, str of Decimals normalized) so any
-value that passes here should pass any reasonable driver hashing.
+names, and an order-insensitive value hash. Round-1 lesson: the
+driver's hash is TYPE-sensitive (DuckDB ``SUM(int)`` returns HUGEINT,
+which hashed differently from Spark's BIGINT even though the values
+were equal), so this harness fetches DuckDB results through Arrow —
+where HUGEINT surfaces as Decimal — and canonicalizes ints, floats,
+and Decimals distinctly. Local green must predict driver green.
 """
 
 from __future__ import annotations
@@ -24,9 +27,9 @@ def duckdb_run(sql: str, sf_dir: str):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    tbl = con.execute(sql).arrow()
+    cols = tbl.column_names
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
     con.close()
     return cols, rows
 
@@ -41,7 +44,9 @@ def _canon(v):
             return "NaN"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        # kept distinct from both int and float on purpose: a query
+        # that leaks an unconverted decimal/HUGEINT must fail locally
+        return "dec:" + format(v.normalize(), "f")
     if isinstance(v, dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, dt.date):
