@@ -48,10 +48,12 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def dedup_latest(df: DataFrame, key: str, order_col: str) -> DataFrame:
-    """Keep-last-per-key (reference dict-build semantics) via
-    row_number — deterministic tie-break on the order column desc."""
-    w = Window.partitionBy(key).orderBy(F.desc(order_col))
+def dedup_latest(df: DataFrame, key: str, order_col: str, tiebreak: str) -> DataFrame:
+    """Keep-last-per-key (reference dict-build semantics,
+    update_ticker_info.py:136) via row_number over
+    (order_col desc, tiebreak desc) — the explicit secondary key makes
+    the pick deterministic when two rows of a key share order_col."""
+    w = Window.partitionBy(key).orderBy(F.desc(order_col), F.desc(tiebreak))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -134,16 +136,21 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     ).withColumn("h", md5_long(F.col("tok")))
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    # PySpark's F.shiftright/F.shiftleft demand a Python-int shift, but
+    # the SQL functions take any expression — go through F.expr.
     votes = tok.select("id", "h", bit).withColumn(
         "sign",
-        F.when(F.shiftright(F.col("h"), F.col("j")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1),
     )
     return (
         votes.groupBy("id", "j")
         .agg(F.sum("sign").alias("s"))
         .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
         .groupBy("id")
-        .agg(F.sum(F.col("bitval") * F.shiftleft(F.lit(1).cast("long"), F.col("j"))).alias("simhash"))
+        .agg(
+            F.sum(F.expr("CAST(bitval AS BIGINT) * shiftleft(CAST(1 AS BIGINT), j)"))
+            .alias("simhash")
+        )
     )
 
 
@@ -165,8 +172,10 @@ def simhash_near_pairs(
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"),
     ).withColumn(
         "blkval",
-        F.shiftright(F.col("simhash"), F.col("blk") * block_w)
-        % F.shiftleft(F.lit(1).cast("long"), block_w),
+        F.expr(
+            f"shiftright(simhash, blk * {block_w})"
+            f" % shiftleft(CAST(1 AS BIGINT), {block_w})"
+        ),
     )
     a = blk.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "blkval")
     b = blk.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "blkval")
@@ -197,28 +206,29 @@ def ngram_jaccard_pairs(
     pairs sharing ≥1 shingle.
 
     |A∩B| comes from the exploded-shingle self-equi-join (never a
-    cross join); |A∪B| = |A|+|B|-|A∩B| from a broadcast of per-doc
-    set sizes. Output: (id_a, id_b, jaccard) above threshold.
-    Jaccard is a ratio of integers → identical across engines.
+    cross join); the shingle rows carry their doc's distinct-set size
+    so |A∪B| = |A|+|B|-|A∩B| falls out of the same aggregation — no
+    second join and, critically, no broadcast of a per-document table
+    (one row per doc broadcast-OOMs at billions of docs).
+    Output: (id_a, id_b, jaccard) above threshold. Jaccard is a ratio
+    of integers → identical across engines.
     """
-    sh = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh"),
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
-    inter = (
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("shs"),
+    ).withColumn("n_sh", F.size("shs"))
+    sh = base.select("id", "n_sh", F.explode("shs").alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "sh")
+    return (
         a.join(b, "sh")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_int"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_int"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_int").cast("double")

@@ -22,15 +22,19 @@ def sessionize(
     key: str,
     ts_col: str,
     gap: int,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Assign session ids: a new session starts when the gap from the
     previous event of the same key exceeds ``gap`` (same units as
-    ts_col — pass ns for the events fixture).
+    ts_col — pass µs for the events fixture).
 
     lag → gap flag → running sum = the classic batch sessionization;
     returns the input plus ``session_id`` (1-based per key).
+    ``tiebreak`` makes the event order (hence the ids) deterministic
+    when two events of a key share a timestamp.
     """
-    w = Window.partitionBy(key).orderBy(ts_col)
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
     new_sess = F.when(
         (F.col(ts_col) - F.lag(ts_col).over(w)) > gap, 1
     ).otherwise(0)
@@ -59,11 +63,10 @@ def detect_gaps(df: DataFrame, key: str, date_col: str, max_gap_days: int = 1) -
     gap-detection check, SURVEY.md §7.3 step 5).
 
     Returns (key, gap_start, gap_end, gap_days) for each hole."""
-    w = Window.partitionBy(key).orderBy(date_col)
-    prev = F.lag(date_col).over(w)
+    w = Window.partitionBy(key).orderBy("d")
     return (
         df.select(key, F.col(date_col).alias("d"))
-        .withColumn("prev_d", prev)
+        .withColumn("prev_d", F.lag("d").over(w))
         .where(
             F.col("prev_d").isNotNull()
             & (F.datediff(F.col("d"), F.col("prev_d")) > max_gap_days)

@@ -12,7 +12,11 @@ the plane signature for a centroid id; same join shape.)
 
 Determinism for the oracle: dot products and norms accumulate in
 exact decimal (order-independent), then finish in double — DuckDB
-reproduces the same bits via UNNEST + SUM(CAST(...)).
+reproduces the same bits via per-element SUM(CAST(...AS DECIMAL)).
+Hyperplane components are INTEGER constants generated Python-side
+(LCG walk, no RNG state) and inlined into both the Spark plan (array
+literal) and the oracle SQL (VALUES table), so the two engines agree
+by construction — no per-row hashing at all.
 """
 
 from __future__ import annotations
@@ -20,16 +24,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from psx_data_pipeline_spark.functions.hashing import HASH_P, md5_long
+from psx_data_pipeline_spark.functions.hashing import HASH_P
 
 _DEC = "decimal(38,12)"
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Exact-decimal dot product of two double arrays → double."""
+    """Exact-decimal dot product of two double arrays → double.
+
+    The merge lambda re-casts after each add: decimal(38,12) +
+    decimal(38,12) coerces to decimal(38,11) in Spark, so without the
+    cast the accumulator type drifts and analysis fails. Addition of
+    12-dp-rounded terms is exact at precision 38, so the fold is
+    order-independent — DuckDB's SUM over the same rounded products
+    produces identical bits.
+    """
     prods = F.zip_with(a, b, lambda x, y: (x * y).cast(_DEC))
-    return F.aggregate(prods, F.lit(0).cast(_DEC), lambda acc, p: acc + p).cast(
-        "double"
+    return F.aggregate(
+        prods, F.lit(0).cast(_DEC), lambda acc, p: (acc + p).cast(_DEC)
+    ).cast("double")
+
+
+def dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of _dot() for two list-typed expressions."""
+    return (
+        "CAST((SELECT SUM(CAST(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE)"
+        f" AS DECIMAL(38,12))) FROM (SELECT UNNEST({a}) AS a, UNNEST({b}) AS b) x)"
+        " AS DOUBLE)"
     )
 
 
@@ -82,37 +103,75 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, bits: int) -> Column:
-    """b-bit sign signature against deterministic pseudo-planes.
+def hyperplane_planes(bits: int, dim: int) -> list[list[int]]:
+    """bits × dim integer plane matrix from a fixed LCG walk.
 
-    Plane component p(j,d) is derived from md5 of "j:d" mapped to
-    [-0.5, 0.5) — reproducible in SQL, no RNG state. The signature is
-    sum over j of (dot(vec, plane_j) > 0) << j.
+    Component m = 2·x − P with x ∈ [0, P): odd, never zero, symmetric
+    around 0 — the sign of Σ vec[d]·m(j,d) equals the sign of the
+    continuous hyperplane dot in [−0.5, 0.5). Pure constants: both
+    engines inline them, so there is no per-row hashing (round-1 cost
+    bug) and no cross-engine RNG to reconcile.
     """
-    def plane_component(j: Column, d: Column) -> Column:
-        h = md5_long(F.concat_ws(":", j.cast("string"), d.cast("string")))
-        return (h % F.lit(HASH_P)).cast("double") / F.lit(float(HASH_P)) - 0.5
+    planes: list[list[int]] = []
+    x = 48_271
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            x = (x * 69_069 + 1) % HASH_P
+            row.append(2 * x - HASH_P)
+        planes.append(row)
+    return planes
 
-    def plane_dot(j: Column) -> Column:
-        # exact-decimal accumulation so an SQL oracle (unnest + SUM)
-        # reproduces the same sign bits regardless of order
-        idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+def hyperplane_signature(vec: Column, dim: int, bits: int) -> Column:
+    """b-bit sign signature: bit j set iff dot(vec, plane_j) > 0.
+
+    Each plane dot accumulates in exact decimal (order-independent);
+    the bit weights are plain integer literals (no shiftleft-by-column,
+    which PySpark's F.shiftleft cannot express).
+    """
+    planes = hyperplane_planes(bits, dim)
+
+    def plane_dot(row: list[int]) -> Column:
+        plane = F.array(*[F.lit(m).cast("double") for m in row])
+        prods = F.zip_with(vec, plane, lambda x, m: (x * m).cast(_DEC))
         return F.aggregate(
-            idx,
-            F.lit(0).cast(_DEC),
-            lambda acc, d: acc
-            + (F.element_at(vec, d + 1) * plane_component(j, d)).cast(_DEC),
+            prods, F.lit(0).cast(_DEC), lambda acc, p: (acc + p).cast(_DEC)
         ).cast("double")
 
-    bit_seq = F.sequence(F.lit(0), F.lit(bits - 1))
-    return F.aggregate(
-        bit_seq,
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.when(plane_dot(j) > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+    sig = F.lit(0).cast("long")
+    for j, row in enumerate(planes):
+        sig = sig + F.when(plane_dot(row) > 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
-        ),
+        )
+    return sig
+
+
+def hyperplane_signature_sql(
+    vec_expr: str, id_expr: str, table: str, bits: int, dim: int
+) -> str:
+    """DuckDB twin: a VALUES plane table joined per (vector, bit).
+
+    Returns a subquery SELECTing (sig_id, sig) for every row of
+    ``table``. The oracle is allowed to be slow — bits × dim rows per
+    vector is fine at sf0.01.
+    """
+    planes = hyperplane_planes(bits, dim)
+    values = ",".join(
+        f"({j},{d},{m})" for j, row in enumerate(planes) for d, m in enumerate(row)
     )
+    return f"""
+    SELECT sig_id, CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+    FROM (
+      SELECT t.{id_expr} AS sig_id, p.j,
+             CAST(SUM(CAST(CAST(t.{vec_expr}[p.d + 1] AS DOUBLE) * p.m
+                  AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM {table} t
+      CROSS JOIN (SELECT * FROM (VALUES {values}) AS v(j, d, m)) p
+      GROUP BY 1, 2
+    )
+    GROUP BY sig_id
+    """
 
 
 def lsh_bucketed_neighbors(

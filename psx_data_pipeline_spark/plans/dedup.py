@@ -1,1 +1,196 @@
-"""Plan module — populated incrementally."""
+"""Deduplication queries over the ``documents`` fixture table.
+
+The reference's only dedup is keep-last-per-key dict building
+(reference update_ticker_info.py:136, scrape_tickers.py:601-602);
+exact/MinHash-LSH/SimHash/Jaccard near-dup are the north-star
+training-data-pipeline operators. Every query here has a full DuckDB
+oracle: the hashing is md5-based (identical in both engines,
+functions/hashing.py), the MinHash permutations and band layout are
+inlined constants, and ratios stay integer-derived — so the value
+hashes agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.functions.hashing import HASH_P, minhash_perms
+from psx_data_pipeline_spark.functions.textfns import TOKENS_SQL
+from psx_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    dedup_latest,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.sources.fixtures import load_table
+
+_TOKS = TOKENS_SQL.format("text")
+# DuckDB twin of textfns.word_shingles(text, 3): n-word shingles, or the
+# whole token list joined when fewer than 3 tokens.
+_SHINGLES = f"""
+CASE WHEN len({_TOKS}) >= 3 THEN
+  [array_to_string(({_TOKS})[i:i+2], ' ') FOR i IN generate_series(1, len({_TOKS}) - 2)]
+ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+_MD5_LONG = "CAST(('0x' || substr(md5({0}), 1, 15)) AS BIGINT)"
+
+
+# --- exact dedup (north star; generalizes reference R8) ---------------------
+
+DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS id, md5(text) AS fingerprint,
+       count(*) AS group_size
+FROM documents GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact", DEDUP_EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one shuffle on the md5 fingerprint, keep
+    the min id per content group."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup_exact(docs, "text", "doc_id")
+
+
+# --- keep-last-per-key (R8) -------------------------------------------------
+
+# ts is int64 nanoseconds on the Spark side (see fixtures.load_table)
+# but DuckDB truncates parquet NS timestamps to µs — both sides work
+# on the truncated µs value so ordering and output agree exactly.
+DEDUP_LATEST_ORACLE = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+"""
+
+
+@query("dedup_latest", DEDUP_LATEST_ORACLE)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-last-per-key dedup (reference dict-build semantics,
+    update_ticker_info.py:136) with an explicit tiebreak column."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    ).drop("ts")
+    return dedup_latest(ev, "user_id", "ts_us", "event_id").select(
+        "event_id", "ts_us", "user_id", "event_type", "value", "props"
+    )
+
+
+# --- MinHash-LSH candidate pairs --------------------------------------------
+
+_K, _BANDS, _RPB = 16, 4, 4
+_PERM_VALUES = ",".join(f"({i},{a},{b})" for i, a, b in minhash_perms(_K))
+
+MINHASH_LSH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest(list_distinct({_SHINGLES})) AS sh FROM documents
+),
+h AS (
+  SELECT id, {_MD5_LONG.format('sh')} % {HASH_P} AS h FROM sh
+),
+perms AS (SELECT * FROM (VALUES {_PERM_VALUES}) AS p(i, a, b)),
+sig AS (
+  SELECT id, i, MIN((a * h + b) % {HASH_P}) AS minv
+  FROM h CROSS JOIN perms GROUP BY id, i
+),
+bsig AS (
+  SELECT id, CAST(i // {_RPB} AS INT) AS band,
+         string_agg(CAST(minv AS VARCHAR), ',' ORDER BY i) AS bsig
+  FROM sig GROUP BY 1, 2
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bsig a JOIN bsig b ON a.band = b.band AND a.bsig = b.bsig
+WHERE a.id < b.id
+"""
+
+
+@query("minhash_lsh_pairs", MINHASH_LSH_ORACLE)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: banded equi-join on
+    (band, band-signature), never n² — shuffle volume tracks the
+    number of colliding candidates."""
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_lsh_pairs(docs, "text", "doc_id", k=_K, bands=_BANDS)
+
+
+# --- SimHash near pairs -----------------------------------------------------
+
+_BITS, _HAM, _NBLK = 32, 3, 4
+_BLKW = _BITS // _NBLK
+
+SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+),
+th AS (SELECT id, {_MD5_LONG.format('tok')} AS h FROM tok),
+votes AS (
+  SELECT id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, {_BITS - 1})) AS j)
+  GROUP BY id, j
+),
+sh AS (
+  SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+       AS BIGINT) AS simhash
+  FROM votes GROUP BY id
+),
+blk AS (
+  SELECT id, simhash, blk,
+         (simhash >> (blk * {_BLKW})) % (1::BIGINT << {_BLKW}) AS blkval
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_NBLK - 1})) AS blk)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM blk a JOIN blk b ON a.blk = b.blk AND a.blkval = b.blkval
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {_HAM}
+"""
+
+
+@query("simhash_near_pairs", SIMHASH_ORACLE)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: prefix-block equi-join (pigeonhole over
+    {_NBLK} blocks guarantees recall at Hamming ≤ {_HAM}), then exact
+    bit_count verify."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = simhash_near_pairs(docs, "text", "doc_id", bits=_BITS, max_hamming=_HAM)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+_JACC_T = 0.2
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, list_distinct({_SHINGLES}) AS shs FROM documents
+),
+sh AS (SELECT id, len(shs) AS n_sh, unnest(shs) AS sh FROM base),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_int,
+         any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+  FROM sh a JOIN sh b ON a.sh = b.sh
+  WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         CAST(n_int AS DOUBLE) / CAST(n_a + n_b - n_int AS DOUBLE) AS jaccard
+  FROM pairs
+) WHERE jaccard >= {_JACC_T}
+"""
+
+
+@query("ngram_jaccard_pairs", NGRAM_JACCARD_ORACLE)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard for pairs sharing ≥1 shingle: the
+    exploded-shingle self-equi-join carries set sizes on the shingle
+    rows (no per-doc broadcast). Jaccard is a ratio of ints →
+    bit-identical across engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=_JACC_T)

@@ -1,1 +1,86 @@
-"""Plan module — populated incrementally."""
+"""Event-stream queries: sessionization, gap detection, per-key
+incremental cutoffs — the batch twins of the reference's planned
+daily-append layer (reference README.md:62-71) generalized to the
+``events`` fixture stream.
+
+All window-function based: one shuffle on the partition key, no
+driver-side state. The oracle SQL uses the identical window spec, so
+ordering (and therefore every session id) matches by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.operators.sessions import detect_gaps, sessionize
+from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.sources.fixtures import load_table
+
+# 30-minute session gap, in microseconds (events.ts is int64 ns on the
+# Spark side, truncated to µs to match DuckDB's parquet NS handling).
+_GAP_US = 30 * 60 * 1_000_000
+
+SESSIONIZE_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+lagged AS (
+  SELECT *, lag(ts_us) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+  FROM ev
+)
+SELECT event_id, user_id, event_type, ts_us,
+  CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_GAP_US}
+       THEN 1 ELSE 0 END) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM lagged
+"""
+
+
+@query("sessionize_events", SESSIONIZE_ORACLE)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of streaming
+    session_window): lag → new-session flag → running sum, one shuffle
+    on user_id."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .select("event_id", "user_id", "event_type", "ts_us")
+    )
+    out = sessionize(ev, "user_id", "ts_us", _GAP_US, tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id", "event_type", "ts_us",
+        F.col("session_id").cast("long").alias("session_id"),
+    )
+
+
+# Gap detection over per-customer order dates (the OHLC trading-gap
+# check, SURVEY.md §7.3 step 5, exercised on the orders fixture).
+_MAX_GAP_DAYS = 60
+
+DETECT_GAPS_ORACLE = f"""
+WITH d AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+),
+lagged AS (
+  SELECT o_custkey, d,
+         lag(d) OVER (PARTITION BY o_custkey ORDER BY d) AS prev_d
+  FROM d
+)
+SELECT o_custkey, prev_d AS gap_start, d AS gap_end,
+       CAST(date_diff('day', prev_d, d) - 1 AS BIGINT) AS gap_days
+FROM lagged
+WHERE prev_d IS NOT NULL AND date_diff('day', prev_d, d) > {_MAX_GAP_DAYS}
+"""
+
+
+@query("detect_gaps", DETECT_GAPS_ORACLE)
+def q_detect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key date-gap detection via lag: holes longer than
+    {_MAX_GAP_DAYS} days in each customer's order history."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("order_date")
+    )
+    return detect_gaps(o, "o_custkey", "order_date", max_gap_days=_MAX_GAP_DAYS)

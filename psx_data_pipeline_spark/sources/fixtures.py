@@ -20,8 +20,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Read one fixture table (parquet scan, schema from footer)."""
+    """Read one fixture table (parquet scan, schema from footer).
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark rejects
+    by default — the legacy conf surfaces it as int64 nanoseconds
+    (runtime-settable, so this works under any caller's session).
+    Oracle SQL reads the same values via DuckDB's epoch_ns().
+    """
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
