@@ -48,17 +48,25 @@ def detect_renames(
 ) -> DataFrame:
     """Deterministic re-spec of the reference's fuzzy rename matcher.
 
-    Predicate (reference scrape_tickers.py:612-614): lowercase
-    substring containment either way, OR (both names longer than 10
-    chars and a token of the old name with len>min_token_len appears
-    in the new name).
+    Predicate: lowercase substring containment either way, OR (both
+    names longer than 10 chars and a shared whole token with
+    len>min_token_len). This deliberately TIGHTENS the reference's
+    third clause (scrape_tickers.py:612-614 accepts any old-name
+    token with len>4 appearing as a substring of the new name; here
+    the token must appear as a whole token in both) — a re-spec for
+    determinism and equi-join-ability, documented per SURVEY.md §7.4.
 
-    Instead of the reference's O(|deleted|×|added|) nested loop, we
-    build candidate pairs with an exploded-token inverted-index join
-    and apply the full predicate on candidates only; 1:1 assignment
-    keeps the best pair per old key and per new key via two
-    row_number passes ordered by (score desc, old_key, new_key) —
-    deterministic where the reference's set iteration was not.
+    Instead of the reference's O(|deleted|×|added|) nested loop, both
+    candidate paths are equi-joins:
+      * token path — exploded-token inverted-index join;
+      * containment path — if a ⊆ b then a's first 4 chars occur in
+        b, so block on (first-4-of-contained = some-4-gram-of-
+        container), one join per direction; names shorter than 4
+        chars fall back to a theta-join over that (tiny) residual.
+    1:1 assignment keeps the best pair per old key and per new key
+    via two row_number passes ordered by (score desc, old_key,
+    new_key) — deterministic where the reference's set iteration was
+    not.
 
     Returns (old_key, new_key, old_name, new_name).
     """
@@ -84,16 +92,58 @@ def detect_renames(
         .distinct()
     )
     # substring-containment candidates can lack shared tokens (e.g.
-    # concatenations), so union a containment join on the residual —
-    # expressed directly as a theta-join; the inputs are change sets,
-    # small by construction.
-    cand_sub = old.join(
-        new,
-        F.col("new_name").contains(F.col("old_name"))
-        | F.col("old_name").contains(F.col("new_name")),
-    ).select("old_key", "old_name", "new_key", "new_name")
+    # concatenations). A naive theta-join is a nested-loop over the
+    # full added×deleted sets — a scale-killer on a big churn day —
+    # so block each direction on 4-char grams: contained ⊆ container
+    # implies the contained string's first 4 chars appear in the
+    # container. Both joins are equi-joins on the gram.
+    B = 4
 
-    cand = cand_tok.unionByName(cand_sub).distinct()
+    def grams(df: DataFrame, side: str) -> DataFrame:
+        name = F.col(f"{side}_name")
+        idx = F.sequence(F.lit(1), F.greatest(F.length(name) - B + 1, F.lit(1)))
+        g = F.transform(idx, lambda i: name.substr(i, F.lit(B)))
+        return df.select(
+            f"{side}_key", f"{side}_name",
+            F.explode(F.array_distinct(g)).alias("gram"),
+        )
+
+    def prefixed(df: DataFrame, side: str) -> DataFrame:
+        return df.where(F.length(f"{side}_name") >= B).withColumn(
+            "gram", F.col(f"{side}_name").substr(1, B)
+        )
+
+    cols = ["old_key", "old_name", "new_key", "new_name"]
+    old_in_new = (
+        prefixed(old, "old")
+        .join(grams(new, "new"), "gram")
+        .where(F.col("new_name").contains(F.col("old_name")))
+        .select(*cols)
+    )
+    new_in_old = (
+        prefixed(new, "new")
+        .join(grams(old, "old"), "gram")
+        .where(F.col("old_name").contains(F.col("new_name")))
+        .select(*cols)
+    )
+    # residual: contained side shorter than one gram — tiny by
+    # construction, so the theta-join is bounded
+    short_old = old.where(F.length("old_name") < B)
+    short_new = new.where(F.length("new_name") < B)
+    cand_short = short_old.join(
+        new, F.col("new_name").contains(F.col("old_name"))
+    ).select(*cols).unionByName(
+        old.join(
+            short_new, F.col("old_name").contains(F.col("new_name"))
+        ).select(*cols)
+    )
+
+    cand = (
+        cand_tok.unionByName(old_in_new)
+        .unionByName(new_in_old)
+        .unionByName(cand_short)
+        .distinct()
+    )
 
     contains = F.col("new_name").contains(F.col("old_name")) | F.col(
         "old_name"

@@ -10,9 +10,13 @@ come from an equi-join on the signature bucket, so the comparison
 volume is bucket-local instead of n·m. (An IVF variant would swap
 the plane signature for a centroid id; same join shape.)
 
-Determinism for the oracle: dot products and norms accumulate in
-exact decimal (order-independent), then finish in double — DuckDB
-reproduces the same bits via per-element SUM(CAST(...AS DECIMAL)).
+Determinism for the oracle: each product is quantized to an integer
+— floor(x·y·10^s) — and summed as BIGINT, which is exact and
+order-independent, then divided back by 10^s in double. floor() on a
+double is the same IEEE operation in Spark and DuckDB, so the two
+engines agree bit-for-bit for ANY partitioning / aggregation order.
+(A decimal(38,12) accumulator was tried first: the double→decimal
+cast rounds differently across engines at the last digit.)
 Hyperplane components are INTEGER constants generated Python-side
 (LCG walk, no RNG state) and inlined into both the Spark plan (array
 literal) and the oracle SQL (VALUES table), so the two engines agree
@@ -26,31 +30,30 @@ from pyspark.sql import functions as F
 
 from psx_data_pipeline_spark.functions.hashing import HASH_P
 
-_DEC = "decimal(38,12)"
+# quantization scale for embedding dots: values are O(1), 64 terms of
+# |x·y|·1e12 stay far below bigint range
+_SCALE = 1e12
+
+
+def _qdot(a: Column, b: Column, scale: float = _SCALE) -> Column:
+    """Quantized dot product: Σ floor(aᵢ·bᵢ·scale) as BIGINT (exact)."""
+    prods = F.zip_with(a, b, lambda x, y: F.floor(x * y * F.lit(scale)))
+    return F.aggregate(
+        prods, F.lit(0).cast("long"), lambda acc, p: acc + p
+    )
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Exact-decimal dot product of two double arrays → double.
-
-    The merge lambda re-casts after each add: decimal(38,12) +
-    decimal(38,12) coerces to decimal(38,11) in Spark, so without the
-    cast the accumulator type drifts and analysis fails. Addition of
-    12-dp-rounded terms is exact at precision 38, so the fold is
-    order-independent — DuckDB's SUM over the same rounded products
-    produces identical bits.
-    """
-    prods = F.zip_with(a, b, lambda x, y: (x * y).cast(_DEC))
-    return F.aggregate(
-        prods, F.lit(0).cast(_DEC), lambda acc, p: (acc + p).cast(_DEC)
-    ).cast("double")
+    """Deterministic dot product of two double arrays → double."""
+    return _qdot(a, b).cast("double") / F.lit(_SCALE)
 
 
 def dot_sql(a: str, b: str) -> str:
     """DuckDB twin of _dot() for two list-typed expressions."""
     return (
-        "CAST((SELECT SUM(CAST(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE)"
-        f" AS DECIMAL(38,12))) FROM (SELECT UNNEST({a}) AS a, UNNEST({b}) AS b) x)"
-        " AS DOUBLE)"
+        "(CAST((SELECT SUM(CAST(floor(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE)"
+        f" * 1e12) AS BIGINT)) FROM (SELECT UNNEST({a}) AS a, UNNEST({b}) AS b) x)"
+        " AS DOUBLE) / 1e12)"
     )
 
 
@@ -123,21 +126,24 @@ def hyperplane_planes(bits: int, dim: int) -> list[list[int]]:
     return planes
 
 
+# plane components are O(2^31), so products need a smaller scale to
+# keep 64-term sums inside bigint: |x·m|·1e6 ≈ 2e15 · 64 ≈ 1.3e17
+_PLANE_SCALE = 1e6
+
+
 def hyperplane_signature(vec: Column, dim: int, bits: int) -> Column:
     """b-bit sign signature: bit j set iff dot(vec, plane_j) > 0.
 
-    Each plane dot accumulates in exact decimal (order-independent);
-    the bit weights are plain integer literals (no shiftleft-by-column,
-    which PySpark's F.shiftleft cannot express).
+    Plane dots use the quantized-integer sum (order-independent, so
+    the sign decision is identical in both engines); the bit weights
+    are plain integer literals (no shiftleft-by-column, which
+    PySpark's F.shiftleft cannot express).
     """
     planes = hyperplane_planes(bits, dim)
 
     def plane_dot(row: list[int]) -> Column:
-        plane = F.array(*[F.lit(m).cast("double") for m in row])
-        prods = F.zip_with(vec, plane, lambda x, m: (x * m).cast(_DEC))
-        return F.aggregate(
-            prods, F.lit(0).cast(_DEC), lambda acc, p: (acc + p).cast(_DEC)
-        ).cast("double")
+        plane = F.array(*[F.lit(float(m)) for m in row])
+        return _qdot(vec, plane, _PLANE_SCALE)
 
     sig = F.lit(0).cast("long")
     for j, row in enumerate(planes):
@@ -164,8 +170,8 @@ def hyperplane_signature_sql(
     SELECT sig_id, CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
     FROM (
       SELECT t.{id_expr} AS sig_id, p.j,
-             CAST(SUM(CAST(CAST(t.{vec_expr}[p.d + 1] AS DOUBLE) * p.m
-                  AS DECIMAL(38,12))) AS DOUBLE) AS dot
+             SUM(CAST(floor(CAST(t.{vec_expr}[p.d + 1] AS DOUBLE)
+                 * CAST(p.m AS DOUBLE) * 1e6) AS BIGINT)) AS dot
       FROM {table} t
       CROSS JOIN (SELECT * FROM (VALUES {values}) AS v(j, d, m)) p
       GROUP BY 1, 2

@@ -1,1 +1,96 @@
-"""Plan module — populated incrementally."""
+"""Similarity-search queries over the ``embeddings`` fixture table
+(vec_id BIGINT, embedding FLOAT[64], label INT).
+
+Brute-force cosine top-k is the correctness baseline (broadcast query
+set × corpus); hyperplane-LSH bucketed neighbors is the scale path
+(equi-join on signature buckets instead of n·m comparisons). Both
+accumulate dot products in exact decimal so DuckDB reproduces the
+same double bits regardless of summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    dot_sql,
+    hyperplane_signature_sql,
+    lsh_bucketed_neighbors,
+)
+from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.sources.fixtures import load_table
+
+_DIM = 64
+_QUERY_MOD = 100  # query set = vec_id % 100 == 0 (1% of the corpus)
+_K = 5
+
+_COS = (
+    f"{dot_sql('q.qe', 'c.ce')}"
+    f" / (sqrt({dot_sql('q.qe', 'q.qe')}) * sqrt({dot_sql('c.ce', 'c.ce')}))"
+)
+
+COSINE_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id % {_QUERY_MOD} = 0
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {_COS} AS cosine
+  FROM q CROSS JOIN c
+  WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_K}
+"""
+
+
+@query("cosine_topk", COSINE_TOPK_ORACLE)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact ANN baseline: broadcast the (small) query set
+    against the corpus; per-query top-k via row_number with an id
+    tie-break so the ranking is unique."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % _QUERY_MOD == 0)
+    return cosine_topk(emb, queries, "embedding", "vec_id", k=_K)
+
+
+_BITS = 8
+_COS_T = 0.1
+
+_SIG_SQL = hyperplane_signature_sql("embedding", "vec_id", "embeddings", _BITS, _DIM)
+_PAIR_COS = (
+    f"{dot_sql('a.e', 'b.e')}"
+    f" / (sqrt({dot_sql('a.e', 'a.e')}) * sqrt({dot_sql('b.e', 'b.e')}))"
+)
+
+LSH_NEIGHBORS_ORACLE = f"""
+WITH sig AS ({_SIG_SQL}),
+v AS (
+  SELECT s.sig_id AS id, s.sig, e.embedding AS e
+  FROM sig s JOIN embeddings e ON e.vec_id = s.sig_id
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, {_PAIR_COS} AS cosine
+  FROM v a JOIN v b ON a.sig = b.sig
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, cosine FROM cand WHERE cosine >= {_COS_T}
+"""
+
+
+@query("lsh_bucketed_neighbors", LSH_NEIGHBORS_ORACLE)
+def q_lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-neighbor pairs: {_BITS}-bit sign signatures
+    from inlined integer plane constants; candidates come from the
+    signature equi-join (bucket-local work at scale), verified by
+    exact cosine."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return lsh_bucketed_neighbors(
+        emb, "embedding", "vec_id", dim=_DIM, bits=_BITS, threshold=_COS_T
+    )
