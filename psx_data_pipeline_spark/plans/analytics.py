@@ -1,1 +1,285 @@
-"""Plan module — populated incrementally."""
+"""OHLC / window analytics — the reference's planned Phases 3-4
+(reference README.md:62-71, SURVEY.md §7.3 step 5) built on the
+fixture star schema: a daily per-symbol price series is derived from
+``orders`` (symbol = o_custkey mod N, price = o_totalprice), then the
+full window pack runs on top — OHLC roll-up, lag returns, frame-based
+moving averages, per-key top-k, rollup subtotals, incremental-append
+cutoffs — plus the multi-join top-k queries that exercise the
+relational surface the reference never had (joins, sort, limit).
+
+Scale notes: every window partitions by symbol (the natural
+distribution key); the OHLC roll-up is one shuffle with map-side
+combine; top-k over a full sort lowers to TakeOrderedAndProject (no
+global sort materialization); dimension joins broadcast the small
+side automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.functions.numeric import dsum, dsum_sql
+from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.sources.fixtures import load_table
+
+_NSYM = 25
+
+# Shared derivation: deterministic daily per-symbol series.
+_SERIES_SQL = f"""
+  SELECT o_orderkey AS trade_id, o_custkey % {_NSYM} AS symbol_id,
+         CAST(o_orderdate AS DATE) AS trade_date, o_totalprice AS price
+  FROM orders
+"""
+
+OHLC_SQL = f"""
+  SELECT symbol_id, trade_date,
+         arg_min(price, trade_id) AS open,
+         max(price) AS high,
+         min(price) AS low,
+         arg_max(price, trade_id) AS close,
+         count(*) AS volume,
+         {dsum_sql('price')} AS turnover
+  FROM ({_SERIES_SQL})
+  GROUP BY symbol_id, trade_date
+"""
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        F.col("o_orderkey").alias("trade_id"),
+        (F.col("o_custkey") % _NSYM).alias("symbol_id"),
+        F.col("o_orderdate").cast("date").alias("trade_date"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+
+def _ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars: one shuffle on (symbol, day); open/close are
+    min_by/max_by on the unique trade id (deterministic, no sort)."""
+    return (
+        _series(spark, sf_dir)
+        .groupBy("symbol_id", "trade_date")
+        .agg(
+            F.min_by("price", "trade_id").alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", "trade_id").alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            dsum("price").alias("turnover"),
+        )
+    )
+
+
+@query("ohlc_daily", OHLC_SQL)
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ohlc(spark, sf_dir)
+
+
+DAILY_RETURNS_ORACLE = f"""
+WITH ohlc AS ({OHLC_SQL})
+SELECT symbol_id, trade_date, close,
+       close / lag(close) OVER (
+         PARTITION BY symbol_id ORDER BY trade_date) - 1 AS ret
+FROM ohlc
+"""
+
+
+@query("daily_returns", DAILY_RETURNS_ORACLE)
+def q_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol daily returns via lag — the canonical OHLC analytic
+    (reference README.md:62-71). Division of identical doubles is
+    bit-deterministic; the first bar of each symbol yields NULL."""
+    w = Window.partitionBy("symbol_id").orderBy("trade_date")
+    return _ohlc(spark, sf_dir).select(
+        "symbol_id", "trade_date", "close",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    )
+
+
+MOVING_AVG_ORACLE = f"""
+WITH ohlc AS ({OHLC_SQL})
+SELECT symbol_id, trade_date, close,
+       CAST(SUM(CAST(close AS DECIMAL(38,6))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS ma7
+FROM ohlc
+WINDOW w AS (PARTITION BY symbol_id ORDER BY trade_date
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("moving_avg", MOVING_AVG_ORACLE)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-bar moving average over a rowsBetween frame. The frame sum
+    goes through exact decimal so sliding-window accumulation order
+    can't flip low bits across engines."""
+    w = (
+        Window.partitionBy("symbol_id")
+        .orderBy("trade_date")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return _ohlc(spark, sf_dir).select(
+        "symbol_id", "trade_date", "close",
+        (
+            F.sum(F.col("close").cast("decimal(38,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma7"),
+    )
+
+
+TOPK_VOLUME_ORACLE = f"""
+WITH ohlc AS ({OHLC_SQL})
+SELECT symbol_id, trade_date, volume, CAST(rk AS INT) AS rk FROM (
+  SELECT symbol_id, trade_date, volume, row_number() OVER (
+    PARTITION BY symbol_id ORDER BY volume DESC, trade_date) AS rk
+  FROM ohlc
+) WHERE rk <= 3
+"""
+
+
+@query("topk_by_volume", TOPK_VOLUME_ORACLE)
+def q_topk_by_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-k (busiest 3 days per symbol): row_number + filter
+    — the distributed top-k that needs no global sort."""
+    w = Window.partitionBy("symbol_id").orderBy(
+        F.desc("volume"), F.asc("trade_date")
+    )
+    return (
+        _ohlc(spark, sf_dir)
+        .select("symbol_id", "trade_date", "volume")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )
+
+
+ROLLUP_ORACLE = f"""
+WITH s AS ({_SERIES_SQL})
+SELECT symbol_id % 5 AS bucket, symbol_id,
+       {dsum_sql('price')} AS turnover, count(*) AS n,
+       CAST(CASE WHEN symbol_id % 5 IS NULL THEN 2 ELSE 0 END
+          + CASE WHEN symbol_id IS NULL THEN 1 ELSE 0 END AS INT) AS lvl
+FROM s
+GROUP BY ROLLUP (symbol_id % 5, symbol_id)
+"""
+
+
+@query("symbol_rollup", ROLLUP_ORACLE)
+def q_symbol_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (bucket → symbol → grand
+    total). The level indicator derives from NULL group keys (the
+    source keys are never NULL), which is engine-agnostic — Spark's
+    grouping_id() bit order needn't match DuckDB's."""
+    s = _series(spark, sf_dir).withColumn("bucket", F.col("symbol_id") % 5)
+    lvl = (
+        F.when(F.col("bucket").isNull(), 2).otherwise(0)
+        + F.when(F.col("symbol_id").isNull(), 1).otherwise(0)
+    ).cast("int")
+    return (
+        s.rollup("bucket", "symbol_id")
+        .agg(dsum("price").alias("turnover"), F.count(F.lit(1)).alias("n"))
+        .select("bucket", "symbol_id", "turnover", "n", lvl.alias("lvl"))
+    )
+
+
+APPEND_CUTOFF_ORACLE = f"""
+WITH s AS ({_SERIES_SQL})
+SELECT symbol_id, max(trade_date) AS last_date,
+       CAST(max(trade_date) + INTERVAL 1 DAY AS DATE) AS next_date,
+       count(DISTINCT trade_date) AS n_days
+FROM s GROUP BY symbol_id
+"""
+
+
+@query("append_cutoff", APPEND_CUTOFF_ORACLE)
+def q_append_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental daily-append cutoff (reference README.md:66-71):
+    per-symbol last ingested date + the next date to fetch — a
+    metadata-scale aggregate, partition-pruned on a date-partitioned
+    table at scale."""
+    return (
+        _series(spark, sf_dir)
+        .groupBy("symbol_id")
+        .agg(
+            F.max("trade_date").alias("last_date"),
+            F.date_add(F.max("trade_date"), 1).alias("next_date"),
+            F.countDistinct("trade_date").alias("n_days"),
+        )
+    )
+
+
+# --- multi-join relational queries (coverage the reference lacked) ----------
+
+TOP_ORDERS_ORACLE = f"""
+SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+       o.o_orderpriority,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("top_building_orders", TOP_ORDERS_ORACLE)
+def q_top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dimension filter → fact joins →
+    group → global top-10. orderBy+limit lowers to
+    TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    c = load_table(spark, "customer", sf_dir).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+REGIONAL_REVENUE_ORACLE = f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@query("regional_revenue", REGIONAL_REVENUE_ORACLE)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: the supplier→nation→region
+    dimension chain is broadcast (small side), so the fact table
+    never shuffles for the join — only the final low-cardinality
+    aggregation shuffles."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    dim = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", F.col("r_name").alias("region"),
+                F.col("n_name").alias("nation"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(dim, li.l_suppkey == dim.s_suppkey)
+        .groupBy("region", "nation")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
