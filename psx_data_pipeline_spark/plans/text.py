@@ -1,1 +1,231 @@
-"""Plan module — populated incrementally."""
+"""Text-analysis queries over the ``documents`` fixture table — the
+reference's keyword→sector classifier (F8, reference
+scrape_tickers.py:167-188, whitelist :141-143) and regex extraction
+(F7, :190-196) generalized to the north-star text operators:
+quality scoring, language-ID, document fingerprinting, corpus
+term frequency.
+
+Everything is scan-side codegen (split/contains/regexp/aggregate) or
+a broadcast join against a tiny constants table — the shapes that are
+embarrassingly parallel at 100 TB. Hashes are md5-derived
+(functions/hashing.py) so DuckDB reproduces them exactly; ratios are
+int/int divisions in double — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.functions.hashing import HASH_P, md5_long, md5_long_sql
+from psx_data_pipeline_spark.functions.textfns import TOKENS_SQL, tokens
+from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.sources.fixtures import load_table
+
+_TOKS = TOKENS_SQL.format("text")
+
+# --- keyword → category classification (F8, when-chain form) ----------------
+
+# first matching keyword wins, in priority order — the reference's
+# sector_keywords dict semantics (scrape_tickers.py:167-188)
+_KEYWORDS = [
+    ("vector", "ml"),
+    ("stream", "streaming"),
+    ("window", "analytics"),
+    ("join", "relational"),
+    ("hash", "infrastructure"),
+]
+_DEFAULT_CAT = "general"
+
+_CASE_SQL = "CASE " + " ".join(
+    f"WHEN contains(text, '{k}') THEN '{v}'" for k, v in _KEYWORDS
+) + f" ELSE '{_DEFAULT_CAT}' END"
+
+KEYWORD_CLASSIFY_ORACLE = f"""
+SELECT doc_id, {_CASE_SQL} AS category,
+       regexp_extract(text, 'table (\\w+)', 1) AS after_table
+FROM documents
+"""
+
+
+@query("keyword_classify", KEYWORD_CLASSIFY_ORACLE)
+def q_keyword_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 as a chained-when CASE expression (first keyword wins) plus
+    the F7 regexp_extract column — pure codegen, no shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    expr = None
+    for k, v in _KEYWORDS:
+        clause = F.when(F.col("text").contains(k), F.lit(v))
+        expr = clause if expr is None else expr.when(
+            F.col("text").contains(k), F.lit(v)
+        )
+    expr = expr.otherwise(F.lit(_DEFAULT_CAT))
+    return docs.select(
+        "doc_id",
+        expr.alias("category"),
+        F.regexp_extract("text", r"table (\w+)", 1).alias("after_table"),
+    )
+
+
+# --- language-ID (broadcast marker-table argmax — F8, join form) ------------
+
+_LANG_MARKERS = [
+    ("de", ["key", "value", "merge"]),
+    ("en", ["the", "a", "table"]),
+    ("es", ["data", "row", "column"]),
+    ("fr", ["join", "group", "sort"]),
+    ("zh", ["spark", "query", "scan"]),
+]
+
+_MARKER_VALUES = ", ".join(
+    "('" + lang + "', [" + ",".join(f"'{m}'" for m in ms) + "])"
+    for lang, ms in _LANG_MARKERS
+)
+
+LANG_ID_ORACLE = f"""
+WITH m AS (SELECT * FROM (VALUES {_MARKER_VALUES}) AS t(lang, markers)),
+scored AS (
+  SELECT d.doc_id, d.lang AS lang_true, m.lang,
+         len(list_intersect(list_distinct({_TOKS}), m.markers)) AS hits
+  FROM documents d CROSS JOIN m
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY hits DESC, lang) AS rk
+  FROM scored
+)
+SELECT doc_id, lang_true,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+FROM best WHERE rk = 1
+"""
+
+
+@query("lang_id", LANG_ID_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID: a 5-row marker table broadcast
+    against the corpus, hits counted via array_intersect, argmax via
+    row_number (tie-break on language code). The join form of the
+    reference's keyword classifier — at scale the marker table stays
+    a broadcast no matter how large the corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    markers = spark.createDataFrame(
+        _LANG_MARKERS, "lang STRING, markers ARRAY<STRING>"
+    )
+    scored = (
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("lang_true"),
+            F.array_distinct(tokens("text")).alias("toks"),
+        )
+        .crossJoin(F.broadcast(markers))
+        .withColumn("hits", F.size(F.array_intersect("toks", "markers")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id", "lang_true",
+            F.when(F.col("hits") > 0, F.col("lang"))
+            .otherwise(F.lit("und"))
+            .alias("lang_pred"),
+        )
+    )
+
+
+# --- quality scoring ---------------------------------------------------------
+
+_STOPWORDS = "['the', 'a']"
+
+TEXT_QUALITY_ORACLE = f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len({_TOKS}) AS n_tokens,
+  len(list_filter({_TOKS}, w -> list_contains({_STOPWORDS}, w))) AS n_stop,
+  CAST(len(list_filter({_TOKS}, w -> list_contains({_STOPWORDS}, w))) AS DOUBLE)
+    / len({_TOKS}) AS stop_ratio,
+  CAST(length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE)
+    / length(text) AS non_alpha_ratio,
+  CAST(length(text) AS DOUBLE) / len({_TOKS}) AS mean_token_span
+FROM documents
+WHERE len({_TOKS}) > 0
+"""
+
+
+@query("text_quality", TEXT_QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals (length / stopword ratio / non-alpha
+    ratio / mean token span) — the pre-training filter features, all
+    int-ratio → double so both engines agree exactly."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    stop = F.filter(toks, lambda w: w.isin("the", "a"))
+    out = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(stop).alias("n_stop"),
+        (F.size(stop).cast("double") / F.size(toks)).alias("stop_ratio"),
+        (
+            F.length(F.regexp_replace("text", "[a-z]", "")).cast("double")
+            / F.length("text")
+        ).alias("non_alpha_ratio"),
+        (F.length("text").cast("double") / F.size(toks)).alias("mean_token_span"),
+    )
+    return out.where(F.col("n_tokens") > 0)
+
+
+# --- document fingerprint (rolling hash) -------------------------------------
+
+_B = 1_000_003
+
+DOC_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      [{md5_long_sql('t')} % {HASH_P} FOR t IN {_TOKS}]),
+    (acc, h) -> (acc * {_B} + h) % {HASH_P}
+  ) AS fp
+FROM documents
+"""
+
+
+@query("doc_fingerprint", DOC_FINGERPRINT_ORACLE)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling token hash (polynomial mod P): the
+    cheap whole-document fingerprint that, unlike the md5-of-text
+    fingerprint, survives whitespace normalization. Sequential fold
+    in both engines (F.aggregate ↔ list_reduce with a prepended
+    zero), bigint arithmetic stays under 2^52."""
+    docs = load_table(spark, "documents", sf_dir)
+    hs = F.transform(tokens("text"), lambda t: md5_long(t) % HASH_P)
+    fp = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * _B + h) % HASH_P,
+    )
+    return docs.select("doc_id", fp.alias("fp"))
+
+
+# --- corpus term frequency ---------------------------------------------------
+
+WORD_FREQ_ORACLE = f"""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+"""
+
+
+@query("word_freq", WORD_FREQ_ORACLE)
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 term frequency: explode → count → top-k. The
+    group-by is map-side combinable; the top-k is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )

@@ -405,3 +405,138 @@ def q_calendar_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounds.select(
         F.explode(F.sequence("lo", "hi")).alias("d")
     )
+
+
+# --- sentinel→NULL ingest + reference-parity view (SURVEY §7.4) ---------------
+
+# Sentinel-bearing raw snapshot derived from customer: the reference's
+# three "missing" encodings (scrape_tickers.py:101-102,
+# update_ticker_info.py:142,172,175) appear on deterministic key slices.
+_RAW_SENTINEL_SQL = """
+  SELECT 'C' || CAST(c_custkey AS VARCHAR) AS symbol,
+         CASE WHEN c_custkey % 11 = 0 THEN 'No record found'
+              WHEN c_custkey % 13 = 0 THEN 'C' || CAST(c_custkey AS VARCHAR)
+              ELSE c_name END AS name,
+         CASE WHEN c_custkey % 17 = 0 THEN 'Unknown'
+              ELSE c_mktsegment END AS sector,
+         CASE WHEN c_custkey % 19 = 0 THEN ''
+              ELSE 'https://dps.psx.com.pk/company/' || CAST(c_custkey AS VARCHAR)
+              END AS url
+  FROM customer
+"""
+
+SENTINEL_PARITY_ORACLE = f"""
+WITH raw AS ({_RAW_SENTINEL_SQL}),
+norm AS (
+  SELECT symbol,
+         CASE WHEN name = 'No record found' OR name = symbol THEN NULL
+              ELSE name END AS name,
+         nullif(sector, 'Unknown') AS sector,
+         nullif(url, '') AS url
+  FROM raw
+)
+SELECT symbol, COALESCE(name, symbol) AS name,
+       COALESCE(sector, 'Unknown') AS sector,
+       COALESCE(url, '') AS url,
+       (name IS NULL) AS name_missing,
+       (sector IS NULL) AS sector_missing,
+       (url IS NULL) AS url_missing
+FROM norm
+"""
+
+
+def _raw_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    sym = F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+    return c.select(
+        sym.alias("symbol"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("No record found"))
+        .when(F.col("c_custkey") % 13 == 0, sym)
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(F.col("c_custkey") % 17 == 0, F.lit("Unknown"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("sector"),
+        F.when(F.col("c_custkey") % 19 == 0, F.lit(""))
+        .otherwise(
+            F.concat(
+                F.lit("https://dps.psx.com.pk/company/"),
+                F.col("c_custkey").cast("string"),
+            )
+        )
+        .alias("url"),
+    )
+
+
+@query("sentinel_parity", SENTINEL_PARITY_ORACLE)
+def q_sentinel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-normalize sentinels to NULL, then re-materialize the
+    reference-parity view (coalesce back to sentinels) with
+    missingness flags — proving the NULL boundary is lossless where
+    the reference encoding is (name='No record found' collapses to
+    the symbol fallback, exactly as update_ticker_info.py:172 reads
+    it)."""
+    from psx_data_pipeline_spark.operators.ingest import (
+        parity_view,
+        sentinel_to_null,
+    )
+
+    norm = sentinel_to_null(_raw_sentinel(spark, sf_dir))
+    flags = norm.select(
+        "symbol",
+        F.col("name").isNull().alias("name_missing"),
+        F.col("sector").isNull().alias("sector_missing"),
+        F.col("url").isNull().alias("url_missing"),
+    )
+    return parity_view(norm).join(flags, "symbol")
+
+
+SCD1_SENTINEL_ORACLE = f"""
+WITH base AS ({PREV_SQL}),
+upd_raw AS (
+  SELECT c_custkey AS symbol_id,
+         CASE WHEN c_custkey % 11 = 0 THEN 'No record found'
+              WHEN c_custkey % 3 = 0 THEN upper(c_name) END AS name,
+         CASE WHEN c_custkey % 17 = 0 THEN 'Unknown'
+              WHEN c_custkey % 6 = 0 THEN 'TECHNOLOGY' END AS sector
+  FROM customer
+),
+upd AS (
+  SELECT symbol_id, nullif(name, 'No record found') AS name,
+         nullif(sector, 'Unknown') AS sector
+  FROM upd_raw
+)
+SELECT b.symbol_id,
+  CASE WHEN u.name IS NOT NULL AND u.name IS DISTINCT FROM b.name
+       THEN u.name ELSE b.name END AS name,
+  CASE WHEN u.sector IS NOT NULL AND u.sector IS DISTINCT FROM b.sector
+       THEN u.sector ELSE b.sector END AS sector,
+  (u.name IS NOT NULL AND u.name IS DISTINCT FROM b.name) AS name_updated,
+  (u.sector IS NOT NULL AND u.sector IS DISTINCT FROM b.sector) AS sector_updated
+FROM base b LEFT JOIN upd u USING (symbol_id)
+"""
+
+
+@query("scd1_sentinel_merge", SCD1_SENTINEL_ORACLE)
+def q_scd1_sentinel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 merge fed through sentinel-bearing updates: sentinels
+    normalize to NULL at ingest, and the merge's non-null-and-different
+    predicate then rejects them — reproducing the reference's explicit
+    'new value not in {sentinel, old}' guards
+    (update_ticker_info.py:170-181) without special-casing."""
+    c = load_table(spark, "customer", sf_dir)
+    upd_raw = c.select(
+        F.col("c_custkey").alias("symbol_id"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("No record found"))
+        .when(F.col("c_custkey") % 3 == 0, F.upper("c_name"))
+        .alias("name"),
+        F.when(F.col("c_custkey") % 17 == 0, F.lit("Unknown"))
+        .when(F.col("c_custkey") % 6 == 0, F.lit("TECHNOLOGY"))
+        .alias("sector"),
+    )
+    upd = upd_raw.withColumn(
+        "name", F.nullif(F.col("name"), F.lit("No record found"))
+    ).withColumn("sector", F.nullif(F.col("sector"), F.lit("Unknown")))
+    return scd1_merge(
+        _prev(spark, sf_dir), upd, key="symbol_id", fields=["name", "sector"]
+    ).select("symbol_id", "name", "sector", "name_updated", "sector_updated")
