@@ -1,0 +1,64 @@
+"""CSV/JSON snapshot readers and sinks (SURVEY.md §2 S8/S9/K1/K2).
+
+The reference persists its universe as a rolling 3-column CSV
+(scrape_tickers.py:492-514, header fieldnames :505 — note the url
+column is silently dropped) and dated JSON snapshots
+(update_ticker_info.py:213-235, run_pipeline.py:49-53), reading them
+back with header-inferred all-string columns (scrape_tickers.py:465-489,
+update_ticker_info.py:62-81). Here every read carries an explicit
+schema (never inference), the canonical record keeps all four
+columns, and the 3-column CSV shape is a projection applied at the
+sink — the reference's two persisted shapes become one schema + one
+view.
+
+Snapshots are written under ``snapshot_date=YYYY-MM-DD`` directories:
+data-borne versioning (partition pruning selects the latest), never
+file mtime (reference update_ticker_info.py:54, forbidden per
+SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# The persisted ticker-record schema: all strings, like the
+# reference's CSV/JSON round-trip, with nullable metadata columns.
+TICKER_CSV_SCHEMA = T.StructType([
+    T.StructField("symbol", T.StringType(), False),
+    T.StructField("name", T.StringType(), True),
+    T.StructField("sector", T.StringType(), True),
+])
+
+TICKER_JSON_SCHEMA = T.StructType([
+    T.StructField("symbol", T.StringType(), False),
+    T.StructField("name", T.StringType(), True),
+    T.StructField("sector", T.StringType(), True),
+    T.StructField("url", T.StringType(), True),
+])
+
+CSV_COLUMNS = ["symbol", "name", "sector"]  # reference fieldnames :505
+
+
+def read_tickers_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S8: header CSV scan with an explicit schema (no inference)."""
+    return spark.read.schema(TICKER_CSV_SCHEMA).option("header", True).csv(path)
+
+
+def write_tickers_csv(df: DataFrame, path: str) -> None:
+    """K1: overwrite CSV sink with the reference's 3-column
+    projection — the url drop is a view at the sink, not a schema."""
+    df.select(*CSV_COLUMNS).write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_snapshot_json(spark: SparkSession, path: str) -> DataFrame:
+    """S9: JSON-lines snapshot scan with an explicit schema."""
+    return spark.read.schema(TICKER_JSON_SCHEMA).json(path)
+
+
+def write_snapshot_json(df: DataFrame, base_path: str, snapshot_date: str) -> str:
+    """K2: dated JSON snapshot — one ``snapshot_date=...`` directory
+    per run; returns the written path."""
+    path = f"{base_path}/snapshot_date={snapshot_date}"
+    df.select([f.name for f in TICKER_JSON_SCHEMA]).write.mode("overwrite").json(path)
+    return path

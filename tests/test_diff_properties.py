@@ -1,0 +1,80 @@
+"""First-run bootstrap (R11) + property-based diff invariants
+(SURVEY.md §5): the reference skips the diff on first run
+(scrape_tickers.py:650-654); here the same code path degrades
+naturally against an empty same-schema snapshot. Hypothesis drives
+randomized snapshot pairs through the full diff + rename pipeline and
+checks the set-algebra invariants the reference's greedy loop only
+satisfied by accident.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.operators.diff import detect_renames, snapshot_diff
+
+SCHEMA = "symbol STRING, name STRING"
+
+_names = st.text(
+    alphabet="abcdefgh ", min_size=0, max_size=20
+)
+_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), _names),
+    min_size=0, max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+def _df(spark, rows):
+    data = [(f"S{k}", name) for k, name in rows]
+    return spark.createDataFrame(data, SCHEMA)
+
+
+def test_first_run_bootstrap_all_added(spark):
+    cur = _df(spark, [(1, "alpha co"), (2, "beta ltd")])
+    empty = spark.createDataFrame([], SCHEMA)
+    diff = snapshot_diff(cur, empty, "symbol")
+    got = {(r.change_type, r.symbol) for r in diff.collect()}
+    assert got == {("ADDED", "S1"), ("ADDED", "S2")}
+    # and no renames can exist against an empty previous snapshot
+    assert detect_renames(empty, cur, key="symbol").count() == 0
+
+
+def test_diff_of_identical_snapshots_is_all_common(spark):
+    a = _df(spark, [(1, "alpha co"), (2, "beta ltd"), (3, "gamma inc")])
+    diff = snapshot_diff(a, a, "symbol")
+    assert diff.where(F.col("change_type") != "COMMON").count() == 0
+    assert diff.count() == 3
+
+
+@settings(max_examples=10, deadline=None)
+@given(prev_rows=_rows, cur_rows=_rows)
+def test_diff_and_rename_invariants(spark, prev_rows, cur_rows):
+    prev, cur = _df(spark, prev_rows), _df(spark, cur_rows)
+    diff = snapshot_diff(cur, prev, "symbol").cache()
+    added = {r.symbol for r in diff.where(F.col("change_type") == "ADDED").collect()}
+    deleted = {
+        r.symbol for r in diff.where(F.col("change_type") == "DELETED").collect()
+    }
+    prev_keys = {f"S{k}" for k, _ in prev_rows}
+    cur_keys = {f"S{k}" for k, _ in cur_rows}
+    # set-difference semantics (reference scrape_tickers.py:586-591)
+    assert added == cur_keys - prev_keys
+    assert deleted == prev_keys - cur_keys
+    assert not (added & deleted)
+
+    del_df = prev.join(cur, "symbol", "left_anti")
+    add_df = cur.join(prev, "symbol", "left_anti")
+    ren = detect_renames(del_df, add_df, key="symbol").collect()
+    # 1:1 assignment: each old key and each new key used at most once,
+    # drawn only from the deleted/added residuals
+    old_keys = [r.old_key for r in ren]
+    new_keys = [r.new_key for r in ren]
+    assert len(old_keys) == len(set(old_keys))
+    assert len(new_keys) == len(set(new_keys))
+    assert set(old_keys) <= deleted
+    assert set(new_keys) <= added
+    assert len(ren) <= min(len(added), len(deleted))
+    diff.unpersist()

@@ -1,0 +1,63 @@
+"""Write-then-read equality for the CSV/JSON sinks (S8/S9/K1/K2) —
+the driver's oracle can't observe sinks, so pytest is the gate."""
+
+from __future__ import annotations
+
+from psx_data_pipeline_spark.sources.io import (
+    CSV_COLUMNS,
+    read_snapshot_json,
+    read_tickers_csv,
+    write_snapshot_json,
+    write_tickers_csv,
+)
+
+ROWS = [
+    ("HBL", "Habib Bank", "Banking", "https://example.com/HBL"),
+    ("ENGRO", "Engro Corp", "Fertilizer", "https://example.com/ENGRO"),
+    ("LPL", None, None, None),  # NULLs survive the round trip
+]
+
+
+def _fixture(spark):
+    return spark.createDataFrame(
+        ROWS, "symbol STRING, name STRING, sector STRING, url STRING"
+    )
+
+
+def test_csv_roundtrip_projects_three_columns(spark, tmp_path):
+    df = _fixture(spark)
+    path = str(tmp_path / "all_tickers_csv")
+    write_tickers_csv(df, path)
+    back = read_tickers_csv(spark, path)
+    assert back.columns == CSV_COLUMNS  # url dropped, reference :505
+    got = {tuple(r) for r in back.collect()}
+    want = {(s, n, sec) for s, n, sec, _ in ROWS}
+    assert got == want
+
+
+def test_json_snapshot_roundtrip_and_dated_path(spark, tmp_path):
+    df = _fixture(spark)
+    base = str(tmp_path / "snapshots")
+    path = write_snapshot_json(df, base, "2026-08-13")
+    assert path.endswith("snapshot_date=2026-08-13")
+    back = read_snapshot_json(spark, path)
+    assert {tuple(r) for r in back.collect()} == set(ROWS)
+
+
+def test_json_latest_snapshot_is_data_borne(spark, tmp_path):
+    """Two dated snapshots; the 'latest' pick reads the max
+    snapshot_date from the data (partition column), never mtime."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "snapshots")
+    old = _fixture(spark).where(F.col("symbol") != "LPL")
+    new = _fixture(spark)
+    write_snapshot_json(old, base, "2026-08-12")
+    write_snapshot_json(new, base, "2026-08-13")
+    allsnaps = spark.read.schema(
+        "symbol STRING, name STRING, sector STRING, url STRING"
+    ).option("basePath", base).json(f"{base}/snapshot_date=*")
+    latest_date = allsnaps.agg(F.max("snapshot_date")).collect()[0][0]
+    latest = allsnaps.where(F.col("snapshot_date") == latest_date)
+    assert str(latest_date) == "2026-08-13"
+    assert latest.count() == 3
