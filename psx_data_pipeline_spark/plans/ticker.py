@@ -175,7 +175,12 @@ def q_ticker_sync_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted_keys = diff.where(F.col("change_type") == "DELETED").select("symbol_id")
     added = cur.join(added_keys, "symbol_id", "left_semi")
     deleted = prev.join(deleted_keys, "symbol_id", "left_semi")
-    ren = detect_renames(deleted, added, key="symbol_id", name="name")
+    # The rename table is referenced three times below (RENAMED rows +
+    # two anti-joins). It is bounded by the daily churn (tiny relative
+    # to the snapshot), so cache it once instead of recomputing the
+    # multi-branch candidate-join subtree per reference — at any scale
+    # this is kilobytes, and AQE then broadcasts the anti-joins.
+    ren = detect_renames(deleted, added, key="symbol_id", name="name").cache()
     renamed = ren.select(
         F.lit("RENAMED").alias("change_type"),
         F.col("old_key").alias("old_symbol_id"),

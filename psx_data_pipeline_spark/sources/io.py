@@ -62,3 +62,25 @@ def write_snapshot_json(df: DataFrame, base_path: str, snapshot_date: str) -> st
     path = f"{base_path}/snapshot_date={snapshot_date}"
     df.select([f.name for f in TICKER_JSON_SCHEMA]).write.mode("overwrite").json(path)
     return path
+
+
+CHANGE_LOG_SCHEMA = T.StructType([
+    T.StructField("change_ts", T.TimestampType(), False),
+    T.StructField("change_type", T.StringType(), False),
+    T.StructField("line", T.StringType(), False),
+])
+
+
+def append_change_log(df: DataFrame, path: str) -> None:
+    """K3: append-only change-log sink (reference scrape_tickers.py
+    :517-571 appends timestamped +/-/* blocks to ticker_changes.log).
+
+    ``mode("append")`` parquet — each sync run adds files, never
+    rewrites history; the presentation `+/-/*` line is a stored
+    column (the `change_log_format` view), the typed columns stay
+    queryable."""
+    df.select([f.name for f in CHANGE_LOG_SCHEMA]).write.mode("append").parquet(path)
+
+
+def read_change_log(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(CHANGE_LOG_SCHEMA).parquet(path)

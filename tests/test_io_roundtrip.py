@@ -61,3 +61,28 @@ def test_json_latest_snapshot_is_data_borne(spark, tmp_path):
     latest = allsnaps.where(F.col("snapshot_date") == latest_date)
     assert str(latest_date) == "2026-08-13"
     assert latest.count() == 3
+
+
+def test_change_log_append_accumulates(spark, tmp_path):
+    from datetime import datetime
+
+    from psx_data_pipeline_spark.sources.io import (
+        append_change_log,
+        read_change_log,
+    )
+
+    path = str(tmp_path / "ticker_changes")
+    schema = "change_ts TIMESTAMP, change_type STRING, line STRING"
+    run1 = spark.createDataFrame(
+        [(datetime(2026, 8, 12, 18, 0), "ADDED", "+ HBL")], schema
+    )
+    run2 = spark.createDataFrame(
+        [(datetime(2026, 8, 13, 18, 0), "DELETED", "- LPL")], schema
+    )
+    append_change_log(run1, path)
+    append_change_log(run2, path)  # second run must not clobber the first
+    got = {tuple(r) for r in read_change_log(spark, path).collect()}
+    assert got == {
+        (datetime(2026, 8, 12, 18, 0), "ADDED", "+ HBL"),
+        (datetime(2026, 8, 13, 18, 0), "DELETED", "- LPL"),
+    }
