@@ -1,0 +1,188 @@
+"""Structured Streaming jobs (SURVEY.md §2 K3 streaming analogue,
+§7's `Trigger.AvailableNow` incremental layer).
+
+The reference has no streaming runtime — its cadence is cron re-runs
+(reference README.md:93-102) and its planned incremental layer is
+"read last date, fetch the delta, append" (README.md:62-71). The
+Spark-native form is a checkpointed file stream: `readStream` over
+the landing directory, `Trigger.AvailableNow` per scheduled run, and
+exactly-once append through the checkpoint — restarts resume, reruns
+do not duplicate.
+
+Every job here is deterministic under replay of a static input
+directory, which is what lets the driver's DuckDB oracle check the
+streaming results value-for-value against the equivalent batch SQL.
+
+Scale notes: the streaming aggregations shuffle on the same keys as
+their batch twins (window×type, user_id); state is bounded by the
+watermark horizon, not the stream length; `applyInPandasWithState`
+holds one tiny struct per key — the classic bounded-state shapes for
+a 1000-executor continuous pipeline.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), True),
+    # ts arrives as TIMESTAMP(NANOS) parquet; read as int64 ns (see
+    # sources/fixtures.py) and converted to a proper timestamp below.
+    T.StructField("ts", T.LongType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+_uniq = itertools.count()
+
+
+def _sink_name(prefix: str) -> str:
+    return f"{prefix}_{os.getpid()}_{next(_uniq)}"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture with event-time
+    columns: ``ts_us`` (µs since epoch) and ``ts_ts`` (timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        # the file source wants a directory: scan sf_dir, glob-filter
+        # down to the events table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+    )
+
+
+def run_to_memory(result: DataFrame, output_mode: str, prefix: str) -> str:
+    """Run a streaming DataFrame to completion (AvailableNow) into an
+    in-memory table; returns the table name. The checkpoint lives in a
+    fresh temp dir — each call is an independent 'scheduled run'."""
+    name = _sink_name(prefix)
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation: events per (hour,
+    type) with an exact quantized value sum.
+
+    Late data up to 1 hour is admitted by the watermark; 'complete'
+    output keeps every window so a replay of a static directory is
+    total and deterministic (the append-mode tail-window cutoff would
+    make results depend on the final watermark position)."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_ts", "1 hour")
+        .groupBy(F.window("ts_ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_k"),
+        )
+    )
+    out = agg.select(
+        F.unix_micros("win.start").alias("win_start_us"),
+        "event_type", "n", "value_k",
+    )
+    table = run_to_memory(out, "complete", "win_counts")
+    return spark.table(table)
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stateful sessionization: `session_window` with a
+    30-minute gap — the streaming twin of operators/sessions.sessionize
+    (new session iff the gap from the previous event is >= 30 min;
+    session end = last event + gap, half-open)."""
+    ev = events_stream(spark, sf_dir)
+    sess = (
+        ev.withWatermark("ts_ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts_ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = sess.select(
+        "user_id",
+        F.unix_micros("sw.start").alias("session_start_us"),
+        F.unix_micros("sw.end").alias("session_end_us"),
+        "n_events",
+    )
+    table = run_to_memory(out, "complete", "sessions")
+    return spark.table(table)
+
+
+_USER_STATE_OUT = "user_id LONG, n_events LONG, value_k LONG, max_event_id LONG"
+_USER_STATE = "n LONG, vk LONG, meid LONG"
+
+
+def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via `applyInPandasWithState`: per-user
+    running totals carried in a 3-field state struct.
+
+    Arrow-batched per group; state is O(1) per user. Each micro-batch
+    emits the user's current totals ('update' mode) — over a static
+    single-file replay that is exactly the final per-user aggregate."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, vk, meid = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            vk += int((pdf["value"] * 1000).apply(lambda v: int(v // 1)).sum())
+            meid = max(meid, int(pdf["event_id"].max()))
+        state.update((n, vk, meid))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n],
+             "value_k": [vk], "max_event_id": [meid]}
+        )
+
+    ev = events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update, _USER_STATE_OUT, _USER_STATE, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    table = run_to_memory(out, "update", "user_totals")
+    return spark.table(table)
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+) -> None:
+    """§7's incremental daily-append layer: checkpointed exactly-once
+    file ingest. Each call is one scheduled run (`AvailableNow`);
+    files already committed in the checkpoint are not re-ingested, so
+    re-runs append only the delta — the engine twin of the reference's
+    planned 'read last date, fetch delta, append' (README.md:62-71),
+    keyed by checkpoint state instead of a scanned max(date)."""
+    q = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,51 @@
+"""Streaming-layer tests: exactly-once incremental ingest (the §7
+daily-append pattern) — the oracle gate covers the three streaming
+aggregation queries, this covers the checkpointed sink."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import types as T
+
+from psx_data_pipeline_spark.streaming.jobs import incremental_ingest
+
+SCHEMA = T.StructType([
+    T.StructField("symbol", T.StringType(), True),
+    T.StructField("close", T.DoubleType(), True),
+    T.StructField("trade_date", T.StringType(), True),
+])
+
+
+def _land(src, name, rows):
+    (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_incremental_ingest_is_exactly_once(spark, tmp_path):
+    src = tmp_path / "landing"
+    src.mkdir()
+    sink = str(tmp_path / "ohlc")
+    ckpt = str(tmp_path / "ckpt")
+
+    _land(src, "d1.json", [
+        {"symbol": "HBL", "close": 101.5, "trade_date": "2026-08-11"},
+        {"symbol": "ENGRO", "close": 300.0, "trade_date": "2026-08-11"},
+    ])
+    incremental_ingest(spark, str(src), sink, ckpt, SCHEMA)
+
+    # second scheduled run: one new file lands; d1 must not re-ingest
+    _land(src, "d2.json", [
+        {"symbol": "HBL", "close": 102.0, "trade_date": "2026-08-12"},
+    ])
+    incremental_ingest(spark, str(src), sink, ckpt, SCHEMA)
+    # a third run with nothing new appends nothing
+    incremental_ingest(spark, str(src), sink, ckpt, SCHEMA)
+
+    got = sorted(
+        tuple(r) for r in spark.read.schema(SCHEMA).parquet(sink).collect()
+    )
+    assert got == [
+        ("ENGRO", 300.0, "2026-08-11"),
+        ("HBL", 101.5, "2026-08-11"),
+        ("HBL", 102.0, "2026-08-12"),
+    ]
