@@ -1,0 +1,66 @@
+"""Multimodal queries over the documents corpus — binary payloads,
+typed metadata, Arrow-batched decode plumbing (operators/multimodal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from psx_data_pipeline_spark.operators.multimodal import (
+    _FRAME_CHARS,
+    _FRAME_STRIDE,
+    attach_payload,
+    extract_features,
+    sample_frames,
+)
+from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.sources.fixtures import load_table
+
+_MODALITY_SQL = """
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+  ELSE 'video' END
+"""
+
+MULTIMODAL_FEATURES_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, {_MODALITY_SQL} AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS digest
+  FROM documents
+)
+SELECT doc_id, modality, n_bytes, digest,
+  CASE WHEN modality = 'image' THEN 16 + n_bytes % 640 END AS width,
+  CASE WHEN modality = 'image' THEN 16 + (n_bytes // 640) % 480 END AS height,
+  CASE WHEN modality = 'audio' THEN n_bytes // 16 END AS duration_ms,
+  CASE WHEN modality = 'video' THEN n_bytes // 256 END AS n_frames
+FROM m
+"""
+
+
+@query("multimodal_features", MULTIMODAL_FEATURES_ORACLE)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata → per-modality features via
+    Arrow-batched mapInPandas (deterministic fake decode; the codec
+    seam is decode_real)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return extract_features(attach_payload(docs))
+
+
+FRAME_SAMPLE_ORACLE = f"""
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       md5(substr(text, i * {_FRAME_CHARS} + 1, {_FRAME_CHARS}))
+         AS frame_digest
+FROM documents,
+     UNNEST(range(0, CAST(ceil(len(text) / {_FRAME_CHARS}.0) AS BIGINT),
+                  {_FRAME_STRIDE})) AS t(i)
+WHERE doc_id % 3 = 2
+"""
+
+
+@query("frame_sample", FRAME_SAMPLE_ORACLE)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over video payloads: 1 row in → k
+    sampled frames out, digests per frame — the mapInPandas fan-out
+    shape of real frame extraction."""
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_frames(attach_payload(docs))
