@@ -72,18 +72,22 @@ def minhash_signatures(
     permutations are a broadcast-joined constants table; min per
     (doc, perm) is a map-side-combinable aggregate.
     """
-    perms = df.sparkSession.createDataFrame(
-        minhash_perms(k), "i INT, a LONG, b LONG"
-    )
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh"),
     ).withColumn("h", md5_long(F.col("sh")) % HASH_P)
-    return (
-        sh.join(F.broadcast(perms))
-        .groupBy("id", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % HASH_P).alias("minv"))
-    )
+    # One WIDE aggregation — k min-columns over the shingle rows —
+    # instead of a k-way row multiplication (perms broadcast-join ×
+    # groupBy(id, i)): shuffle volume is k longs per doc after
+    # map-side combine, not k × |shingles| rows. a·h+b stays in int64
+    # (a, b, h < 2³¹).
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_P).alias(f"m{i}")
+        for i, a, b in minhash_perms(k)
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    stack = ", ".join(f"{i}, m{i}" for i in range(k))
+    return wide.selectExpr("id", f"stack({k}, {stack}) AS (i, minv)")
 
 
 def minhash_lsh_pairs(
@@ -109,7 +113,9 @@ def minhash_lsh_pairs(
                 lambda s: s["minv"].cast("string"),
             ),
         ).alias("bsig")
-    )
+    # both sides of the self-join read this subtree — persist it so
+    # the signature computation (the expensive part) runs once
+    ).persist()
     a = band_sig.select(
         F.col("id").alias("id_a"), "band", "bsig"
     )
@@ -135,23 +141,23 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     ).withColumn("h", md5_long(F.col("tok")))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    # PySpark's F.shiftright/F.shiftleft demand a Python-int shift, but
-    # the SQL functions take any expression — go through F.expr.
-    votes = tok.select("id", "h", bit).withColumn(
-        "sign",
-        F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1),
-    )
-    return (
-        votes.groupBy("id", "j")
-        .agg(F.sum("sign").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy("id")
-        .agg(
-            F.sum(F.expr("CAST(bitval AS BIGINT) * shiftleft(CAST(1 AS BIGINT), j)"))
-            .alias("simhash")
-        )
-    )
+    # One WIDE aggregation — `bits` signed-vote sums as columns —
+    # instead of a bits-way row explode feeding groupBy(id, j): the
+    # shuffle carries `bits` longs per doc (map-side combined), not
+    # bits × |tokens| rows, and the second per-doc aggregation
+    # disappears entirely (the fingerprint is a projection).
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    wide = tok.groupBy("id").agg(*aggs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return wide.select("id", fp.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -176,7 +182,7 @@ def simhash_near_pairs(
             f"shiftright(simhash, blk * {block_w})"
             f" % shiftleft(CAST(1 AS BIGINT), {block_w})"
         ),
-    )
+    ).persist()  # read by both sides of the self-join below
     a = blk.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "blkval")
     b = blk.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "blkval")
     return (
@@ -202,33 +208,56 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard similarity over distinct n-word shingles for all
-    pairs sharing ≥1 shingle.
+    """Exact Jaccard similarity over distinct n-word shingles, with
+    prefix-filtered candidate generation (Bayardo et al. WWW'07 /
+    PPJoin, Xiao et al.).
 
-    |A∩B| comes from the exploded-shingle self-equi-join (never a
-    cross join); the shingle rows carry their doc's distinct-set size
-    so |A∪B| = |A|+|B|-|A∩B| falls out of the same aggregation — no
-    second join and, critically, no broadcast of a per-document table
-    (one row per doc broadcast-OOMs at billions of docs).
+    Joining on EVERY shingle makes hot shingles quadratic (a shingle
+    shared by m docs yields m² candidate rows). Instead, shingles are
+    globally ordered by (corpus frequency, shingle) and each doc
+    contributes only its first |A| − ⌈t·|A|⌉ + 1 shingles (its
+    "prefix", the rarest ones) to the join: if J(A,B) ≥ t the two
+    prefixes must intersect under a shared total order, so the filter
+    is lossless. Candidates then verify exactly with
+    array_intersect over the full (bounded, per-doc) shingle arrays.
+    The frequency table is a map-side-combinable count — one extra
+    scan buys candidate volume proportional to rare-shingle
+    frequencies instead of hot-shingle squares.
     Output: (id_a, id_b, jaccard) above threshold. Jaccard is a ratio
     of integers → identical across engines.
     """
+    # the shingle arrays feed four consumers (freq, prefix, both
+    # verify sides) — persist so the shingling expression runs once
     base = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("shs"),
-    ).withColumn("n_sh", F.size("shs"))
+    ).withColumn("n_sh", F.size("shs")).persist()
     sh = base.select("id", "n_sh", F.explode("shs").alias("sh"))
-    a = sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "sh")
-    return (
-        a.join(b, "sh")
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("sfreq"))
+    w = Window.partitionBy("id").orderBy(F.asc("sfreq"), F.asc("sh"))
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = (
+        sh.join(freq, "sh")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= prefix_len)
+        .select("id", "sh")
+        .persist()  # both sides of the candidate self-join
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "sh")
+        .join(prefix.select(F.col("id").alias("id_b"), "sh"), "sh")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_int"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"),
+                    F.col("n_sh").alias("n_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"),
+                    F.col("n_sh").alias("n_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_int", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
             F.col("n_int").cast("double")

@@ -94,9 +94,17 @@ def detect_renames(
     # substring-containment candidates can lack shared tokens (e.g.
     # concatenations). A naive theta-join is a nested-loop over the
     # full added×deleted sets — a scale-killer on a big churn day —
-    # so block each direction on 4-char grams: contained ⊆ container
-    # implies the contained string's first 4 chars appear in the
-    # container. Both joins are equi-joins on the gram.
+    # so block each direction on 4-char grams: a container contains
+    # EVERY gram of the contained string, so it suffices to join on
+    # ONE gram of the contained side. Which one matters enormously:
+    # a fixed choice (e.g. the first gram) degenerates to all-pairs
+    # when names share a common prefix ("Customer#…", "Pak …"), so
+    # each contained name is blocked on its RAREST gram — rarity
+    # measured by the gram's frequency on the container side, making
+    # the candidate count per name the frequency of its most
+    # selective gram instead of its least. Grams absent from the
+    # container side have frequency 0 ⇒ the name cannot be contained
+    # anywhere and drops out before any join.
     B = 4
 
     def grams(df: DataFrame, side: str) -> DataFrame:
@@ -108,21 +116,33 @@ def detect_renames(
             F.explode(F.array_distinct(g)).alias("gram"),
         )
 
-    def prefixed(df: DataFrame, side: str) -> DataFrame:
-        return df.where(F.length(f"{side}_name") >= B).withColumn(
-            "gram", F.col(f"{side}_name").substr(1, B)
+    def rarest_gram(contained: DataFrame, side: str, container_grams: DataFrame) -> DataFrame:
+        """One row per contained name, carrying its globally rarest
+        gram (ties broken on the gram string for determinism)."""
+        freq = container_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
+        g = grams(contained.where(F.length(f"{side}_name") >= B), side)
+        scored = g.join(freq, "gram", "left").withColumn(
+            "gfreq", F.coalesce("gfreq", F.lit(0))
+        )
+        w = Window.partitionBy(f"{side}_key").orderBy(F.asc("gfreq"), F.asc("gram"))
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .where((F.col("__rk") == 1) & (F.col("gfreq") > 0))
+            .drop("__rk", "gfreq")
         )
 
     cols = ["old_key", "old_name", "new_key", "new_name"]
+    new_grams = grams(new, "new")
+    old_grams = grams(old, "old")
     old_in_new = (
-        prefixed(old, "old")
-        .join(grams(new, "new"), "gram")
+        rarest_gram(old, "old", new_grams)
+        .join(new_grams, "gram")
         .where(F.col("new_name").contains(F.col("old_name")))
         .select(*cols)
     )
     new_in_old = (
-        prefixed(new, "new")
-        .join(grams(old, "old"), "gram")
+        rarest_gram(new, "new", old_grams)
+        .join(old_grams, "gram")
         .where(F.col("old_name").contains(F.col("new_name")))
         .select(*cols)
     )

@@ -25,7 +25,7 @@ from psx_data_pipeline_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from psx_data_pipeline_spark.plans.registry import query
-from psx_data_pipeline_spark.sources.fixtures import load_table
+from psx_data_pipeline_spark.sources.fixtures import load_table, load_table_parallel
 
 _TOKS = TOKENS_SQL.format("text")
 # DuckDB twin of textfns.word_shingles(text, 3): n-word shingles, or the
@@ -113,7 +113,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: banded equi-join on
     (band, band-signature), never n² — shuffle volume tracks the
     number of colliding candidates."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_parallel(spark, "documents", sf_dir, "doc_id")
     return minhash_lsh_pairs(docs, "text", "doc_id", k=_K, bands=_BANDS)
 
 
@@ -158,7 +158,7 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: prefix-block equi-join (pigeonhole over
     {_NBLK} blocks guarantees recall at Hamming ≤ {_HAM}), then exact
     bit_count verify."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_parallel(spark, "documents", sf_dir, "doc_id")
     out = simhash_near_pairs(docs, "text", "doc_id", bits=_BITS, max_hamming=_HAM)
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
@@ -192,5 +192,5 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded-shingle self-equi-join carries set sizes on the shingle
     rows (no per-doc broadcast). Jaccard is a ratio of ints →
     bit-identical across engines."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_parallel(spark, "documents", sf_dir, "doc_id")
     return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=_JACC_T)

@@ -102,34 +102,26 @@ FROM best WHERE rk = 1
 
 @query("lang_id", LANG_ID_ORACLE)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language-ID: a 5-row marker table broadcast
-    against the corpus, hits counted via array_intersect, argmax via
-    row_number (tie-break on language code). The join form of the
-    reference's keyword classifier — at scale the marker table stays
-    a broadcast no matter how large the corpus."""
+    """Marker-token language-ID, fully scan-side: the marker table is
+    a compile-time constant, so each language's hit count is a
+    projected column (array_intersect against a literal array) and
+    the argmax (tie-break: language code ascending, matching the
+    oracle's row_number order) is a greatest + when-chain. Zero
+    shuffles, zero joins — the whole classifier rides the corpus scan
+    at any scale. The oracle keeps the equivalent cross-join/window
+    SQL form."""
     docs = load_table(spark, "documents", sf_dir)
-    markers = spark.createDataFrame(
-        _LANG_MARKERS, "lang STRING, markers ARRAY<STRING>"
-    )
-    scored = (
-        docs.select(
-            "doc_id",
-            F.col("lang").alias("lang_true"),
-            F.array_distinct(tokens("text")).alias("toks"),
-        )
-        .crossJoin(F.broadcast(markers))
-        .withColumn("hits", F.size(F.array_intersect("toks", "markers")))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(
-            "doc_id", "lang_true",
-            F.when(F.col("hits") > 0, F.col("lang"))
-            .otherwise(F.lit("und"))
-            .alias("lang_pred"),
-        )
+    toks = F.array_distinct(tokens("text"))
+    hit_cols = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in ms])))
+        for lang, ms in sorted(_LANG_MARKERS)
+    }
+    mx = F.greatest(*hit_cols.values())
+    pred = F.when(mx == 0, F.lit("und"))
+    for lang, h in hit_cols.items():  # asc lang order ⇒ asc tie-break
+        pred = pred.when(h == mx, F.lit(lang))
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_true"), pred.alias("lang_pred")
     )
 
 

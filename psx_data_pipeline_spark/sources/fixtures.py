@@ -32,6 +32,24 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_table_parallel(
+    spark: SparkSession, name: str, sf_dir: str | None = None, key: str | None = None
+) -> DataFrame:
+    """Like load_table, but repartitioned to the session's default
+    parallelism (hashed on ``key`` when given, so a following
+    groupBy(key) needs no second exchange).
+
+    The fixture tables arrive as ONE parquet file — a single input
+    split — so any expensive per-row expression (shingling, hashing)
+    would otherwise run on one core. On a cluster reading many files
+    this repartition is a no-op to correctness and simply re-spreads
+    skewed input splits before CPU-heavy map work.
+    """
+    df = load_table(spark, name, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    return df.repartition(par, key) if key else df.repartition(par)
+
+
 def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     """Read every fixture table; also registers each as a temp view so
     SQL-form operators can refer to them by name."""
