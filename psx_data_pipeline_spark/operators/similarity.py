@@ -223,3 +223,91 @@ def lsh_bucketed_neighbors(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cid_col: str = "cid",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by
+    cosine (centroids broadcast; rank ties break on centroid id).
+    Returns the corpus columns + (cid, cell_rank)."""
+    c = with_unit_geometry(corpus, vec_col).select(
+        F.col(id_col).alias("id"), F.col("vecd"), F.col("norm2")
+    )
+    cent = with_unit_geometry(centroids, vec_col).select(
+        F.col(cid_col).alias("cid"),
+        F.col("vecd").alias("cvec"),
+        F.col("norm2").alias("cn2"),
+    )
+    scored = c.join(F.broadcast(cent)).withColumn(
+        "ccos",
+        _dot(F.col("vecd"), F.col("cvec")) / (F.sqrt("norm2") * F.sqrt("cn2")),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= nprobe)
+        .select("id", "vecd", "norm2", "cid", "cell_rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cid_col: str = "cid",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest
+    centroid's cell (inverted list); each query probes its ``nprobe``
+    nearest cells and ranks only those cells' vectors by exact cosine.
+
+    The join shape is the scale story: comparisons are
+    |query| × (corpus/cells × nprobe) instead of |query| × |corpus|,
+    and the cell equi-join shuffles on cid — bucket-local work, same
+    as the LSH path but with data-adaptive regions. Centroids here
+    are a deterministic corpus subset (training is an offline
+    job; the serving-time plan is identical for trained centroids).
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    cells = ivf_assign(corpus, centroids, vec_col, id_col, cid_col, nprobe=1)
+    probes = ivf_assign(queries, centroids, vec_col, id_col, cid_col, nprobe=nprobe)
+    q = probes.select(
+        F.col("id").alias("query_id"),
+        F.col("vecd").alias("qvec"),
+        F.col("norm2").alias("qn2"),
+        "cid",
+    )
+    cand = (
+        q.join(cells.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("vecd").alias("cvec"),
+            F.col("norm2").alias("cn2"),
+            "cid",
+        ), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        # no pair dedup needed: each corpus vector lives in exactly
+        # one cell (nprobe=1 assignment), so a (query, neighbor) pair
+        # can only arise through that one cell
+        .select("query_id", "neighbor_id", "qvec", "qn2", "cvec", "cn2")
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("cvec")) / (F.sqrt("qn2") * F.sqrt("cn2")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

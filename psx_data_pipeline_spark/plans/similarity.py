@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from psx_data_pipeline_spark.operators.similarity import (
     cosine_topk,
+    ivf_topk,
     dot_sql,
     hyperplane_signature_sql,
     lsh_bucketed_neighbors,
@@ -93,4 +94,70 @@ def q_lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return lsh_bucketed_neighbors(
         emb, "embedding", "vec_id", dim=_DIM, bits=_BITS, threshold=_COS_T
+    )
+
+
+# --- IVF approximate top-k ---------------------------------------------------
+
+_CENT_MOD = 40   # centroids = vec_id % 40 == 1 (deterministic "training")
+_NPROBE = 2
+
+_ASSIGN_COS = (
+    f"{dot_sql('v.e', 'ct.ce')}"
+    f" / (sqrt({dot_sql('v.e', 'v.e')}) * sqrt({dot_sql('ct.ce', 'ct.ce')}))"
+)
+_IVF_COS = (
+    f"{dot_sql('p.qe', 'cl.ne')}"
+    f" / (sqrt({dot_sql('p.qe', 'p.qe')}) * sqrt({dot_sql('cl.ne', 'cl.ne')}))"
+)
+
+IVF_TOPK_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id % {_CENT_MOD} = 1
+),
+cells AS (
+  SELECT id AS neighbor_id, e AS ne, cid FROM (
+    SELECT v.vec_id AS id, v.e, ct.cid, row_number() OVER (
+      PARTITION BY v.vec_id ORDER BY {_ASSIGN_COS} DESC, ct.cid) AS rk
+    FROM (SELECT vec_id, embedding AS e FROM embeddings) v
+    CROSS JOIN cent ct
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT id AS query_id, e AS qe, cid FROM (
+    SELECT v.vec_id AS id, v.e, ct.cid, row_number() OVER (
+      PARTITION BY v.vec_id ORDER BY {_ASSIGN_COS} DESC, ct.cid) AS rk
+    FROM (SELECT vec_id, embedding AS e FROM embeddings
+          WHERE vec_id % {_QUERY_MOD} = 0) v
+    CROSS JOIN cent ct
+  ) WHERE rk <= {_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, cl.neighbor_id, {_IVF_COS} AS cosine
+  FROM probes p JOIN cells cl USING (cid)
+  WHERE p.query_id <> cl.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_K}
+"""
+
+
+@query("ivf_topk", IVF_TOPK_ORACLE)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN: corpus bucketed into centroid cells
+    (inverted lists), queries probe their {_NPROBE} nearest cells —
+    comparisons are cell-local, shuffled on cid, instead of
+    query × corpus. The data-adaptive twin of the LSH path."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.where(F.col("vec_id") % _CENT_MOD == 1).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") % _QUERY_MOD == 0)
+    return ivf_topk(
+        emb, queries, cents, "embedding", "vec_id",
+        cid_col="cid", k=_K, nprobe=_NPROBE,
     )
