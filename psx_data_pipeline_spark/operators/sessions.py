@@ -78,3 +78,58 @@ def detect_gaps(df: DataFrame, key: str, date_col: str, max_gap_days: int = 1) -
             (F.datediff("d", "prev_d") - 1).cast("long").alias("gap_days"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """Point-in-time (as-of) join: for each left row, the single
+    latest right row of the same key with right_ts < left_ts
+    (``strict=False`` allows <=). Matches DuckDB's ASOF JOIN.
+
+    Implementation is the union-and-carry-forward form, NOT a range
+    join: tag both inputs, union them, and carry the most recent
+    right-side values forward with one window over (key, ts). A
+    range/theta join explodes with the match-window width; this
+    shape shuffles each row exactly once regardless of time spans —
+    the scalable as-of at any data size. Ties within a timestamp are
+    resolved by sorting right rows first (strict) or last (<=).
+    """
+    lt = left.withColumn("__t", F.col(left_ts).cast("long")).withColumn(
+        "__side", F.lit(1)
+    )
+    # strict: a right row at the same instant must NOT be visible to
+    # the left row → right sorts after left at equal ts. Non-strict:
+    # right sorts first so last_value picks it up.
+    rt = (
+        right.select(
+            key,
+            F.col(right_ts).cast("long").alias("__t"),
+            *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        )
+        .withColumn("__side", F.lit(2) if strict else F.lit(0))
+    )
+    carried = [f"__r_{c}" for c in right_cols]
+    allcols = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    # strict mode looks at rows strictly before the current row in
+    # (ts, side) order; right rows at an equal ts sort later, so the
+    # preceding frame can only contain right rows with __t < left __t
+    filled = allcols.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in carried],
+    )
+    out = filled.where(F.col("__side") == 1).drop(*carried, "__side")
+    for c in right_cols:
+        out = out.withColumnRenamed(f"__f___r_{c}", f"right_{c}")
+    return out.drop("__t")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from psx_data_pipeline_spark.operators.sessions import detect_gaps, sessionize
+from psx_data_pipeline_spark.operators.sessions import asof_join, detect_gaps, sessionize
 from psx_data_pipeline_spark.plans.registry import query
 from psx_data_pipeline_spark.sources.fixtures import load_table
 
@@ -84,3 +84,51 @@ def q_detect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", F.col("o_orderdate").cast("date").alias("order_date")
     )
     return detect_gaps(o, "o_custkey", "order_date", max_gap_days=_MAX_GAP_DAYS)
+
+
+# --- as-of (point-in-time) join ---------------------------------------------
+
+ASOF_ORACLE = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.click_id, c.user_id, c.click_ts_us, p.purchase_id
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND p.ts_us < c.click_ts_us
+"""
+
+
+@query("asof_join_clicks", ASOF_ORACLE)
+def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the same user's latest
+    strictly-earlier purchase (point-in-time correctness — the
+    backbone of feature stores and trade/quote matching).
+
+    Spark lacks ASOF JOIN; operators/sessions.asof_join implements it
+    as union + carry-forward window (one shuffle, no range-join
+    explosion). The oracle is DuckDB's native ASOF LEFT JOIN."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .withColumn("ts_us", F.expr("ts div 1000"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts_us",
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id",
+        left_ts="click_ts_us", right_ts="ts_us",
+        right_cols=["purchase_id"], strict=True,
+    )
+    return out.select(
+        "click_id", "user_id", "click_ts_us",
+        F.col("right_purchase_id").alias("purchase_id"),
+    )

@@ -78,3 +78,27 @@ def test_diff_and_rename_invariants(spark, prev_rows, cur_rows):
     assert set(new_keys) <= added
     assert len(ren) <= min(len(added), len(deleted))
     diff.unpersist()
+
+
+def test_asof_join_strict_and_nonstrict(spark):
+    from psx_data_pipeline_spark.operators.sessions import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "k LONG, lts LONG"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (2, 9, "c")], "k LONG, rts LONG, tag STRING"
+    )
+    strict = {
+        (r["k"], r["lts"]): r["right_tag"]
+        for r in asof_join(left, right, "k", "lts", "rts", ["tag"]).collect()
+    }
+    # at t=10 the t=10 right row is NOT visible (strict <); no earlier row
+    assert strict == {(1, 10): None, (1, 20): "b", (2, 5): None}
+    loose = {
+        (r["k"], r["lts"]): r["right_tag"]
+        for r in asof_join(
+            left, right, "k", "lts", "rts", ["tag"], strict=False
+        ).collect()
+    }
+    assert loose == {(1, 10): "a", (1, 20): "b", (2, 5): None}
