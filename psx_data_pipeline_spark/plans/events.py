@@ -132,3 +132,35 @@ def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id", "user_id", "click_ts_us",
         F.col("right_purchase_id").alias("purchase_id"),
     )
+
+
+# --- salted two-phase aggregation (skew pattern) -----------------------------
+
+SALTED_COUNTS_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_k
+FROM events GROUP BY event_type
+"""
+
+
+@query("skew_salted_counts", SALTED_COUNTS_ORACLE)
+def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via explicit salting: phase 1 groups on
+    (key, salt) — spreading each hot key over 32 reducers — phase 2
+    merges the partials per key. The result is salt-independent (the
+    oracle is the plain GROUP BY); counts and quantized sums re-merge
+    exactly. This is the manual fallback when AQE skew handling
+    can't apply (e.g. pre-AQE clusters or custom partitioners)."""
+    ev = load_table(spark, "events", sf_dir)
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(32)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("pvk"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pvk").alias("value_k"),
+    )

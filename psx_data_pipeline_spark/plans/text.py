@@ -221,3 +221,48 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(20)
     )
+
+
+# --- BPE-ish regex token counting -------------------------------------------
+
+# Subword-flavored lexer classes: letter runs, digit runs, single
+# punctuation marks — the shape of a BPE pre-tokenizer's split.
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+TOKEN_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{_BPE_RE}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_distinct,
+  CAST(len(list_filter(toks, x -> x ~ '^[0-9]+$')) AS BIGINT) AS n_numeric,
+  CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT)
+    AS total_chars
+FROM t
+"""
+
+
+@query("token_stats", TOKEN_STATS_ORACLE)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex lexer (letter runs, digit
+    runs, punctuation singletons) — all array higher-order functions
+    on the scan, no explode, no shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")
+    t = docs.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size(F.filter("toks", lambda x: x.rlike("^[0-9]+$")))
+        .cast("long").alias("n_numeric"),
+        F.coalesce(
+            F.aggregate(
+                "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("total_chars"),
+    )
