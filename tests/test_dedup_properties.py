@@ -1,0 +1,77 @@
+"""Property tests for the dedup sketches: the prefix-filtered Jaccard
+candidate generation must be LOSSLESS — identical output to the naive
+all-shingles form — for any corpus and threshold."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.functions.textfns import word_shingles
+from psx_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+_WORDS = ["red", "green", "blue", "rock", "paper", "wind", "sun", "moon"]
+
+
+def _brute_force(rows, shingle_n, threshold):
+    import itertools
+
+    def shingles(text):
+        toks = text.split()
+        if len(toks) >= shingle_n:
+            return {
+                " ".join(toks[i:i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)
+            }
+        return {" ".join(toks)}
+
+    out = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            a, b = sorted((ia, ib))
+            out[(a, b)] = j
+    return out
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_filtered_jaccard_is_lossless(spark, texts, threshold):
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=threshold
+        ).collect()
+    }
+    want = _brute_force(rows, 3, threshold)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w q")],
+        "doc_id LONG, text STRING",
+    )
+    got = ngram_jaccard_pairs(df, "text", "doc_id", 3, 0.99).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
