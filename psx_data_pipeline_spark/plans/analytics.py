@@ -283,3 +283,44 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("region", "nation")
         .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+# --- calendar-range window (RANGE frame over days) ---------------------------
+
+ROLLING_RANGE_ORACLE = f"""
+WITH d AS (
+  SELECT symbol_id, trade_date,
+         date_diff('day', DATE '1970-01-01', trade_date) AS dnum,
+         COUNT(*) AS n_trades
+  FROM ({_SERIES_SQL}) GROUP BY 1, 2, 3
+)
+SELECT symbol_id, trade_date,
+       CAST(SUM(n_trades) OVER (
+         PARTITION BY symbol_id ORDER BY dnum
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trades_7d
+FROM d
+"""
+
+
+@query("rolling_range_7d", ROLLING_RANGE_ORACLE)
+def q_rolling_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-correct 7-day rolling trade count: a RANGE frame over
+    the day number, so gaps in the trading calendar shorten the
+    window (unlike a ROWS frame, which silently spans them). One
+    shuffle on symbol_id; the frame is value-based so AQE re-splits
+    freely."""
+    d = (
+        _series(spark, sf_dir)
+        .groupBy("symbol_id", "trade_date")
+        .agg(F.count(F.lit(1)).alias("n_trades"))
+        .withColumn("dnum", F.datediff("trade_date", F.lit("1970-01-01")))
+    )
+    w = (
+        Window.partitionBy("symbol_id")
+        .orderBy("dnum")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "symbol_id", "trade_date",
+        F.sum("n_trades").over(w).cast("long").alias("trades_7d"),
+    )

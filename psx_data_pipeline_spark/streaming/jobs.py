@@ -158,7 +158,19 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         update, _USER_STATE_OUT, _USER_STATE, "update",
         GroupStateTimeout.NoTimeout,
     )
-    table = run_to_memory(out, "update", "user_totals")
+    # Each state partition carries a state-store instance (checkpoint
+    # dir, snapshot files, a Python worker round) — real overhead per
+    # micro-batch. The stream's state cardinality is one tiny struct
+    # per user, so pin a modest partition count for the stateful
+    # shuffle instead of inheriting a large batch-oriented
+    # spark.sql.shuffle.partitions. (State partitioning is fixed at
+    # first checkpoint; fresh checkpoint per call makes this safe.)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        table = run_to_memory(out, "update", "user_totals")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table)
 
 
