@@ -266,3 +266,64 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --- near-dup clustering (connected components) ------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    every node starts as its own component; each round takes the min
+    of its own and its neighbors' labels; fixpoint = components keyed
+    by their smallest member id (deterministic).
+
+    The per-round step is one equi-join + one map-side-combinable min
+    aggregation — fully distributed; the driver only checks the
+    changed-row count. Rounds needed = graph diameter (near-dup
+    clusters are shallow). localCheckpoint truncates the growing
+    lineage so round N doesn't replay rounds 1..N-1.
+    Returns (id, comp).
+    """
+    bi = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+        )
+    ).persist()
+    lbl = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nb = (
+            bi.join(lbl.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        new = (
+            lbl.join(nb, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nb_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("comp", "new_comp")
+            .join(lbl, "id")
+            .where(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        lbl = new
+        if changed == 0:
+            break
+    bi.unpersist()
+    return lbl

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from psx_data_pipeline_spark.functions.hashing import HASH_P, minhash_perms
 from psx_data_pipeline_spark.functions.textfns import TOKENS_SQL
 from psx_data_pipeline_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
     dedup_latest,
     minhash_lsh_pairs,
@@ -194,3 +195,38 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines."""
     docs = load_table_parallel(spark, "documents", sf_dir, "doc_id")
     return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=_JACC_T)
+
+
+# --- near-dup clusters (connected components over LSH pairs) -----------------
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_ORACLE}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(root) AS comp FROM reach GROUP BY id
+"""
+
+
+@query("dedup_clusters", DEDUP_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    candidate graph via iterative min-label propagation (each round =
+    one join + one combinable min agg; driver only watches the
+    changed count). The oracle computes the same components with a
+    recursive CTE — min reachable id per node. Singletons are their
+    own cluster, so the output is a total doc→cluster map, ready for
+    keep-min-id dedup."""
+    docs = load_table_parallel(spark, "documents", sf_dir, "doc_id")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", k=_K, bands=_BANDS)
+    comp = connected_components(
+        pairs, docs.select("doc_id"), id_col="doc_id"
+    )
+    return comp.select(F.col("id").alias("doc_id"), "comp")

@@ -75,3 +75,18 @@ def test_jaccard_identical_docs(spark):
     )
     got = ngram_jaccard_pairs(df, "text", "doc_id", 3, 0.99).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_connected_components_path_cycle_singleton(spark):
+    from psx_data_pipeline_spark.operators.dedup import connected_components
+
+    # path 1-2-3-4 (diameter 3), cycle 5-6-7-5, singleton 8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 5)],
+        "id_a LONG, id_b LONG",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id LONG")
+    got = {
+        r["id"]: r["comp"] for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
