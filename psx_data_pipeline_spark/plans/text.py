@@ -266,3 +266,71 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("total_chars"),
     )
+
+
+# --- TF-IDF top terms --------------------------------------------------------
+
+# IDF as an integer-exact surrogate: idf_milli = floor(1000 · ln(N/df))
+# — ln is IEEE-identical in both engines for the same double input,
+# and the floor-quantization makes the tie-behaviour discrete and
+# engine-independent. Ranking tie-breaks on the token string.
+_TFIDF_K = 3
+
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(tf.tf AS BIGINT) * CAST(floor(1000 * ln(
+           CAST(n.n AS DOUBLE) / df.df)) AS BIGINT) AS score_milli
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, score_milli, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_milli DESC, tok) AS rk
+  FROM scored
+) WHERE rk <= {_TFIDF_K}
+"""
+
+
+@query("tfidf_top_terms", TFIDF_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{_TFIDF_K} terms by TF-IDF. Two shuffles
+    (term-frequency and document-frequency aggregations) + one join on
+    the token — df is corpus-bounded vocabulary, so at scale the join
+    broadcast-degrades gracefully under AQE; the doc count N is a
+    scalar literal, not a per-row subquery."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()  # scalar: one tiny job, inlined as a literal
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(dfreq, "tok").select(
+        "doc_id", "tok",
+        (
+            F.col("tf").cast("long")
+            * F.floor(
+                F.lit(1000.0) * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).cast("long")
+        ).alias("score_milli"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_milli"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "tok", "score_milli", "rk")
+    )
