@@ -198,3 +198,61 @@ def incremental_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_sync_change_log(
+    spark: SparkSession,
+    landing_dir: str,
+    universe_path: str,
+    change_log_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    key: str = "symbol",
+) -> None:
+    """The reference's whole ticker-sync loop (scrape → diff → change
+    log → new universe, scrape_tickers.py:627-660) as ONE streaming
+    job: snapshots land as JSON files; each micro-batch anti-joins the
+    batch against the current universe both ways (ADDED / DELETED),
+    appends typed `+/-` rows to the change log (K3), and replaces the
+    universe. foreachBatch gives the batch DataFrame full engine
+    power — joins against external state included — while the
+    checkpoint guarantees each landed snapshot is processed exactly
+    once across restarts."""
+    from pyspark.sql import functions as SF
+
+    def sync(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        try:
+            universe = s.read.schema(schema).parquet(universe_path)
+        except Exception:
+            # first run: diff against an empty frame of the same
+            # schema (R11 semantics), never a skip branch
+            universe = batch.where(F.lit(False))
+        added = batch.join(universe, key, "left_anti")
+        deleted = universe.join(batch, key, "left_anti")
+        changes = added.select(
+            SF.lit("ADDED").alias("change_type"),
+            SF.concat(SF.lit("+ "), SF.col(key)).alias("line"),
+        ).unionByName(
+            deleted.select(
+                SF.lit("DELETED").alias("change_type"),
+                SF.concat(SF.lit("- "), SF.col(key)).alias("line"),
+            )
+        ).withColumn("change_ts", SF.current_timestamp())
+        changes.select("change_ts", "change_type", "line").write.mode(
+            "append"
+        ).parquet(change_log_path)
+        # the change append above already materialized both anti-joins,
+        # and writing `batch` never scans the universe path — a direct
+        # overwrite is safe for this single-writer sync job
+        batch.write.mode("overwrite").parquet(universe_path)
+
+    q = (
+        spark.readStream.schema(schema)
+        .json(landing_dir)
+        .writeStream.foreachBatch(sync)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -49,3 +49,42 @@ def test_incremental_ingest_is_exactly_once(spark, tmp_path):
         ("HBL", 101.5, "2026-08-11"),
         ("HBL", 102.0, "2026-08-12"),
     ]
+
+
+def test_streaming_sync_change_log_two_runs(spark, tmp_path):
+    from psx_data_pipeline_spark.streaming.jobs import streaming_sync_change_log
+
+    schema = T.StructType([
+        T.StructField("symbol", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+    ])
+    src = tmp_path / "snapshots"
+    src.mkdir()
+    universe = str(tmp_path / "universe")
+    log = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+
+    _land(src, "run1.json", [
+        {"symbol": "HBL", "name": "Habib Bank"},
+        {"symbol": "LPL", "name": "Lalpir Power"},
+    ])
+    streaming_sync_change_log(spark, str(src), universe, log, ckpt, schema)
+    # run 2: ENGRO appears, LPL disappears
+    _land(src, "run2.json", [
+        {"symbol": "HBL", "name": "Habib Bank"},
+        {"symbol": "ENGRO", "name": "Engro Corp"},
+    ])
+    streaming_sync_change_log(spark, str(src), universe, log, ckpt, schema)
+
+    lines = sorted(
+        (r["change_type"], r["line"])
+        for r in spark.read.parquet(log).collect()
+    )
+    assert lines == [
+        ("ADDED", "+ ENGRO"),
+        ("ADDED", "+ HBL"),
+        ("ADDED", "+ LPL"),
+        ("DELETED", "- LPL"),
+    ]
+    final = sorted(r["symbol"] for r in spark.read.parquet(universe).collect())
+    assert final == ["ENGRO", "HBL"]
