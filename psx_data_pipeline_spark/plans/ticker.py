@@ -171,8 +171,15 @@ def q_ticker_sync_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     to RENAMED, emit the typed change log (SURVEY.md §1.1)."""
     cur, prev = _cur(spark, sf_dir), _prev(spark, sf_dir)
     diff = snapshot_diff(cur, prev, "symbol_id")
-    added_keys = diff.where(F.col("change_type") == "ADDED").select("symbol_id")
-    deleted_keys = diff.where(F.col("change_type") == "DELETED").select("symbol_id")
+    # added/deleted key sets are churn-bounded (tiny) and each feeds
+    # two joins below — cache them so the full-outer diff scans the
+    # snapshots once instead of four times
+    added_keys = (
+        diff.where(F.col("change_type") == "ADDED").select("symbol_id").cache()
+    )
+    deleted_keys = (
+        diff.where(F.col("change_type") == "DELETED").select("symbol_id").cache()
+    )
     added = cur.join(added_keys, "symbol_id", "left_semi")
     deleted = prev.join(deleted_keys, "symbol_id", "left_semi")
     # The rename table is referenced three times below (RENAMED rows +
