@@ -324,3 +324,32 @@ def q_rolling_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol_id", "trade_date",
         F.sum("n_trades").over(w).cast("long").alias("trades_7d"),
     )
+
+
+# --- exact percentiles -------------------------------------------------------
+
+PERCENTILES_ORACLE = f"""
+WITH s AS ({_SERIES_SQL})
+SELECT symbol_id,
+       quantile_cont(price, 0.25) AS p25,
+       quantile_cont(price, 0.5) AS p50,
+       quantile_cont(price, 0.95) AS p95,
+       count(*) AS n
+FROM s GROUP BY symbol_id
+"""
+
+
+@query("price_percentiles", PERCENTILES_ORACLE)
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-symbol price percentiles (linear interpolation —
+    Spark `percentile` and DuckDB `quantile_cont` agree bit-for-bit:
+    sort-based, no summation-order sensitivity). One shuffle; at
+    corpus scale swap in approx_percentile for the sketch path (not
+    oracle-hashable, deliberately not registered)."""
+    s = _series(spark, sf_dir)
+    return s.groupBy("symbol_id").agg(
+        F.expr("percentile(price, 0.25)").alias("p25"),
+        F.expr("percentile(price, 0.5)").alias("p50"),
+        F.expr("percentile(price, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -552,3 +552,78 @@ def q_scd1_sentinel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd1_merge(
         _prev(spark, sf_dir), upd, key="symbol_id", fields=["name", "sector"]
     ).select("symbol_id", "name", "sector", "name_updated", "sector_updated")
+
+
+# --- SCD-2 history merge (R7 extended to full versioning) --------------------
+
+SCD2_ORACLE = f"""
+WITH base AS (
+  SELECT symbol_id, name, sector, DATE '2026-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to
+  FROM ({PREV_SQL})
+),
+upd AS (
+  SELECT symbol_id, name AS new_name, sector AS new_sector
+  FROM ({_UPDATES_SQL}) WHERE name IS NOT NULL OR sector IS NOT NULL
+),
+changed AS (
+  SELECT b.*, u.new_name, u.new_sector FROM base b JOIN upd u USING (symbol_id)
+  WHERE COALESCE(u.new_name, b.name) <> b.name
+     OR COALESCE(u.new_sector, b.sector) <> b.sector
+)
+SELECT b.symbol_id, b.name, b.sector, b.valid_from,
+       CASE WHEN c.symbol_id IS NULL THEN CAST(NULL AS DATE)
+            ELSE DATE '2026-08-13' END AS valid_to,
+       (c.symbol_id IS NULL) AS is_current
+FROM base b LEFT JOIN changed c USING (symbol_id)
+UNION ALL
+SELECT symbol_id, COALESCE(new_name, name) AS name,
+       COALESCE(new_sector, sector) AS sector,
+       DATE '2026-08-13' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+       TRUE AS is_current
+FROM changed
+"""
+
+
+@query("scd2_history", SCD2_ORACLE)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 versioned merge: where the reference overwrites in place
+    (SCD-1, update_ticker_info.py:83-211), keep history — rows whose
+    attributes change get their valid_to closed and a new current
+    version appended; unchanged rows pass through open. One join to
+    find changed keys, one union; no row is ever updated in place
+    (append-friendly at any scale)."""
+    as_of, epoch = F.lit("2026-08-13").cast("date"), F.lit("2026-01-01").cast("date")
+    base = _prev(spark, sf_dir).select(
+        "*", epoch.alias("valid_from"), F.lit(None).cast("date").alias("valid_to")
+    )
+    upd = (
+        _updates(spark, sf_dir)
+        .where(F.col("name").isNotNull() | F.col("sector").isNotNull())
+        .select(
+            "symbol_id",
+            F.col("name").alias("new_name"),
+            F.col("sector").alias("new_sector"),
+        )
+    )
+    changed = base.join(upd, "symbol_id").where(
+        (F.coalesce("new_name", "name") != F.col("name"))
+        | (F.coalesce("new_sector", "sector") != F.col("sector"))
+    )
+    changed_keys = changed.select("symbol_id", F.lit(True).alias("__chg"))
+    closed_or_open = base.join(changed_keys, "symbol_id", "left").select(
+        "symbol_id", "name", "sector", "valid_from",
+        F.when(F.col("__chg"), as_of)
+        .otherwise(F.lit(None).cast("date"))
+        .alias("valid_to"),
+        F.col("__chg").isNull().alias("is_current"),
+    )
+    new_versions = changed.select(
+        "symbol_id",
+        F.coalesce("new_name", "name").alias("name"),
+        F.coalesce("new_sector", "sector").alias("sector"),
+        as_of.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed_or_open.unionByName(new_versions)

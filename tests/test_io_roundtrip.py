@@ -86,3 +86,23 @@ def test_change_log_append_accumulates(spark, tmp_path):
         (datetime(2026, 8, 12, 18, 0), "ADDED", "+ HBL"),
         (datetime(2026, 8, 13, 18, 0), "DELETED", "- LPL"),
     }
+
+
+def test_partitioned_snapshot_write_prunes_on_read(spark, tmp_path):
+    """Dated snapshots written as snapshot_date=... partitions must
+    partition-prune: selecting one date scans only that directory
+    (at 100 TB this is the difference between one day and ten
+    years of IO)."""
+    base = str(tmp_path / "parts")
+    df = spark.createDataFrame(
+        [("HBL", "2026-08-11"), ("ENGRO", "2026-08-11"),
+         ("HBL", "2026-08-12")],
+        "symbol STRING, snapshot_date STRING",
+    )
+    df.write.partitionBy("snapshot_date").mode("overwrite").parquet(base)
+    snaps = spark.read.parquet(base)
+    q = snaps.where(snaps["snapshot_date"] == "2026-08-12")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # pruned scan reads exactly one partition directory
+    assert [r["symbol"] for r in q.collect()] == ["HBL"]
