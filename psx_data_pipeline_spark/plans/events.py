@@ -164,3 +164,82 @@ def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("pvk").alias("value_k"),
     )
+
+
+# --- pivot (event-type counts as columns) ------------------------------------
+
+_ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+PIVOT_ORACLE = """
+SELECT user_id,
+  COUNT(*) FILTER (event_type = 'click') AS click,
+  COUNT(*) FILTER (event_type = 'error') AS error,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'signup') AS signup,
+  COUNT(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id
+"""
+
+
+@query("event_type_pivot", PIVOT_ORACLE)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user event profile via pivot with an EXPLICIT value
+    list — without it Spark runs a distinct-values job first and the
+    output schema becomes data-dependent (both forbidden at scale and
+    for a stable driver contract)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _ETYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _ETYPES)
+    )
+
+
+# --- funnel: ordered conversion within a session -----------------------------
+
+FUNNEL_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+firsts AS (
+  SELECT user_id,
+         MIN(ts_us) FILTER (event_type = 'view') AS t_view,
+         MIN(ts_us) FILTER (event_type = 'click') AS t_click,
+         MIN(ts_us) FILTER (event_type = 'purchase') AS t_purchase
+  FROM ev GROUP BY user_id
+)
+SELECT user_id,
+       (t_view IS NOT NULL) AS saw,
+       (t_view IS NOT NULL AND t_click > t_view) AS clicked_after,
+       (t_view IS NOT NULL AND t_click > t_view
+        AND t_purchase > t_click) AS purchased_after
+FROM firsts
+"""
+
+
+@query("event_funnel", FUNNEL_ORACLE)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel per user on first-occurrence
+    times: one aggregation with filtered MINs (map-side combinable),
+    stage flags from time ordering — no self-joins, no windows."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts_us"))
+    )
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    saw = F.col("t_view").isNotNull()
+    clicked = saw & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.select(
+        "user_id",
+        saw.alias("saw"),
+        clicked.alias("clicked_after"),
+        purchased.alias("purchased_after"),
+    )
