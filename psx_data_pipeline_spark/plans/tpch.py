@@ -63,3 +63,33 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# --- correlated scalar subquery via the SQL front door ----------------------
+
+_ABOVE_AVG_SQL = """
+SELECT c_custkey, c_acctbal, c_mktsegment
+FROM {table} c
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+         / COUNT(*)
+  FROM {table} c2
+  WHERE c2.c_mktsegment = c.c_mktsegment
+)
+"""
+
+ABOVE_AVG_ORACLE = _ABOVE_AVG_SQL.format(table="customer")
+
+
+@query("above_segment_avg", ABOVE_AVG_ORACLE)
+def q_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their segment's average balance, written as a
+    CORRELATED scalar subquery through spark.sql — Catalyst
+    decorrelates it into an aggregate + join (no per-row re-execution;
+    check the plan for a single Aggregate feeding a join). The
+    segment average goes through exact decimal so the > boundary is
+    engine-identical. Oracle: the very same SQL text."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView(
+        "customer_v"
+    )
+    return spark.sql(_ABOVE_AVG_SQL.format(table="customer_v"))
