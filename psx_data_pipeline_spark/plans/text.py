@@ -334,3 +334,77 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _TFIDF_K)
         .select("doc_id", "tok", "score_milli", "rk")
     )
+
+
+# --- document chunking (overlapping windows for LLM ingestion) ---------------
+
+_CHUNK, _OVERLAP = 200, 50
+_STRIDE = _CHUNK - _OVERLAP
+
+DOC_CHUNKS_ORACLE = f"""
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       substr(text, i * {_STRIDE} + 1, {_CHUNK}) AS chunk,
+       len(substr(text, i * {_STRIDE} + 1, {_CHUNK})) AS n_chars
+FROM documents,
+     UNNEST(range(0,
+       GREATEST(CAST(ceil((len(text) - {_OVERLAP}) / {_STRIDE}.0) AS BIGINT),
+                1))) AS t(i)
+"""
+
+
+@query("doc_chunks", DOC_CHUNKS_ORACLE)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunks ({_CHUNK} chars, {_OVERLAP}
+    overlap) — the LLM-ingestion splitter as a pure array expression:
+    an index sequence + transform + posexplode, no Python, no
+    shuffle. Chunk count = ⌈(len−overlap)/stride⌉ (min 1), so the
+    final partial chunk is kept."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - _OVERLAP) / F.lit(float(_STRIDE))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    idx = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    chunks = F.transform(
+        idx,
+        lambda i: F.col("text").substr(
+            (i * _STRIDE + 1).cast("int"), F.lit(_CHUNK)
+        ),
+    )
+    out = docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    return out.select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk", F.length("chunk").cast("long").alias("n_chars"),
+    )
+
+
+# --- PII-style masking -------------------------------------------------------
+
+DOC_MASK_ORACLE = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+    '[0-9][0-9]+', '<NUM>', 'g') AS masked,
+  len(regexp_extract_all(text, '[0-9][0-9]+')) AS n_nums
+FROM documents
+"""
+
+
+@query("doc_mask", DOC_MASK_ORACLE)
+def q_doc_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbing pass of the training-data pipeline: email-like spans
+    and multi-digit runs replaced with typed placeholder tokens, with
+    a per-doc replacement count for audit. Scan-side regexp only —
+    the patterns stay in the RE2 ∩ Java-regex common dialect so both
+    engines substitute identically."""
+    docs = load_table(spark, "documents", sf_dir)
+    masked = F.regexp_replace(
+        F.regexp_replace("text", r"[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+        r"[0-9][0-9]+", "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        masked.alias("masked"),
+        F.size(F.expr(r"regexp_extract_all(text, '[0-9][0-9]+', 0)"))
+        .cast("long").alias("n_nums"),
+    )
