@@ -408,3 +408,81 @@ def q_doc_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr(r"regexp_extract_all(text, '[0-9][0-9]+', 0)"))
         .cast("long").alias("n_nums"),
     )
+
+
+# --- deterministic stratified sampling (dataset mixing) ----------------------
+
+# per-source admission rate out of 100: even-numbered sources are
+# upsampled (80), odd downsampled (20) — a two-tier training mix
+_RATE_SQL = """
+  CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+       THEN 80 ELSE 20 END
+"""
+
+CORPUS_SAMPLE_ORACLE = f"""
+SELECT doc_id, source
+FROM documents
+WHERE {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 100 < {_RATE_SQL}
+"""
+
+
+@query("corpus_sample", CORPUS_SAMPLE_ORACLE)
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing by deterministic hash-gate sampling: admit a
+    doc iff md5(doc_id) mod 100 falls under its source's rate. Unlike
+    `df.sample` this is reproducible across runs, engines, and
+    repartitioning — the property a training mix must have — and it
+    is a pure scan-side filter (pushdown-friendly, no shuffle)."""
+    docs = load_table(spark, "documents", sf_dir)
+    rate = F.when(
+        F.substring("source", 4, 10).cast("long") % 2 == 0, F.lit(80)
+    ).otherwise(F.lit(20))
+    gate = md5_long(F.col("doc_id").cast("string")) % 100
+    return docs.where(gate < rate).select("doc_id", "source")
+
+
+# --- end-to-end corpus curation ---------------------------------------------
+
+CORPUS_CURATE_ORACLE = f"""
+WITH survivors AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+scored AS (
+  SELECT d.doc_id, d.lang, d.source, len({_TOKS}) AS n_tokens,
+         CAST(length(regexp_replace(d.text, '[a-z]', '', 'g')) AS DOUBLE)
+           / length(d.text) AS non_alpha_ratio
+  FROM documents d JOIN survivors s USING (doc_id)
+)
+SELECT doc_id, lang, source, n_tokens
+FROM scored
+WHERE lang = 'en' AND n_tokens >= 30 AND non_alpha_ratio < 0.35
+"""
+
+
+@query("corpus_curate", CORPUS_CURATE_ORACLE)
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline end-to-end: exact-dedup survivors
+    (keep-min-id per content hash) ∧ language gate ∧ quality gates
+    (token count, non-alpha ratio) — one dedup shuffle, then pure
+    scan filters; the composition every pre-training corpus goes
+    through before chunking/tokenization."""
+    docs = load_table(spark, "documents", sf_dir)
+    survivors = (
+        docs.groupBy(F.md5("text").alias("__fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = tokens("text")
+    scored = docs.join(survivors, "doc_id").select(
+        "doc_id", "lang", "source",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", "[a-z]", "")).cast("double")
+            / F.length("text")
+        ).alias("non_alpha_ratio"),
+    )
+    return scored.where(
+        (F.col("lang") == "en")
+        & (F.col("n_tokens") >= 30)
+        & (F.col("non_alpha_ratio") < 0.35)
+    ).select("doc_id", "lang", "source", "n_tokens")
