@@ -240,13 +240,23 @@ def ngram_jaccard_pairs(
         sh.join(freq, "sh")
         .withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= prefix_len)
-        .select("id", "sh")
+        .select("id", "n_sh", "sh")
         .persist()  # both sides of the candidate self-join
     )
+    # size-compatibility filter: J(A,B) ≥ t forces t·|B| ≤ |A| ≤ |B|/t,
+    # so size-mismatched pairs drop here — before the verify join has
+    # to move the (much wider) shingle arrays
     cand = (
-        prefix.select(F.col("id").alias("id_a"), "sh")
-        .join(prefix.select(F.col("id").alias("id_b"), "sh"), "sh")
-        .where(F.col("id_a") < F.col("id_b"))
+        prefix.select(F.col("id").alias("id_a"), F.col("n_sh").alias("ca"), "sh")
+        .join(
+            prefix.select(F.col("id").alias("id_b"), F.col("n_sh").alias("cb"), "sh"),
+            "sh",
+        )
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("ca") >= F.ceil(F.lit(threshold) * F.col("cb")))
+            & (F.col("cb") >= F.ceil(F.lit(threshold) * F.col("ca")))
+        )
         .select("id_a", "id_b")
         .distinct()
     )
