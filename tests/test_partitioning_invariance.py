@@ -1,0 +1,32 @@
+"""Bit-determinism under re-partitioning: float-aggregating queries
+must produce IDENTICAL values regardless of the shuffle layout —
+the property that makes them safe under AQE runtime re-planning (and
+what the decimal/quantized-integer arithmetic buys). Plain double
+sums would fail this test."""
+
+from __future__ import annotations
+
+import pytest
+
+from psx_data_pipeline_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose outputs contain floating-point aggregates
+FLOAT_AGG_QUERIES = [
+    "pricing_summary", "update_stats", "ohlc_daily", "moving_avg",
+    "ngram_jaccard_pairs", "cosine_topk", "price_percentiles",
+]
+
+
+@pytest.mark.parametrize("name", FLOAT_AGG_QUERIES)
+def test_result_invariant_to_shuffle_partitioning(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, QUERIES[name](spark, SF).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, QUERIES[name](spark, SF).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b  # exact equality, including every float bit
