@@ -86,3 +86,32 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user running totals; over a single-batch replay the 'update'
     stream emits exactly the final aggregates."""
     return running_user_totals(spark, sf_dir)
+
+
+STREAM_ATTRIBUTION_ORACLE = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id, c.click_id,
+       p.purchase_ts_us, c.click_ts_us
+FROM p JOIN c ON p.user_id = c.user_id
+ AND c.click_ts_us >= p.purchase_ts_us - 3600000000
+ AND c.click_ts_us <= p.purchase_ts_us
+"""
+
+
+@query("stream_click_attribution", STREAM_ATTRIBUTION_ORACLE)
+def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase ← clicks within the
+    preceding hour), run as a real watermark-bounded streaming join;
+    the oracle is the equivalent batch range join."""
+    from psx_data_pipeline_spark.streaming.jobs import (
+        stream_stream_click_attribution,
+    )
+
+    return stream_stream_click_attribution(spark, sf_dir)

@@ -256,3 +256,51 @@ def streaming_sync_change_log(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to the
+    same user's clicks in the preceding hour. Both sides are
+    watermarked streams; Spark bounds the join state by the watermark
+    + interval (state eviction is what makes this run forever on an
+    unbounded stream). Over the static fixture replay the result is
+    exactly the batch range join, which is what the oracle checks."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts_ts").alias("click_ts"),
+            F.col("ts_us").alias("click_ts_us"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_ts").alias("purchase_ts"),
+            F.col("ts_us").alias("purchase_ts_us"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts >= purchase_ts - INTERVAL 1 HOUR AND
+            click_ts <= purchase_ts
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id", "click_id",
+        "purchase_ts_us", "click_ts_us",
+    )
+    table = run_to_memory(joined, "append", "attribution")
+    return spark.table(table)
