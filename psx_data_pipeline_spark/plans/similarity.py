@@ -161,3 +161,39 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, cents, "embedding", "vec_id",
         cid_col="cid", k=_K, nprobe=_NPROBE,
     )
+
+
+# --- embedding preprocessing stats ------------------------------------------
+
+EMBED_STATS_ORACLE = f"""
+SELECT vec_id,
+  CAST(len(embedding) AS INT) AS n_dims,
+  sqrt({dot_sql('embedding', 'embedding')}) AS l2norm,
+  CAST((SELECT SUM(CAST(floor(CAST(x.a AS DOUBLE) * 127) AS BIGINT))
+        FROM (SELECT UNNEST(embedding) AS a) x) AS BIGINT) AS q8_sum,
+  CAST((SELECT MAX(CAST(floor(CAST(x.a AS DOUBLE) * 127) AS BIGINT))
+        FROM (SELECT UNNEST(embedding) AS a) x) AS BIGINT) AS q8_max
+FROM embeddings
+"""
+
+
+@query("embedding_stats", EMBED_STATS_ORACLE)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-preprocessing pass: dimension check, exact L2 norm
+    (quantized-integer accumulation), and int8-quantization summary
+    stats — the sanity/QA scan an embedding corpus gets before
+    indexing. Pure array expressions on the scan; no shuffle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecd = F.transform("embedding", lambda x: x.cast("double"))
+    q8 = F.transform(vecd, lambda x: F.floor(x * 127).cast("long"))
+    dot = F.aggregate(
+        F.zip_with(vecd, vecd, lambda a, b: F.floor(a * b * F.lit(1e12))),
+        F.lit(0).cast("long"), lambda acc, p: acc + p,
+    ).cast("double") / F.lit(1e12)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.sqrt(dot).alias("l2norm"),
+        F.aggregate(q8, F.lit(0).cast("long"), lambda a, x: a + x).alias("q8_sum"),
+        F.array_max(q8).alias("q8_max"),
+    )
