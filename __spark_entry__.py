@@ -19,6 +19,37 @@ from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Names already driver-verified green in a prior round's CORRECTNESS
+# file (round 2 checked exactly the first 50 registered queries).
+# The driver's correctness gate caps at 50 queries per round, so
+# queries() lists never-yet-verified names FIRST — rotating coverage
+# so every registered query gets a driver CORRECTNESS row at least
+# once. Locally, tests/test_queries_oracle.py checks ALL queries
+# against the same DuckDB oracle every run regardless of this order.
+DRIVER_VERIFIED_PRIOR = {
+    "pricing_summary", "above_segment_avg", "snapshot_diff",
+    "rename_detection", "ticker_sync_changes", "change_log_format",
+    "scd1_merge", "update_stats", "latest_per_key", "symbol_normalize",
+    "calendar_range", "sentinel_parity", "scd1_sentinel_merge",
+    "scd2_history", "ohlc_daily", "daily_returns", "moving_avg",
+    "topk_by_volume", "symbol_rollup", "append_cutoff",
+    "top_building_orders", "regional_revenue", "rolling_range_7d",
+    "price_percentiles", "dedup_exact", "dedup_latest",
+    "minhash_lsh_pairs", "simhash_near_pairs", "ngram_jaccard_pairs",
+    "dedup_clusters", "keyword_classify", "lang_id", "text_quality",
+    "doc_fingerprint", "word_freq", "token_stats", "tfidf_top_terms",
+    "doc_chunks", "doc_mask", "corpus_sample", "corpus_curate",
+    "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
+    "embedding_stats", "sessionize_events", "detect_gaps",
+    "asof_join_clicks", "skew_salted_counts", "event_type_pivot",
+}
+
+
+def _prioritized(d: dict) -> dict:
+    fresh = {n: v for n, v in d.items() if n not in DRIVER_VERIFIED_PRIOR}
+    seen = {n: v for n, v in d.items() if n in DRIVER_VERIFIED_PRIOR}
+    return {**fresh, **seen}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -26,10 +57,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2,
+    never-driver-verified queries first (see DRIVER_VERIFIED_PRIOR)."""
+    return _prioritized(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query (omitted ⇒ rows-only check)."""
-    return dict(ORACLE_SQL)
+    return _prioritized(dict(ORACLE_SQL))

@@ -120,12 +120,19 @@ def minhash_lsh_pairs(
         F.col("id").alias("id_a"), "band", "bsig"
     )
     b = band_sig.select(F.col("id").alias("id_b"), "band", "bsig")
-    return (
+    out = (
         a.join(b, ["band", "bsig"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # eager materialization lets the persisted subtree be released
+        # immediately instead of leaking into the session's cache for
+        # its lifetime (checkpointed RDDs are GC-managed; cache()
+        # entries are not)
+        .localCheckpoint(eager=True)
     )
+    band_sig.unpersist()
+    return out
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -185,7 +192,7 @@ def simhash_near_pairs(
     ).persist()  # read by both sides of the self-join below
     a = blk.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "blkval")
     b = blk.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "blkval")
-    return (
+    out = (
         a.join(b, ["blk", "blkval"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
@@ -196,7 +203,10 @@ def simhash_near_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .localCheckpoint(eager=True)  # release the persisted blocks below
     )
+    blk.unpersist()
+    return out
 
 
 # --- n-gram Jaccard -----------------------------------------------------------
@@ -264,7 +274,7 @@ def ngram_jaccard_pairs(
                     F.col("n_sh").alias("n_a"))
     b = base.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"),
                     F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("n_int", F.size(F.array_intersect("shs_a", "shs_b")))
@@ -275,7 +285,11 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)  # release the persisted subtrees below
     )
+    base.unpersist()
+    prefix.unpersist()
+    return out
 
 
 # --- near-dup clustering (connected components) ------------------------------
@@ -335,5 +349,15 @@ def connected_components(
         lbl = new
         if changed == 0:
             break
+    else:
+        # the fixpoint was NOT reached — labels are wrong for any
+        # component whose diameter exceeds max_iter; failing loudly
+        # beats returning a silently incorrect clustering
+        bi.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iter (rounds needed = graph diameter)"
+        )
     bi.unpersist()
     return lbl

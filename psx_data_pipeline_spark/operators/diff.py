@@ -45,6 +45,7 @@ def detect_renames(
     key: str = "symbol",
     name: str = "name",
     min_token_len: int = 3,
+    parity: bool = False,
 ) -> DataFrame:
     """Deterministic re-spec of the reference's fuzzy rename matcher.
 
@@ -52,9 +53,18 @@ def detect_renames(
     names longer than 10 chars and a shared whole token with
     len>min_token_len). This deliberately TIGHTENS the reference's
     third clause (scrape_tickers.py:612-614 accepts any old-name
-    token with len>4 appearing as a substring of the new name; here
+    token with len>3 appearing as a SUBSTRING of the new name; here
     the token must appear as a whole token in both) — a re-spec for
     determinism and equi-join-ability, documented per SURVEY.md §7.4.
+
+    ``parity=True`` switches the third clause to the reference's
+    exact predicate (old-name token as substring of the new name).
+    The candidate path stays an equi-join: each old token is blocked
+    on its rarest 4-gram measured on the new-name side — identical
+    machinery to the containment path, so parity mode scales the
+    same way. (The reference's greedy set-iteration pick is still
+    replaced by the deterministic best-score 1:1 assignment; the
+    PREDICATE is parity, the tie-resolution is deterministic.)
 
     Instead of the reference's O(|deleted|×|added|) nested loop, both
     candidate paths are equi-joins:
@@ -84,13 +94,7 @@ def detect_renames(
         )
         return df.select(f"{side}_key", f"{side}_name", F.explode(toks).alias("tok"))
 
-    # inverted-index candidates: share a significant token
-    cand_tok = (
-        keyed_tokens(old, "old")
-        .join(keyed_tokens(new, "new"), "tok")
-        .select("old_key", "old_name", "new_key", "new_name")
-        .distinct()
-    )
+    cols = ["old_key", "old_name", "new_key", "new_name"]
     # substring-containment candidates can lack shared tokens (e.g.
     # concatenations). A naive theta-join is a nested-loop over the
     # full added×deleted sets — a scale-killer on a big churn day —
@@ -131,9 +135,65 @@ def detect_renames(
             .drop("__rk", "gfreq")
         )
 
-    cols = ["old_key", "old_name", "new_key", "new_name"]
     new_grams = grams(new, "new")
     old_grams = grams(old, "old")
+
+    if not parity:
+        # inverted-index candidates: share a significant whole token
+        cand_tok = (
+            keyed_tokens(old, "old")
+            .join(keyed_tokens(new, "new"), "tok")
+            .select(*cols)
+            .distinct()
+        )
+    else:
+        # reference third clause: an old-name token (len>min_token_len)
+        # appearing as a SUBSTRING of the new name. Same blocking idea
+        # as the containment path — the token is the contained string,
+        # so block it on its rarest 4-gram measured on the new-name
+        # side; a token absent from every new name (gfreq 0) drops out
+        # before the join.
+        tok_src = old.select(
+            "old_key", "old_name",
+            F.explode(F.array_distinct(F.filter(
+                F.split(F.col("old_name"), r"\s+"),
+                lambda w: F.length(w) > min_token_len,
+            ))).alias("tok"),
+        )
+        nfreq = new_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
+        tok_grams = tok_src.where(F.length("tok") >= B).select(
+            "old_key", "old_name", "tok",
+            F.explode(F.array_distinct(F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("tok") - B + 1, F.lit(1))
+                ),
+                lambda i: F.col("tok").substr(i, F.lit(B)),
+            ))).alias("gram"),
+        )
+        w_tok = Window.partitionBy("old_key", "tok").orderBy(
+            F.asc("gfreq"), F.asc("gram")
+        )
+        tok_rarest = (
+            tok_grams.join(nfreq, "gram", "left")
+            .withColumn("gfreq", F.coalesce("gfreq", F.lit(0)))
+            .withColumn("__rk", F.row_number().over(w_tok))
+            .where((F.col("__rk") == 1) & (F.col("gfreq") > 0))
+            .select("old_key", "old_name", "tok", "gram")
+        )
+        cand_tok = (
+            tok_rarest.join(new_grams, "gram")
+            .where(F.col("new_name").contains(F.col("tok")))
+            .select(*cols)
+            .distinct()
+        )
+        # tokens shorter than one gram (possible only when
+        # min_token_len < B-1): tiny residual, bounded theta-join
+        short_toks = tok_src.where(F.length("tok") < B)
+        cand_tok = cand_tok.unionByName(
+            short_toks.join(new, F.col("new_name").contains(F.col("tok")))
+            .select(*cols)
+            .distinct()
+        )
     old_in_new = (
         rarest_gram(old, "old", new_grams)
         .join(new_grams, "gram")
@@ -169,12 +229,22 @@ def detect_renames(
         "old_name"
     ).contains(F.col("new_name"))
     token_hit = (F.length("old_name") > 10) & (F.length("new_name") > 10)
-    shared = F.size(
-        F.array_intersect(
-            F.filter(F.split(F.col("old_name"), r"\s+"), lambda w: F.length(w) > min_token_len),
-            F.filter(F.split(F.col("new_name"), r"\s+"), lambda w: F.length(w) > min_token_len),
-        )
+    old_toks = F.filter(
+        F.split(F.col("old_name"), r"\s+"), lambda w: F.length(w) > min_token_len
     )
+    if parity:
+        # reference: count old tokens appearing anywhere in new_name
+        shared = F.size(F.filter(old_toks, lambda w: F.col("new_name").contains(w)))
+    else:
+        shared = F.size(
+            F.array_intersect(
+                old_toks,
+                F.filter(
+                    F.split(F.col("new_name"), r"\s+"),
+                    lambda w: F.length(w) > min_token_len,
+                ),
+            )
+        )
     matched = cand.where(contains | (token_hit & (shared > 0))).withColumn(
         "score", F.when(contains, F.lit(2)).otherwise(F.lit(1)) * (1 + shared)
     )

@@ -88,6 +88,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     strict: bool = True,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Point-in-time (as-of) join: for each left row, the single
     latest right row of the same key with right_ts < left_ts
@@ -99,7 +100,11 @@ def asof_join(
     range/theta join explodes with the match-window width; this
     shape shuffles each row exactly once regardless of time spans —
     the scalable as-of at any data size. Ties within a timestamp are
-    resolved by sorting right rows first (strict) or last (<=).
+    resolved by sorting right rows first (strict) or last (<=);
+    ``right_tiebreak`` names a right-side column that makes the pick
+    among DUPLICATE (key, right_ts) right rows deterministic (the row
+    with the greatest tiebreak value wins — max_by semantics);
+    without it the winner is partitioning-dependent.
     """
     lt = left.withColumn("__t", F.col(left_ts).cast("long")).withColumn(
         "__side", F.lit(1)
@@ -112,14 +117,21 @@ def asof_join(
             key,
             F.col(right_ts).cast("long").alias("__t"),
             *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+            (
+                F.col(right_tiebreak).cast("long")
+                if right_tiebreak
+                else F.lit(0)
+            ).alias("__tb"),
         )
         .withColumn("__side", F.lit(2) if strict else F.lit(0))
     )
     carried = [f"__r_{c}" for c in right_cols]
+    # left rows get a NULL __tb (nulls sort first under asc, and left
+    # ordering among themselves is immaterial — they carry no values)
     allcols = lt.unionByName(rt, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", "__tb")
         .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
     )
     # strict mode looks at rows strictly before the current row in
@@ -129,7 +141,7 @@ def asof_join(
         "*",
         *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in carried],
     )
-    out = filled.where(F.col("__side") == 1).drop(*carried, "__side")
+    out = filled.where(F.col("__side") == 1).drop(*carried, "__side", "__tb")
     for c in right_cols:
         out = out.withColumnRenamed(f"__f___r_{c}", f"right_{c}")
     return out.drop("__t")

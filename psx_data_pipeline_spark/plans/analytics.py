@@ -353,3 +353,48 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(price, 0.95)").alias("p95"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- calendar-gap check: missing trading days per symbol ---------------------
+
+MISSING_DAYS_ORACLE = f"""
+WITH obs AS (
+  SELECT DISTINCT symbol_id, trade_date AS d FROM ({_SERIES_SQL})
+),
+b AS (
+  SELECT symbol_id, min(d) AS lo, max(d) AS hi FROM obs GROUP BY symbol_id
+),
+cal AS (
+  SELECT symbol_id,
+         CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM b
+)
+SELECT c.symbol_id, c.d AS missing_date
+FROM cal c LEFT JOIN obs o ON c.symbol_id = o.symbol_id AND c.d = o.d
+WHERE o.symbol_id IS NULL
+"""
+
+
+@query("ohlc_missing_days", MISSING_DAYS_ORACLE)
+def q_ohlc_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's planned per-symbol 'missing trading days' check
+    (reference README.md:66-71): generate each symbol's calendar from
+    its own first to last observed date (F11's sequence dimension,
+    data-derived bounds, no driver loop) and anti-join the observed
+    dates away. Two shuffles on symbol_id — bounds aggregation and
+    the anti-join — both map-side combinable / AQE-broadcastable; the
+    calendar explode is a projection, never materialized wide."""
+    obs = (
+        _series(spark, sf_dir)
+        .select("symbol_id", F.col("trade_date").alias("d"))
+        .distinct()
+    )
+    bounds = obs.groupBy("symbol_id").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    cal = bounds.select(
+        "symbol_id", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    return cal.join(obs, ["symbol_id", "d"], "left_anti").select(
+        "symbol_id", F.col("d").alias("missing_date")
+    )

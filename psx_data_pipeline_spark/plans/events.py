@@ -88,6 +88,10 @@ def q_detect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- as-of (point-in-time) join ---------------------------------------------
 
+# Explicit window form rather than DuckDB's native ASOF LEFT JOIN:
+# when several purchases share a user's max earlier timestamp, ASOF's
+# pick is arbitrary — this form pins the tie to the greatest
+# purchase_id, matching the Spark side's right_tiebreak (max_by).
 ASOF_ORACLE = """
 WITH c AS (
   SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us
@@ -96,10 +100,18 @@ WITH c AS (
 p AS (
   SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us
   FROM events WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT c.click_id, c.user_id, c.click_ts_us, p.purchase_id,
+         row_number() OVER (
+           PARTITION BY c.click_id
+           ORDER BY p.ts_us DESC NULLS LAST, p.purchase_id DESC NULLS LAST
+         ) AS rn
+  FROM c LEFT JOIN p
+    ON c.user_id = p.user_id AND p.ts_us < c.click_ts_us
 )
-SELECT c.click_id, c.user_id, c.click_ts_us, p.purchase_id
-FROM c ASOF LEFT JOIN p
-  ON c.user_id = p.user_id AND p.ts_us < c.click_ts_us
+SELECT click_id, user_id, click_ts_us, purchase_id
+FROM ranked WHERE rn = 1
 """
 
 
@@ -127,6 +139,7 @@ def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, key="user_id",
         left_ts="click_ts_us", right_ts="ts_us",
         right_cols=["purchase_id"], strict=True,
+        right_tiebreak="purchase_id",
     )
     return out.select(
         "click_id", "user_id", "click_ts_us",

@@ -197,3 +197,45 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(q8, F.lit(0).cast("long"), lambda a, x: a + x).alias("q8_sum"),
         F.array_max(q8).alias("q8_max"),
     )
+
+
+# --- embedding-cosine near-dup dedup (end to end) ----------------------------
+
+EMBEDDING_DEDUP_ORACLE = f"""
+WITH RECURSIVE pairs AS ({LSH_NEIGHBORS_ORACLE}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, root) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS vec_id, MIN(root) AS comp FROM reach GROUP BY id)
+SELECT vec_id, comp, (vec_id = comp) AS is_survivor FROM comp
+"""
+
+
+@query("embedding_dedup", EMBEDDING_DEDUP_ORACLE)
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup end to end: hyperplane-LSH
+    bucketed pairs (cosine >= {_COS_T}) -> connected components ->
+    keep the min-id representative per cluster. The output is a total
+    vec_id -> cluster map with the survivor flag — filter
+    is_survivor to materialize the deduplicated corpus. Same
+    bucketed-never-all-pairs shape as the text dedup family; the
+    clustering step is the shared min-label-propagation operator."""
+    from psx_data_pipeline_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = lsh_bucketed_neighbors(
+        emb, "embedding", "vec_id", dim=_DIM, bits=_BITS, threshold=_COS_T
+    )
+    comp = connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        "comp",
+        (F.col("id") == F.col("comp")).alias("is_survivor"),
+    )

@@ -145,6 +145,61 @@ def q_rename_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_renames(deleted, added, key="symbol_id", name="name")
 
 
+# Parity variant: the reference's EXACT third clause — any old-name
+# token (len>3) appearing as a substring of the new name
+# (scrape_tickers.py:612-614) — instead of the tightened whole-token
+# intersection above. Same deterministic 1:1 assignment.
+_RENAME_PARITY_SQL = f"""
+WITH prev AS ({PREV_SQL}), cur AS ({CUR_SQL}),
+added AS (
+  SELECT c.* FROM cur c LEFT JOIN prev p USING (symbol_id)
+  WHERE p.symbol_id IS NULL
+),
+deleted AS (
+  SELECT p.* FROM prev p LEFT JOIN cur c USING (symbol_id)
+  WHERE c.symbol_id IS NULL
+),
+cand AS (
+  SELECT d.symbol_id AS old_key, lower(d.name) AS old_name,
+         a.symbol_id AS new_key, lower(a.name) AS new_name,
+         len(list_filter(
+           list_filter(str_split_regex(lower(d.name), '\\s+'), w -> len(w) > 3),
+           w -> contains(lower(a.name), w)
+         )) AS shared,
+         (contains(lower(a.name), lower(d.name))
+          OR contains(lower(d.name), lower(a.name))) AS has_contain
+  FROM deleted d CROSS JOIN added a
+),
+matched AS (
+  SELECT *, (CASE WHEN has_contain THEN 2 ELSE 1 END) * (1 + shared) AS score
+  FROM cand
+  WHERE has_contain
+     OR (length(old_name) > 10 AND length(new_name) > 10 AND shared > 0)
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY old_key
+            ORDER BY score DESC, new_key) AS r_old FROM matched
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY new_key
+            ORDER BY score DESC, old_key) AS r_new
+  FROM r1 WHERE r_old = 1
+)
+SELECT old_key, new_key, old_name, new_name FROM r2 WHERE r_new = 1
+"""
+
+
+@query("rename_detection_parity", _RENAME_PARITY_SQL)
+def q_rename_detection_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact rename predicate (scrape_tickers.py:612-614):
+    token-as-substring third clause, gram-blocked candidate join —
+    the parity mode of operators/diff.detect_renames."""
+    cur, prev = _cur(spark, sf_dir), _prev(spark, sf_dir)
+    added = cur.join(prev, "symbol_id", "left_anti")
+    deleted = prev.join(cur, "symbol_id", "left_anti")
+    return detect_renames(deleted, added, key="symbol_id", name="name", parity=True)
+
+
 # --- the flagship: full ticker-sync change log --------------------------------
 
 TICKER_SYNC_ORACLE = f"""
@@ -164,11 +219,31 @@ WHERE change_type = 'DELETED'
 """
 
 
+# The materialized change table, one per (application, sf_dir). The
+# sync pipeline has two registered consumers (the typed table and the
+# formatted change-log view); without this memo the formatter would
+# re-execute the whole diff + rename-detection DAG. The table is
+# churn-bounded (tiny at any scale — it is the day's adds/deletes/
+# renames, not the snapshot), so holding the materialized result for
+# the session lifetime costs kilobytes and saves the most expensive
+# subtree in the pipeline from running twice.
+_SYNC_CHANGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 @query("ticker_sync_changes", TICKER_SYNC_ORACLE)
 def q_ticker_sync_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole sync stage (scrape_tickers.py:627-660):
     diff two snapshots, promote fuzzy-matched (deleted, added) pairs
-    to RENAMED, emit the typed change log (SURVEY.md §1.1)."""
+    to RENAMED, emit the typed change log (SURVEY.md §1.1).
+
+    The result is materialized once per (application, sf_dir) via an
+    eager localCheckpoint and shared with `change_log_format`; the
+    intermediate caches are released as soon as the checkpoint exists.
+    """
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SYNC_CHANGE_CACHE.get(memo_key)
+    if hit is not None:
+        return hit
     cur, prev = _cur(spark, sf_dir), _prev(spark, sf_dir)
     diff = snapshot_diff(cur, prev, "symbol_id")
     # added/deleted key sets are churn-bounded (tiny) and each feeds
@@ -213,7 +288,18 @@ def q_ticker_sync_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("new_symbol_id"),
         )
     )
-    return renamed.unionByName(pure_added).unionByName(pure_deleted)
+    out = (
+        renamed.unionByName(pure_added)
+        .unionByName(pure_deleted)
+        # eager materialization: the checkpointed partitions are the
+        # shared artifact; checkpointed RDDs are GC-managed, unlike
+        # cache() entries which leak until an explicit unpersist
+        .localCheckpoint(eager=True)
+    )
+    for tmp in (added_keys, deleted_keys, ren):
+        tmp.unpersist()
+    _SYNC_CHANGE_CACHE[memo_key] = out
+    return out
 
 
 # --- change-log presentation view (K3) ----------------------------------------

@@ -37,6 +37,11 @@ def get_spark(app_name: str = "psx_data_pipeline_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects
+        # by default; surface it as int64 nanoseconds. Also set
+        # defensively in sources/fixtures.load_table because the
+        # driver builds its own session without this factory.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("PSX_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

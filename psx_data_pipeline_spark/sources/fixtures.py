@@ -23,9 +23,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """Read one fixture table (parquet scan, schema from footer).
 
     ``events.ts`` is written as TIMESTAMP(NANOS), which Spark rejects
-    by default — the legacy conf surfaces it as int64 nanoseconds
-    (runtime-settable, so this works under any caller's session).
+    by default — the legacy conf surfaces it as int64 nanoseconds.
     Oracle SQL reads the same values via DuckDB's epoch_ns().
+
+    SIDE EFFECT (deliberate, documented): this sets
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the CALLER's
+    session and leaves it set — required because the driver runs
+    queries under its own session, not session.get_spark (which also
+    sets it at build time). Any nanos-timestamp parquet read in the
+    same session will likewise surface int64 ns instead of erroring.
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

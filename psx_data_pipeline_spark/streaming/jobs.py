@@ -145,7 +145,7 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, vk, meid = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            vk += int((pdf["value"] * 1000).apply(lambda v: int(v // 1)).sum())
+            vk += int(((pdf["value"] * 1000) // 1).astype("int64").sum())
             meid = max(meid, int(pdf["event_id"].max()))
         state.update((n, vk, meid))
         yield pd.DataFrame(
@@ -213,11 +213,19 @@ def streaming_sync_change_log(
     log → new universe, scrape_tickers.py:627-660) as ONE streaming
     job: snapshots land as JSON files; each micro-batch anti-joins the
     batch against the current universe both ways (ADDED / DELETED),
-    appends typed `+/-` rows to the change log (K3), and replaces the
+    writes typed `+/-` rows to the change log (K3), and replaces the
     universe. foreachBatch gives the batch DataFrame full engine
-    power — joins against external state included — while the
-    checkpoint guarantees each landed snapshot is processed exactly
-    once across restarts."""
+    power — joins against external state included.
+
+    Delivery semantics: the checkpoint gives at-least-once delivery of
+    each micro-batch to the sink function; exactly-once OBSERVED state
+    comes from making both side effects idempotent per batch_id —
+    the change log is written to a `batch_id=` partition directory
+    with overwrite (a replayed batch overwrites its own output rather
+    than appending duplicates), and the universe overwrite is
+    naturally idempotent. ``maxFilesPerTrigger=1`` makes each landed
+    snapshot its own micro-batch, so consecutive snapshots diff
+    individually instead of collapsing into one union batch."""
     from pyspark.sql import functions as SF
 
     def sync(batch: DataFrame, batch_id: int) -> None:
@@ -239,16 +247,20 @@ def streaming_sync_change_log(
                 SF.concat(SF.lit("- "), SF.col(key)).alias("line"),
             )
         ).withColumn("change_ts", SF.current_timestamp())
+        # batch_id-keyed overwrite = idempotent under foreachBatch
+        # replay; readers of change_log_path see batch_id as a
+        # partition-discovered column
         changes.select("change_ts", "change_type", "line").write.mode(
-            "append"
-        ).parquet(change_log_path)
-        # the change append above already materialized both anti-joins,
+            "overwrite"
+        ).parquet(f"{change_log_path}/batch_id={batch_id}")
+        # the change write above already materialized both anti-joins,
         # and writing `batch` never scans the universe path — a direct
         # overwrite is safe for this single-writer sync job
         batch.write.mode("overwrite").parquet(universe_path)
 
     q = (
         spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
         .json(landing_dir)
         .writeStream.foreachBatch(sync)
         .option("checkpointLocation", checkpoint_dir)
@@ -302,5 +314,17 @@ def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         "purchase_id", "click_id",
         "purchase_ts_us", "click_ts_us",
     )
-    table = run_to_memory(joined, "append", "attribution")
+    # A stream-stream join keeps FOUR state stores per shuffle
+    # partition (left/right × keyToNumValues/keyWithIndexToValue),
+    # each with its own checkpoint files — so the stateful shuffle is
+    # pinned to a modest partition count instead of inheriting the
+    # batch-oriented session default (same rationale as
+    # running_user_totals; state partitioning is fixed at first
+    # checkpoint, and each call uses a fresh checkpoint).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        table = run_to_memory(joined, "append", "attribution")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table)

@@ -1,0 +1,78 @@
+"""Failure-policy tests for the composed full-run job
+(reference main.py:92-112 semantics: stage-1 abort, stage-2 continue)."""
+
+from __future__ import annotations
+
+import pytest
+
+from psx_data_pipeline_spark.orchestrate import (
+    ABORT,
+    CONTINUE,
+    Stage,
+    full_run,
+    full_run_stages,
+    run_pipeline,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _boom() -> None:
+    raise RuntimeError("injected failure")
+
+
+def test_abort_stage_failure_skips_rest():
+    """Reference main.py:96-98: stage-1 failure aborts the pipeline."""
+    ran = []
+    res = run_pipeline([
+        Stage("sync", _boom, ABORT),
+        Stage("update", lambda: ran.append("update"), CONTINUE),
+        Stage("append", lambda: ran.append("append"), CONTINUE),
+    ])
+    assert not res.ok
+    assert res.status("sync") == "failed"
+    assert res.status("update") == "skipped"
+    assert res.status("append") == "skipped"
+    assert ran == []
+
+
+def test_continue_stage_failure_keeps_going():
+    """Reference main.py:102-104: stage-2 failure logs and continues;
+    the pipeline still completes (reference returns 0)."""
+    ran = []
+    res = run_pipeline([
+        Stage("sync", lambda: ran.append("sync"), ABORT),
+        Stage("update", _boom, CONTINUE),
+        Stage("append", lambda: ran.append("append"), CONTINUE),
+    ])
+    assert res.ok
+    assert res.status("sync") == "ok"
+    assert res.status("update") == "failed"
+    assert res.status("append") == "ok"
+    assert ran == ["sync", "append"]
+
+
+def test_full_run_writes_all_artifacts(spark, tmp_path):
+    out = str(tmp_path / "full_run")
+    res = full_run(spark, SF, out)
+    assert res.ok
+    assert [s.status for s in res.stages] == ["ok", "ok", "ok"]
+    # each stage's artifact is readable and non-trivial
+    assert spark.read.parquet(f"{out}/change_log").count() > 0
+    assert spark.read.parquet(f"{out}/universe").count() > 0
+    assert spark.read.parquet(f"{out}/daily_append").count() > 0
+
+
+def test_full_run_stage2_failure_still_appends(spark, tmp_path, monkeypatch):
+    """Inject a failure into the real stage-2 writer: stage 3 must
+    still run and produce its artifact."""
+    out = str(tmp_path / "full_run_fail2")
+    stages = full_run_stages(spark, SF, out)
+    stages[1] = Stage("update", _boom, CONTINUE)
+    res = run_pipeline(stages)
+    assert res.ok
+    assert res.status("update") == "failed"
+    assert res.status("append") == "ok"
+    assert spark.read.parquet(f"{out}/daily_append").count() > 0
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{out}/universe").collect()
