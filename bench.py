@@ -40,7 +40,11 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
-    for name in sorted(QUERIES):
+    # registration order = pipeline order: upstream stages (e.g. the
+    # ticker_sync change table) run before the views that consume
+    # them, so shared one-time materialization cost is attributed to
+    # the stage that owns it, not to whichever name sorts first
+    for name in QUERIES:
         t0 = time.perf_counter()
         try:
             df = QUERIES[name](spark, SF_DIR)

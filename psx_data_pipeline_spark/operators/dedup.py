@@ -330,6 +330,9 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("nb_comp"))
         )
+        # carry the previous label through the round so the
+        # convergence check is a filter over the (already
+        # checkpointed) round output — no extra join per round
         new = (
             lbl.join(nb, "id", "left")
             .select(
@@ -337,16 +340,12 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("nb_comp", F.col("comp"))
                 ).alias("comp"),
+                F.col("comp").alias("prev_comp"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.withColumnRenamed("comp", "new_comp")
-            .join(lbl, "id")
-            .where(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
-        lbl = new
+        changed = new.where(F.col("comp") != F.col("prev_comp")).count()
+        lbl = new.drop("prev_comp")
         if changed == 0:
             break
     else:

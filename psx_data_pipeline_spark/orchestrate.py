@@ -121,3 +121,22 @@ def full_run_stages(
 def full_run(spark: SparkSession, sf_dir: str, out_dir: str) -> PipelineResult:
     """Run the reference-shaped full pipeline; see full_run_stages."""
     return run_pipeline(full_run_stages(spark, sf_dir, out_dir))
+
+
+def scheduled_run(
+    spark: SparkSession, sf_dir: str, out_dir: str, run_date: str
+) -> PipelineResult:
+    """One scheduled tick of the reference's daily cron full-run
+    (reference README.md:93-98 — ``0 18 * * * main.py --full-run``).
+
+    The engine analogue of cron cadence: each invocation IS one
+    scheduled run; artifacts land under a ``run_date=`` directory
+    (the reference's dated-snapshot convention) and are overwritten
+    in place, so re-running a tick — a rescheduled or crashed cron
+    slot — is idempotent per date, and distinct dates accumulate the
+    dated history the reference keeps as per-day snapshot files.
+    ``run_date`` is caller-supplied (the scheduler's logical date),
+    never wall-clock, so a backfill of missed slots is just a loop
+    over dates.
+    """
+    return full_run(spark, sf_dir, f"{out_dir}/run_date={run_date}")

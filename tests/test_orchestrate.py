@@ -76,3 +76,19 @@ def test_full_run_stage2_failure_still_appends(spark, tmp_path, monkeypatch):
     assert spark.read.parquet(f"{out}/daily_append").count() > 0
     with pytest.raises(Exception):
         spark.read.parquet(f"{out}/universe").collect()
+
+
+def test_scheduled_run_idempotent_and_dated(spark, tmp_path):
+    from psx_data_pipeline_spark.orchestrate import scheduled_run
+
+    out = str(tmp_path / "sched")
+    r1 = scheduled_run(spark, SF, out, "2026-08-12")
+    n1 = spark.read.parquet(f"{out}/run_date=2026-08-12/change_log").count()
+    # re-running the same tick (crashed/rescheduled cron slot) is
+    # idempotent: same artifact, same contents
+    r2 = scheduled_run(spark, SF, out, "2026-08-12")
+    n2 = spark.read.parquet(f"{out}/run_date=2026-08-12/change_log").count()
+    assert r1.ok and r2.ok and n1 == n2 > 0
+    # a different date accumulates dated history alongside
+    scheduled_run(spark, SF, out, "2026-08-13")
+    assert spark.read.parquet(f"{out}/run_date=2026-08-13/change_log").count() == n1
