@@ -256,3 +256,52 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicked.alias("clicked_after"),
         purchased.alias("purchased_after"),
     )
+
+
+# --- cohort retention --------------------------------------------------------
+
+_NS_PER_DAY = 86_400 * 1_000_000_000
+
+USER_RETENTION_ORACLE = """
+WITH ev AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 // 7 AS week
+  FROM events
+),
+cohorted AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM ev
+)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(week - cohort_week AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM cohorted
+GROUP BY cohort_week, week_offset
+"""
+
+
+@query("user_retention", USER_RETENTION_ORACLE)
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted per (cohort_week, week_offset) cell — the classic
+    retention triangle. Week indices are pure integer division on the
+    raw int64-ns timestamp (no calendar parsing → bit-identical
+    across engines). Two shuffles: the per-user min-week window and
+    the final cell aggregate (map-side-combinable distinct). At
+    100 TB the per-user window partitions by user_id — high
+    cardinality, no skew concern."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.expr(f"ts div {_NS_PER_DAY} div 7").alias("week")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    cohorted = ev.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        cohorted.groupBy(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )

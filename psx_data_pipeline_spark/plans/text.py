@@ -486,3 +486,303 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_tokens") >= 30)
         & (F.col("non_alpha_ratio") < 0.35)
     ).select("doc_id", "lang", "source", "n_tokens")
+
+
+# --- benchmark decontamination (n-gram containment) --------------------------
+
+from psx_data_pipeline_spark.functions.textfns import word_shingles  # noqa: E402
+
+# DuckDB twin of word_shingles(text, 3) — same as plans/dedup._SHINGLES
+_SHINGLES3 = f"""
+CASE WHEN len({_TOKS}) >= 3 THEN
+  [array_to_string(({_TOKS})[i:i+2], ' ') FOR i IN generate_series(1, len({_TOKS}) - 2)]
+ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+_BENCH_MOD = 10  # "benchmark" = doc_id % 10 == 7 (deterministic stand-in)
+
+DECONTAMINATE_ORACLE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_SHINGLES3}) AS sh FROM documents
+  WHERE doc_id % {_BENCH_MOD} = 7
+),
+corpus AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS sh FROM documents
+  WHERE doc_id % {_BENCH_MOD} <> 7
+),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits
+  FROM corpus c JOIN bench b USING (sh) GROUP BY c.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (h.doc_id IS NOT NULL) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_BENCH_MOD} <> 7) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@query("decontaminate", DECONTAMINATE_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word-shingle with a held-out benchmark set (the published
+    n-gram-overlap decontamination recipe; 3-gram here because the
+    fixture docs are short — the real pipeline uses 8-13-grams, same
+    plan). The benchmark's distinct shingle set is SMALL by nature —
+    broadcast it, so the corpus side is one scan + one
+    map-side-combinable count per doc; no corpus-sized shuffle of
+    text ever happens."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = F.explode(F.array_distinct(word_shingles("text", 3))).alias("sh")
+    bench = (
+        docs.where(F.col("doc_id") % _BENCH_MOD == 7).select(sh).distinct()
+    )
+    corpus = docs.where(F.col("doc_id") % _BENCH_MOD != 7)
+    hits = (
+        corpus.select("doc_id", sh)
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return corpus.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        F.col("n_hits").isNotNull().alias("contaminated"),
+    )
+
+
+# --- repetition scoring (Gopher-style quality rules) -------------------------
+
+_SHINGLES2 = f"""
+CASE WHEN len({_TOKS}) >= 2 THEN
+  [array_to_string(({_TOKS})[i:i+1], ' ') FOR i IN generate_series(1, len({_TOKS}) - 1)]
+ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+DOC_REPETITION_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+    len({_TOKS}) AS n_tokens,
+    1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+        / CAST(len({_TOKS}) AS DOUBLE) AS dup_token_frac,
+    CAST(list_max(list_transform(list_distinct({_SHINGLES2}),
+           x -> len(list_filter({_SHINGLES2}, y -> y = x)))) AS DOUBLE)
+      / CAST(len({_SHINGLES2}) AS DOUBLE) AS top_bigram_frac
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, dup_token_frac,
+       top_bigram_frac,
+       (dup_token_frac < 0.5 AND top_bigram_frac < 0.5) AS keep
+FROM scored
+"""
+
+
+@query("doc_repetition", DOC_REPETITION_ORACLE)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality scores in the style of the published
+    Gopher rules: duplicate-token fraction and the share of bigrams
+    taken by the most frequent bigram, plus a keep flag. Everything is
+    per-row array arithmetic (no shuffle, no UDF — embarrassingly
+    parallel at any scale); the per-doc mode is an O(distinct·n)
+    array expression, bounded by document length. Fractions are
+    ratios of exact integers → bit-identical across engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    bg = word_shingles("text", 2)
+    dup_frac = (
+        F.lit(1.0)
+        - F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double")
+    )
+    top_bg = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda x: F.size(F.filter(bg, lambda y: y == x)),
+            )
+        ).cast("double")
+        / F.size(bg).cast("double")
+    )
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        dup_frac.alias("dup_token_frac"),
+        top_bg.alias("top_bigram_frac"),
+    )
+    return scored.select(
+        "*",
+        (
+            (F.col("dup_token_frac") < 0.5) & (F.col("top_bigram_frac") < 0.5)
+        ).alias("keep"),
+    )
+
+
+# --- C4-style duplicate-chunk removal ---------------------------------------
+
+_BLK = 10  # tokens per non-overlapping block
+
+CHUNK_DEDUP_ORACLE = f"""
+WITH blocks AS (
+  SELECT doc_id,
+         array_to_string(({_TOKS})[i * {_BLK} + 1 : i * {_BLK} + {_BLK}], ' ') AS blk
+  FROM documents,
+       UNNEST(range(0,
+         GREATEST(CAST(ceil(len({_TOKS}) / {_BLK}.0) AS BIGINT), 1))) AS t(i)
+),
+counts AS (SELECT blk, count(*) AS c FROM blocks GROUP BY blk)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_block_frac,
+       (CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) <= 0.5) AS keep
+FROM blocks JOIN counts USING (blk)
+GROUP BY doc_id
+"""
+
+
+@query("chunk_dedup", CHUNK_DEDUP_ORACLE)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global duplicate-chunk removal in the style of C4's
+    three-sentence dedup: split every document into non-overlapping
+    {_BLK}-token blocks, count each block's corpus-wide occurrences,
+    and score each doc by the fraction of its blocks that appear more
+    than once anywhere (docs past 0.5 are dropped). The plan is the
+    exact-substring-dedup shape that survives 100 TB: explode is
+    narrow, the occurrence count is a map-side-combinable groupBy on
+    the block hash, and the join back to blocks reuses that same hash
+    partitioning before the final per-doc rollup. No text column ever
+    shuffles twice — blocks carry only (doc_id, hash)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    n_blocks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(_BLK))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    idx = F.sequence(F.lit(0).cast("long"), n_blocks - 1)
+    blocks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.array_join(
+                    F.slice(toks, (i * _BLK + 1).cast("int"), _BLK), " "
+                ),
+            )
+        ).alias("blk"),
+    )
+    counts = blocks.groupBy("blk").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("double")
+    scored = (
+        blocks.join(counts, "blk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            (dup / F.count(F.lit(1))).alias("dup_block_frac"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_blocks", "dup_block_frac",
+        (F.col("dup_block_frac") <= 0.5).alias("keep"),
+    )
+
+
+# --- per-source token-budget sampling ---------------------------------------
+
+_TOKEN_BUDGET = 600  # tokens admitted per source
+
+TOKEN_BUDGET_SAMPLE_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens,
+         sum(len({_TOKS})) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR))
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked WHERE cum_tokens <= {_TOKEN_BUDGET}
+"""
+
+
+@query("token_budget_sample", TOKEN_BUDGET_SAMPLE_ORACLE)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix construction under a token budget: admit documents
+    per source, in deterministic md5(doc_id) order, until the
+    source's token quota ({_TOKEN_BUDGET}) is exhausted — the
+    data-mixing step that turns curated pools into a training corpus
+    with a prescribed composition. One shuffle on source; the cumsum
+    is a running window inside each source partition. At 100 TB a
+    heavy source would make its window partition the straggler — the
+    scale path is the same plan with a salted two-phase quota split
+    (per-salt partial budgets from a first aggregate pass), which
+    keeps this exact output contract; at the reference's source
+    cardinalities the direct window is the right plan."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks_n = F.size(tokens("text")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = docs.select(
+        "doc_id", "source", toks_n.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return ranked.where(F.col("cum_tokens") <= _TOKEN_BUDGET)
+
+
+# --- training-sequence packing ----------------------------------------------
+
+_PACK_BUCKETS = 32  # parallel packing lanes
+_BIN_TOKENS = 512   # tokens per training sequence
+
+SEQUENCE_PACK_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+         len({_TOKS}) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY bucket
+           ORDER BY md5(CAST(doc_id AS VARCHAR))
+           ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+  FROM sized
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok_offset // {_BIN_TOKENS} AS BIGINT) AS bin_id
+FROM packed
+"""
+
+
+@query("sequence_pack", SEQUENCE_PACK_ORACLE)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a
+    deterministic order and cut the token stream into fixed
+    {_BIN_TOKENS}-token training sequences; each doc gets its stream
+    offset and the bin its first token lands in. Packing is
+    parallelized over {_PACK_BUCKETS} hash lanes (doc_id %
+    {_PACK_BUCKETS}) — each lane is an independent window cumsum, so
+    the plan is one shuffle on bucket and scales by adding lanes; no
+    global single-partition ordering ever exists. All integer
+    arithmetic → bit-identical across engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    sized = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_BUCKETS)).cast("long").alias("bucket"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id", "bucket", "n_tokens", "tok_offset",
+        F.expr(f"tok_offset div {_BIN_TOKENS}").alias("bin_id"),
+    )

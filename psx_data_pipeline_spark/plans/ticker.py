@@ -244,7 +244,10 @@ def q_ticker_sync_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _SYNC_CHANGE_CACHE.get(memo_key)
     if hit is not None:
         return hit
-    cur, prev = _cur(spark, sf_dir), _prev(spark, sf_dir)
+    # cur/prev feed the diff, both semi-joins, and rename detection —
+    # cache them for the duration of the one-time build (released
+    # below) so the snapshot scan+projection runs once, not five times
+    cur, prev = _cur(spark, sf_dir).cache(), _prev(spark, sf_dir).cache()
     diff = snapshot_diff(cur, prev, "symbol_id")
     # added/deleted key sets are churn-bounded (tiny) and each feeds
     # two joins below — cache them so the full-outer diff scans the
@@ -296,7 +299,7 @@ def q_ticker_sync_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cache() entries which leak until an explicit unpersist
         .localCheckpoint(eager=True)
     )
-    for tmp in (added_keys, deleted_keys, ren):
+    for tmp in (added_keys, deleted_keys, ren, cur, prev):
         tmp.unpersist()
     _SYNC_CHANGE_CACHE[memo_key] = out
     return out
