@@ -72,7 +72,8 @@ def detect_renames(
       * containment path — if a ⊆ b then a's first 4 chars occur in
         b, so block on (first-4-of-contained = some-4-gram-of-
         container), one join per direction; names shorter than 4
-        chars fall back to a theta-join over that (tiny) residual.
+        chars equi-join whole against the container's 1..3-char
+        substring set (still no nested loop).
     1:1 assignment keeps the best pair per old key and per new key
     via two row_number passes ordered by (score desc, old_key,
     new_key) — deterministic where the reference's set iteration was
@@ -135,6 +136,34 @@ def detect_renames(
             .drop("__rk", "gfreq")
         )
 
+    def short_grams(df: DataFrame, side: str) -> DataFrame:
+        """Distinct substrings of every length 1..B-1 of a container
+        name. A contained string shorter than one gram (< B chars) IS
+        its own only "gram", so `short_name == gram` over this set is
+        exact substring containment expressed as an equi-join — no
+        nested loop even for the short-name residual. Volume is
+        ~(B-1)·len(name) rows per container row, and rename detection
+        runs on the churn-bounded added/deleted residual, so the
+        explode is trivial at any scale."""
+        name = F.col(f"{side}_name")
+        gs = F.flatten(
+            F.array(
+                *[
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.greatest(F.length(name) - n + 1, F.lit(1))
+                        ),
+                        lambda i, n=n: name.substr(i, F.lit(n)),
+                    )
+                    for n in range(1, B)
+                ]
+            )
+        )
+        return df.select(
+            f"{side}_key", f"{side}_name",
+            F.explode(F.array_distinct(gs)).alias("gram"),
+        )
+
     new_grams = grams(new, "new")
     old_grams = grams(old, "old")
 
@@ -187,10 +216,12 @@ def detect_renames(
             .distinct()
         )
         # tokens shorter than one gram (possible only when
-        # min_token_len < B-1): tiny residual, bounded theta-join
+        # min_token_len < B-1): the whole token is equi-joined
+        # against the new names' short-substring set
         short_toks = tok_src.where(F.length("tok") < B)
         cand_tok = cand_tok.unionByName(
-            short_toks.join(new, F.col("new_name").contains(F.col("tok")))
+            short_toks.withColumn("gram", F.col("tok"))
+            .join(short_grams(new, "new"), "gram")
             .select(*cols)
             .distinct()
         )
@@ -206,16 +237,20 @@ def detect_renames(
         .where(F.col("old_name").contains(F.col("new_name")))
         .select(*cols)
     )
-    # residual: contained side shorter than one gram — tiny by
-    # construction, so the theta-join is bounded
+    # residual: contained side shorter than one gram — the whole
+    # short name equi-joins against the other side's short-substring
+    # set (exact containment, no nested loop)
     short_old = old.where(F.length("old_name") < B)
     short_new = new.where(F.length("new_name") < B)
-    cand_short = short_old.join(
-        new, F.col("new_name").contains(F.col("old_name"))
-    ).select(*cols).unionByName(
-        old.join(
-            short_new, F.col("old_name").contains(F.col("new_name"))
-        ).select(*cols)
+    cand_short = (
+        short_old.withColumn("gram", F.col("old_name"))
+        .join(short_grams(new, "new"), "gram")
+        .select(*cols)
+        .unionByName(
+            short_new.withColumn("gram", F.col("new_name"))
+            .join(short_grams(old, "old"), "gram")
+            .select(*cols)
+        )
     )
 
     cand = (

@@ -1,0 +1,43 @@
+"""Plan-shape guardrails: scale killers must never appear.
+
+Every registered query's physical plan is checked for operators that
+do not survive 100 TB: cartesian products and broadcast nested-loop
+joins (the shapes Catalyst falls back to when a join has no usable
+equi-condition). A query that needs a theta-join must express it as a
+blocked/bucketed equi-join (see operators/diff.py, operators/dedup.py)
+— this test keeps that property from regressing.
+
+Streaming queries are exercised through their batch-twin plans the
+registry exposes; plans are built at sf0.001 (plan shape does not
+depend on data volume, only on statistics-driven strategy choices —
+forbidden shapes are forbidden at every size).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from psx_data_pipeline_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+# Intentional bounded broadcasts: brute-force cosine compares the
+# corpus against a BROADCAST top-k query set (definitionally
+# all-pairs vs a tiny constant side — operators/similarity.py:70),
+# and IVF probes query×centroid where both sides are small constants
+# (operators/similarity.py:261). The corpus side is never the build
+# side, so these survive 100 TB.
+BOUNDED_BROADCAST_OK = {"cosine_topk", "ivf_topk"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_scale_killer_join(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    forbidden = (
+        ("CartesianProduct",) if name in BOUNDED_BROADCAST_OK else FORBIDDEN
+    )
+    for op in forbidden:
+        assert op not in plan, f"{name}: {op} in physical plan"
