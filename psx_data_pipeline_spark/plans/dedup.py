@@ -230,3 +230,46 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, docs.select("doc_id"), id_col="doc_id"
     )
     return comp.select(F.col("id").alias("doc_id"), "comp")
+
+
+# --- incremental ingest dedup ------------------------------------------------
+
+_STORE_MOD = 5  # "already ingested" = doc_id % 5 == 0
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH store AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % {_STORE_MOD} = 0
+),
+batch AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % {_STORE_MOD} <> 0
+),
+fresh AS (
+  SELECT b.doc_id, b.fp FROM batch b
+  LEFT JOIN store s USING (fp) WHERE s.fp IS NULL
+)
+SELECT min(doc_id) AS id, fp AS fingerprint,
+       count(*) AS batch_copies
+FROM fresh GROUP BY fp
+"""
+
+
+@query("dedup_incremental", DEDUP_INCREMENTAL_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: an incoming batch is screened
+    against the already-ingested corpus's fingerprint store (left
+    ANTI join on the content hash — only hashes move, never text),
+    then deduplicated within itself (min-id per fingerprint). This is
+    the steady-state shape of a production pipeline where the corpus
+    is too large to re-cluster per drop: one shuffle to anti-join the
+    store, one map-side-combinable group-by on the batch. At 100 TB
+    the store is a bucketed-by-fingerprint table, making the
+    anti-join zero-exchange on the store side."""
+    docs = load_table(spark, "documents", sf_dir)
+    fp = F.md5("text").alias("fp")
+    store = docs.where(F.col("doc_id") % _STORE_MOD == 0).select(fp).distinct()
+    batch = docs.where(F.col("doc_id") % _STORE_MOD != 0).select("doc_id", fp)
+    fresh = batch.join(store, "fp", "left_anti")
+    return fresh.groupBy("fp").agg(
+        F.min("doc_id").alias("id"),
+        F.count(F.lit(1)).alias("batch_copies"),
+    ).select("id", F.col("fp").alias("fingerprint"), "batch_copies")

@@ -115,3 +115,20 @@ def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_stream_click_attribution(spark, sf_dir)
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+FROM events
+"""
+
+
+@query("stream_dedup", STREAM_DEDUP_ORACLE)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming deduplication
+    (`dropDuplicatesWithinWatermark`) over a twice-delivered feed;
+    the oracle is simply the distinct batch table — every event
+    exactly once."""
+    from psx_data_pipeline_spark.streaming.jobs import streaming_dedup
+
+    return streaming_dedup(spark, sf_dir)

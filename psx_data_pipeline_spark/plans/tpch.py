@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from psx_data_pipeline_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from psx_data_pipeline_spark.plans.registry import query
-from psx_data_pipeline_spark.sources.fixtures import load_table
+from psx_data_pipeline_spark.sources.fixtures import load_table, load_table_parallel
 
 
 Q1_ORACLE = f"""
@@ -43,9 +43,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: single shuffle on two low-cardinality keys with
     map-side partial aggregation; filter and 7-column projection push
     into the parquet scan (verified via explain — PushedFilters +
-    ReadSchema).
+    ReadSchema). The fixture lineitem is ONE single-row-group file, so
+    the scan-side partial aggregation (the expensive half of Q1) is
+    spread across cores first — round-robin, NOT keyed, because the
+    two group keys have cardinality 6; a no-op on real multi-file
+    input.
     """
-    li = load_table(spark, "lineitem", sf_dir)
+    li = load_table_parallel(spark, "lineitem", sf_dir)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

@@ -44,6 +44,27 @@ EVENTS_STREAM_SCHEMA = T.StructType([
 _uniq = itertools.count()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _pinned_state_shuffle(spark: SparkSession, n: int = 8):
+    """Pin spark.sql.shuffle.partitions while a stateful stream runs.
+
+    Each state partition carries a state-store instance (checkpoint
+    dir, snapshot files) — real per-micro-batch overhead, so stateful
+    stages use a modest pinned count instead of inheriting the
+    batch-oriented session default. State partitioning is fixed at
+    the first checkpoint; every job here uses a fresh checkpoint per
+    call, so re-pinning is safe."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _sink_name(prefix: str) -> str:
     return f"{prefix}_{os.getpid()}_{next(_uniq)}"
 
@@ -102,7 +123,8 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("win.start").alias("win_start_us"),
         "event_type", "n", "value_k",
     )
-    table = run_to_memory(out, "complete", "win_counts")
+    with _pinned_state_shuffle(spark):
+        table = run_to_memory(out, "complete", "win_counts")
     return spark.table(table)
 
 
@@ -123,7 +145,8 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("sw.end").alias("session_end_us"),
         "n_events",
     )
-    table = run_to_memory(out, "complete", "sessions")
+    with _pinned_state_shuffle(spark):
+        table = run_to_memory(out, "complete", "sessions")
     return spark.table(table)
 
 
@@ -158,21 +181,30 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         update, _USER_STATE_OUT, _USER_STATE, "update",
         GroupStateTimeout.NoTimeout,
     )
-    # Each state partition carries a state-store instance (checkpoint
-    # dir, snapshot files, a Python worker round) — real overhead per
-    # micro-batch. The stream's state cardinality is one tiny struct
-    # per user, so pin a modest partition count for the stateful
-    # shuffle instead of inheriting a large batch-oriented
-    # spark.sql.shuffle.partitions. (State partitioning is fixed at
-    # first checkpoint; fresh checkpoint per call makes this safe.)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _pinned_state_shuffle(spark):
         table = run_to_memory(out, "update", "user_totals")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table)
 
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest of an at-least-once feed: the event stream
+    unioned with itself (every event delivered twice, the redelivery
+    pattern of any at-least-once transport) is collapsed by
+    ``dropDuplicatesWithinWatermark`` on event_id — each event emits
+    exactly once, and the dedup state is EVICTED once the watermark
+    passes the event's time, so state size is bounded by the
+    redelivery horizon (1 h here), not the stream's lifetime — the
+    property that makes streaming dedup viable on an unbounded feed.
+    """
+    feed = events_stream(spark, sf_dir).unionByName(events_stream(spark, sf_dir))
+    out = (
+        feed.withWatermark("ts_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts_us")
+    )
+    with _pinned_state_shuffle(spark):
+        table = run_to_memory(out, "append", "dedup")
+    return spark.table(table)
 
 def incremental_ingest(
     spark: SparkSession,
@@ -316,15 +348,7 @@ def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     )
     # A stream-stream join keeps FOUR state stores per shuffle
     # partition (left/right × keyToNumValues/keyWithIndexToValue),
-    # each with its own checkpoint files — so the stateful shuffle is
-    # pinned to a modest partition count instead of inheriting the
-    # batch-oriented session default (same rationale as
-    # running_user_totals; state partitioning is fixed at first
-    # checkpoint, and each call uses a fresh checkpoint).
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # each with its own checkpoint files.
+    with _pinned_state_shuffle(spark):
         table = run_to_memory(joined, "append", "attribution")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table)
