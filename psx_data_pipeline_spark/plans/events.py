@@ -305,3 +305,37 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+# --- JSON property extraction ------------------------------------------------
+
+EVENT_PROPS_JSON_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_distinct_k,
+       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+@query("event_props_json", EVENT_PROPS_JSON_ORACLE)
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction: the ``props`` JSON column
+    is parsed ONCE with a typed ``from_json`` schema (codegen'd
+    JsonToStructs — never per-row Python), then aggregated per event
+    type. At 100 TB the parse rides the scan and the aggregate is one
+    map-side-combinable shuffle on a low-cardinality key; schema-typed
+    extraction also lets Catalyst prune unreferenced JSON fields."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

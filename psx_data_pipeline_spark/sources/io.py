@@ -84,3 +84,33 @@ def append_change_log(df: DataFrame, path: str) -> None:
 
 def read_change_log(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(CHANGE_LOG_SCHEMA).parquet(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_col: str = "snapshot_date"
+) -> None:
+    """Partitioned parquet sink with DYNAMIC partition overwrite: a
+    re-run replaces only the partitions present in ``df``, leaving
+    every other partition untouched — the idempotent daily-append /
+    backfill pattern (re-running one day can never clobber history,
+    unlike static overwrite which truncates the whole table). This is
+    the at-scale successor of the dated-directory JSON sink (K2): one
+    table, partition-pruned reads, per-partition idempotent writes."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def read_partitioned_parquet(
+    spark: SparkSession, path: str, snapshot_date: str | None = None
+) -> DataFrame:
+    """Partition-pruned read: the ``snapshot_date`` filter is resolved
+    against directory names (PartitionFilters in the scan — zero data
+    files of other partitions are opened)."""
+    df = spark.read.parquet(path)
+    if snapshot_date is not None:
+        df = df.where(df.snapshot_date == snapshot_date)
+    return df

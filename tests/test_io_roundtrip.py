@@ -106,3 +106,36 @@ def test_partitioned_snapshot_write_prunes_on_read(spark, tmp_path):
     assert "PartitionFilters" in plan
     # pruned scan reads exactly one partition directory
     assert [r["symbol"] for r in q.collect()] == ["HBL"]
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Re-writing one partition must leave sibling partitions intact,
+    and a dated read must partition-prune (PartitionFilters, not a
+    data filter)."""
+    from psx_data_pipeline_spark.sources.io import (
+        read_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [("AAA", "2024-01-01"), ("BBB", "2024-01-02")],
+        "symbol string, snapshot_date string",
+    )
+    write_partitioned_parquet(base, path)
+    # re-run day 2 with different content; day 1 must survive
+    redo = spark.createDataFrame(
+        [("CCC", "2024-01-02")], "symbol string, snapshot_date string"
+    )
+    write_partitioned_parquet(redo, path)
+    rows = {
+        # partition values come back type-inferred (DateType here)
+        (r.symbol, str(r.snapshot_date))
+        for r in read_partitioned_parquet(spark, path).collect()
+    }
+    assert rows == {("AAA", "2024-01-01"), ("CCC", "2024-01-02")}
+
+    pruned = read_partitioned_parquet(spark, path, "2024-01-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(snapshot_date" in plan
+    assert pruned.count() == 1
