@@ -339,3 +339,40 @@ def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# --- CUBE (all-subtotal grid) ------------------------------------------------
+
+EVENT_CUBE_ORACLE = """
+SELECT event_type, user_id % 10 AS user_bucket,
+       count(*) AS n,
+       CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_k,
+       CAST(CASE WHEN event_type IS NULL THEN 2 ELSE 0 END
+          + CASE WHEN user_id % 10 IS NULL THEN 1 ELSE 0 END AS INT) AS lvl
+FROM events
+GROUP BY CUBE (event_type, user_id % 10)
+"""
+
+
+@query("event_cube", EVENT_CUBE_ORACLE)
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full subtotal grid via CUBE over (event_type, user_bucket) —
+    2^2 grouping sets in ONE shuffle (Spark expands the sets
+    map-side, the aggregate stays partial-combinable). The level
+    indicator derives from NULL group keys (source keys never NULL),
+    engine-agnostic like symbol_rollup. Quantized value sums keep the
+    doubles exact across engines."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(10)).alias("user_bucket"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vk"),
+    )
+    lvl = (
+        F.when(F.col("event_type").isNull(), 2).otherwise(0)
+        + F.when(F.col("user_bucket").isNull(), 1).otherwise(0)
+    ).cast("int")
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vk").alias("value_k"))
+        .select("event_type", "user_bucket", "n", "value_k", lvl.alias("lvl"))
+    )

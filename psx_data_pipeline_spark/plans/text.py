@@ -799,3 +799,52 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "bucket", "n_tokens", "tok_offset",
         F.expr(f"tok_offset div {_BIN_TOKENS}").alias("bin_id"),
     )
+
+
+# --- quality decile bucketing ------------------------------------------------
+
+QUALITY_TILES_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+           / len({_TOKS}) AS lex_div
+  FROM documents WHERE len({_TOKS}) > 0
+),
+tiled AS (
+  SELECT doc_id, lex_div,
+         ntile(10) OVER (ORDER BY lex_div DESC, doc_id) AS tile
+  FROM scored
+)
+SELECT CAST(tile AS BIGINT) AS tile, count(*) AS n,
+       min(lex_div) AS min_div, max(lex_div) AS max_div
+FROM tiled GROUP BY tile
+"""
+
+
+@query("quality_tiles", QUALITY_TILES_ORACLE)
+def q_quality_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile bucketing: rank documents by lexical diversity
+    and cut into ntile(10) bands — the 'keep the top N% by quality
+    score' curation step. The ORDER BY carries a doc_id tiebreak so
+    tile assignment is total and engine-identical. NOTE the global
+    ntile is a single-partition window — acceptable for a one-off
+    curation cut; the streaming-scale alternative is a two-pass
+    quantile-threshold (approx percentiles then a scan-side filter),
+    which avoids the global sort at the cost of approximate band
+    edges. Per-tile stats are a following map-side-combinable
+    groupBy."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    scored = docs.where(F.size(toks) > 0).select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "lex_div"
+        ),
+    )
+    w = Window.orderBy(F.desc("lex_div"), F.asc("doc_id"))
+    tiled = scored.withColumn("tile", F.ntile(10).over(w).cast("long"))
+    return tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lex_div").alias("min_div"),
+        F.max("lex_div").alias("max_div"),
+    )
