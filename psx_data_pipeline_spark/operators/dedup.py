@@ -360,3 +360,93 @@ def connected_components(
         )
     bi.unpersist()
     return lbl
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    edge rewriting (the published MapReduce CC algorithm): each round
+    hooks every node to the minimum of its neighborhood, so component
+    trees flatten in O(log n) rounds regardless of graph DIAMETER —
+    the label-propagation sibling (`connected_components`) needs
+    diameter rounds, which a long chain turns into n. Fixpoint is a
+    star forest: every node points straight at its component's
+    minimum id.
+
+    Per round: two groupBy-min + two joins, all equi; the driver-side
+    convergence check is one scalar signature (count + hash sum) per
+    round instead of label propagation's changed-count — and there
+    are only O(log n) rounds to check. Returns (id, comp); isolated
+    nodes map to themselves. Output is identical to
+    `connected_components` (property-tested).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("src"), F.least("a", "b").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: every strictly-larger neighbor of u hooks to
+        # min(Γ(u) ∪ {u}); output edges strictly decrease, so no
+        # self-loops by construction
+        bi = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = bi.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        ls = (
+            bi.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star: per node u (edges directed big→small), every
+        # smaller neighbor and u itself hook to min(N(u) ∪ {u})
+        mins2 = ls.groupBy("src").agg(F.min("dst").alias("m"))
+        ss = (
+            ls.join(mins2, "src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(mins2.select("src", F.col("m").alias("dst")))
+            .distinct()
+        )
+        new_e = ss.localCheckpoint(eager=True)
+        # set signature: count + XOR of per-edge hashes (edges are
+        # distinct, so XOR is order-independent and cannot overflow)
+        row = new_e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        sig = (row["c"], row["h"])
+        e = new_e
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — max_iter is far above the O(log n) bound, so "
+            "this indicates a bug, not a deep graph"
+        )
+    comp = e.groupBy("src").agg(F.min("dst").alias("comp")).withColumnRenamed(
+        "src", "id"
+    )
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    )
