@@ -45,9 +45,40 @@ DRIVER_VERIFIED_PRIOR = {
 }
 
 
+def _verified_in_correctness_files() -> set[str]:
+    """Names with a fully-green row in any prior round's
+    CORRECTNESS_r*.json — the rotation then needs no manual
+    bookkeeping: each new round automatically front-loads whatever
+    the driver has never confirmed. Fail-safe: unreadable files
+    contribute nothing (the static set above still applies)."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+            for name, r in rows.items():
+                if (
+                    isinstance(r, dict)
+                    and r.get("rows_match")
+                    and r.get("schema_match")
+                    and r.get("hash_match") is not False  # rows-only ok
+                    and not r.get("err")
+                ):
+                    out.add(name)
+        except (OSError, ValueError):
+            continue
+    return out
+
+
 def _prioritized(d: dict) -> dict:
-    fresh = {n: v for n, v in d.items() if n not in DRIVER_VERIFIED_PRIOR}
-    seen = {n: v for n, v in d.items() if n in DRIVER_VERIFIED_PRIOR}
+    prior = DRIVER_VERIFIED_PRIOR | _verified_in_correctness_files()
+    fresh = {n: v for n, v in d.items() if n not in prior}
+    seen = {n: v for n, v in d.items() if n in prior}
     return {**fresh, **seen}
 
 
