@@ -24,8 +24,37 @@ from psx_data_pipeline_spark.plans.registry import query
 from psx_data_pipeline_spark.sources.fixtures import load_table
 
 _DIM = 64
-_QUERY_MOD = 100  # query set = vec_id % 100 == 0 (1% of the corpus)
+# query set = vec_id % MOD == 0, with MOD scaled so the QUERY COUNT
+# stays ~fixed (~20) as the corpus grows — the brute-force baseline
+# is |queries| × |corpus|; a corpus-proportional query set makes it
+# quadratic and breaks the documented bounded-broadcast design. At
+# the driver's scale factors ceil(n/20) <= 100, so results there are
+# unchanged.
+_QUERY_MOD = 100
+_QUERY_TARGET = 20
+_QUERY_MOD_SQL = (
+    f"GREATEST({_QUERY_MOD}, CAST(ceil("
+    f"CAST((SELECT count(*) FROM embeddings) AS DOUBLE) / {_QUERY_TARGET}"
+    f") AS BIGINT))"
+)
 _K = 5
+
+def _scaled_mod_subset(
+    emb: DataFrame, base_mod: int, target: int, residue: int
+) -> DataFrame:
+    """Rows with vec_id % GREATEST(base_mod, ceil(n/target)) ==
+    residue — the corpus-size-scaled deterministic subset used for
+    query sets and centroids. One broadcast scalar row; the filter
+    stays a scan-side expression."""
+    nrow = emb.agg(F.count(F.lit(1)).alias("__n"))
+    mod = F.greatest(
+        F.lit(base_mod).cast("long"),
+        F.ceil(F.col("__n") / F.lit(float(target))).cast("long"),
+    )
+    return emb.crossJoin(F.broadcast(nrow)).where(
+        F.col("vec_id") % mod == residue
+    ).drop("__n")
+
 
 _COS = (
     f"{dot_sql('q.qe', 'c.ce')}"
@@ -35,7 +64,7 @@ _COS = (
 COSINE_TOPK_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-  WHERE vec_id % {_QUERY_MOD} = 0
+  WHERE vec_id % {_QUERY_MOD_SQL} = 0
 ),
 c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
 scored AS (
@@ -57,7 +86,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the corpus; per-query top-k via row_number with an id
     tie-break so the ranking is unique."""
     emb = load_table(spark, "embeddings", sf_dir)
-    queries = emb.where(F.col("vec_id") % _QUERY_MOD == 0)
+    queries = _scaled_mod_subset(emb, _QUERY_MOD, _QUERY_TARGET, 0)
     return cosine_topk(emb, queries, "embedding", "vec_id", k=_K)
 
 
@@ -99,7 +128,19 @@ def q_lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF approximate top-k ---------------------------------------------------
 
-_CENT_MOD = 40   # centroids = vec_id % 40 == 1 (deterministic "training")
+# centroids = vec_id % MOD == 1, with MOD scaled so the CELL COUNT
+# stays ~fixed (~{target}) as the corpus grows: a constant mod makes
+# centroid count grow linearly with the corpus, which turns the
+# assignment step (corpus × centroids) QUADRATIC — measured 1.7 s →
+# 88 s on a 10× corpus before this scaling. At the driver's scale
+# factors ceil(n/50) < 40, so results there are unchanged.
+_CENT_MOD = 40
+_CENT_TARGET = 50  # cells held ~constant; real IVF retrains offline
+_CENT_MOD_SQL = (
+    f"GREATEST({_CENT_MOD}, CAST(ceil("
+    f"CAST((SELECT count(*) FROM embeddings) AS DOUBLE) / {_CENT_TARGET}"
+    f") AS BIGINT))"
+)
 _NPROBE = 2
 
 _ASSIGN_COS = (
@@ -114,7 +155,7 @@ _IVF_COS = (
 IVF_TOPK_ORACLE = f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS ce FROM embeddings
-  WHERE vec_id % {_CENT_MOD} = 1
+  WHERE vec_id % {_CENT_MOD_SQL} = 1
 ),
 cells AS (
   SELECT id AS neighbor_id, e AS ne, cid FROM (
@@ -129,7 +170,7 @@ probes AS (
     SELECT v.vec_id AS id, v.e, ct.cid, row_number() OVER (
       PARTITION BY v.vec_id ORDER BY {_ASSIGN_COS} DESC, ct.cid) AS rk
     FROM (SELECT vec_id, embedding AS e FROM embeddings
-          WHERE vec_id % {_QUERY_MOD} = 0) v
+          WHERE vec_id % {_QUERY_MOD_SQL} = 0) v
     CROSS JOIN cent ct
   ) WHERE rk <= {_NPROBE}
 ),
@@ -153,10 +194,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons are cell-local, shuffled on cid, instead of
     query × corpus. The data-adaptive twin of the LSH path."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = emb.where(F.col("vec_id") % _CENT_MOD == 1).select(
+    cents = _scaled_mod_subset(emb, _CENT_MOD, _CENT_TARGET, 1).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
-    queries = emb.where(F.col("vec_id") % _QUERY_MOD == 0)
+    queries = _scaled_mod_subset(emb, _QUERY_MOD, _QUERY_TARGET, 0)
     return ivf_topk(
         emb, queries, cents, "embedding", "vec_id",
         cid_col="cid", k=_K, nprobe=_NPROBE,
