@@ -848,3 +848,69 @@ def q_quality_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lex_div").alias("min_div"),
         F.max("lex_div").alias("max_div"),
     )
+
+
+# --- bigram association (PMI-style lift) -------------------------------------
+
+WORD_PMI_ORACLE = f"""
+WITH bi AS (
+  SELECT unnest({_SHINGLES2}) AS bg FROM documents
+),
+bc AS (SELECT bg, count(*) AS c_xy FROM bi WHERE contains(bg, ' ') GROUP BY bg),
+tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+tc AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (
+  SELECT (SELECT count(*) FROM tok) AS n_tok,
+         (SELECT count(*) FROM bi WHERE contains(bg, ' ')) AS n_bi
+)
+SELECT bg, CAST(c_xy AS BIGINT) AS c_xy,
+       CAST(c_xy AS DOUBLE) * n_tok * n_tok
+         / (CAST(n_bi AS DOUBLE) * cx.c * cy.c) AS lift
+FROM bc
+JOIN tc cx ON cx.tok = split_part(bg, ' ', 1)
+JOIN tc cy ON cy.tok = split_part(bg, ' ', 2)
+CROSS JOIN tot
+ORDER BY c_xy DESC, bg LIMIT 20
+"""
+
+
+@query("word_pmi", WORD_PMI_ORACLE)
+def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigrams with their PMI-style lift — observed bigram rate
+    over the rate independence predicts from the unigram
+    frequencies (collocation mining; >1 = words attract). Three
+    map-side-combinable counts + two joins of the bigram table
+    against the (vocabulary-sized) unigram table; the corpus totals
+    ride along as ONE broadcast scalar row. Lift stays a ratio of
+    exact counts evaluated in the identical operand order on both
+    engines (no log), so the hash-compare is exact."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    bi = docs.select(F.explode(word_shingles("text", 2)).alias("bg")).where(
+        F.col("bg").contains(" ")
+    )
+    bc = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy"))
+    tok = docs.select(F.explode(tokens("text")).alias("tok"))
+    tc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = bi.agg(F.count(F.lit(1)).alias("n_bi")).crossJoin(
+        F.broadcast(tok.agg(F.count(F.lit(1)).alias("n_tok")))
+    )
+    cx = tc.select(F.col("tok").alias("__wx"), F.col("c").alias("cx"))
+    cy = tc.select(F.col("tok").alias("__wy"), F.col("c").alias("cy"))
+    out = (
+        bc.withColumn("__wx", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("__wy", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(cx, "__wx")
+        .join(cy, "__wy")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            "c_xy",
+            (
+                F.col("c_xy").cast("double") * F.col("n_tok") * F.col("n_tok")
+                / (
+                    F.col("n_bi").cast("double") * F.col("cx") * F.col("cy")
+                )
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("c_xy"), F.asc("bg")).limit(20)

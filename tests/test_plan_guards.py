@@ -26,10 +26,11 @@ FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 # Intentional bounded broadcasts: brute-force cosine compares the
 # corpus against a BROADCAST top-k query set (definitionally
 # all-pairs vs a tiny constant side — operators/similarity.py:70),
-# and IVF probes query×centroid where both sides are small constants
-# (operators/similarity.py:261). The corpus side is never the build
-# side, so these survive 100 TB.
-BOUNDED_BROADCAST_OK = {"cosine_topk", "ivf_topk"}
+# IVF probes query×centroid where both sides are size-capped via the
+# corpus-scaled mod (plans/similarity.py), and word_pmi carries its
+# two corpus totals as ONE broadcast scalar row. The corpus side is
+# never the build side, so these survive 100 TB.
+BOUNDED_BROADCAST_OK = {"cosine_topk", "ivf_topk", "word_pmi"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
