@@ -189,7 +189,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint, survives whitespace normalization. Sequential fold
     in both engines (F.aggregate ↔ list_reduce with a prepended
     zero), bigint arithmetic stays under 2^52."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_parallel(spark, "documents", sf_dir)
     hs = F.transform(tokens("text"), lambda t: md5_long(t) % HASH_P)
     fp = F.aggregate(
         hs,
@@ -308,7 +308,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token — df is corpus-bounded vocabulary, so at scale the join
     broadcast-degrades gracefully under AQE; the doc count N is a
     scalar literal, not a per-row subquery."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_parallel(spark, "documents", sf_dir)
     n_docs = docs.count()  # scalar: one tiny job, inlined as a literal
     toks = docs.select(
         "doc_id", F.explode(tokens("text")).alias("tok")
