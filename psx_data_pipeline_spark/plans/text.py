@@ -914,3 +914,63 @@ def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("c_xy"), F.asc("bg")).limit(20)
+
+
+# --- out-of-vocabulary rate --------------------------------------------------
+
+_VOCAB_K = 100
+
+OOV_RATE_ORACLE = f"""
+WITH tc AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY tok ORDER BY c DESC, tok LIMIT {_VOCAB_K}
+),
+v AS (SELECT list(tok) AS vocab FROM tc),
+per_doc AS (
+  SELECT doc_id, len({_TOKS}) AS n_tokens,
+         len(list_filter({_TOKS},
+             w -> NOT list_contains(v.vocab, w))) AS n_oov
+  FROM documents CROSS JOIN v WHERE len({_TOKS}) > 0
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+FROM per_doc
+"""
+
+
+@query("oov_rate", OOV_RATE_ORACLE)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-{_VOCAB_K}
+    vocabulary (count-desc, token-asc tie-break) — the classic cheap
+    perplexity proxy for pre-training quality filters. The vocabulary
+    is a bounded top-k (one map-side-combinable count + tiny sort),
+    BROADCAST back as an array literal column; the per-doc OOV count
+    is then a scan-side array filter — the corpus text itself never
+    shuffles. Rates are exact-int ratios → engine-identical."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    toks = tokens("text")
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_VOCAB_K)
+        .agg(F.collect_list("tok").alias("vocab"))
+    )
+    scored = (
+        docs.where(F.size(toks) > 0)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(
+                F.filter(toks, lambda w: ~F.array_contains("vocab", w))
+            ).cast("long").alias("n_oov"),
+        )
+    )
+    return scored.select(
+        "*",
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+    )

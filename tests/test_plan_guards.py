@@ -27,10 +27,11 @@ FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 # corpus against a BROADCAST top-k query set (definitionally
 # all-pairs vs a tiny constant side — operators/similarity.py:70),
 # IVF probes query×centroid where both sides are size-capped via the
-# corpus-scaled mod (plans/similarity.py), and word_pmi carries its
-# two corpus totals as ONE broadcast scalar row. The corpus side is
-# never the build side, so these survive 100 TB.
-BOUNDED_BROADCAST_OK = {"cosine_topk", "ivf_topk", "word_pmi"}
+# corpus-scaled mod (plans/similarity.py), and word_pmi / oov_rate
+# carry corpus totals / the top-K vocabulary as ONE broadcast scalar
+# row. The corpus side is never the build side, so these survive
+# 100 TB.
+BOUNDED_BROADCAST_OK = {"cosine_topk", "ivf_topk", "word_pmi", "oov_rate"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
