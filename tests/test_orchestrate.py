@@ -92,3 +92,56 @@ def test_scheduled_run_idempotent_and_dated(spark, tmp_path):
     # a different date accumulates dated history alongside
     scheduled_run(spark, SF, out, "2026-08-13")
     assert spark.read.parquet(f"{out}/run_date=2026-08-13/change_log").count() == n1
+
+
+# --- CLI entry point (reference main.py parity) ------------------------------
+
+
+def test_cli_full_run_exit_zero(spark, tmp_path):
+    from psx_data_pipeline_spark.__main__ import main
+
+    rc = main([
+        "--full-run", "--sf-dir", "/root/testdata/sf0.001",
+        "--out-dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    import os
+
+    assert os.path.isdir(str(tmp_path / "out" / "change_log"))
+
+
+def test_cli_single_stage_failure_exits_one(spark, tmp_path, monkeypatch):
+    """A standalone stage failure exits 1 (reference main.py:62-66)."""
+    import psx_data_pipeline_spark.orchestrate as orch
+    from psx_data_pipeline_spark.__main__ import main
+    from psx_data_pipeline_spark.orchestrate import Stage
+
+    def broken_stages(spark_, sf_dir, out_dir):
+        def boom():
+            raise RuntimeError("injected")
+
+        return [Stage("sync", boom, orch.ABORT)]
+
+    monkeypatch.setattr(
+        "psx_data_pipeline_spark.orchestrate.full_run_stages", broken_stages
+    )
+    rc = main([
+        "--sync-tickers", "--sf-dir", "/root/testdata/sf0.001",
+        "--out-dir", str(tmp_path / "out"),
+    ])
+    assert rc == 1
+
+
+def test_cli_dated_run_is_idempotent(spark, tmp_path):
+    from psx_data_pipeline_spark.__main__ import main
+
+    out = str(tmp_path / "out")
+    for _ in range(2):  # re-running a tick must be clean
+        rc = main([
+            "--full-run", "--sf-dir", "/root/testdata/sf0.001",
+            "--out-dir", out, "--run-date", "2026-08-13",
+        ])
+        assert rc == 0
+    import os
+
+    assert os.path.isdir(f"{out}/run_date=2026-08-13/change_log")
