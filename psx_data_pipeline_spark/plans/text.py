@@ -974,3 +974,54 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
     )
+
+
+# --- temperature-scaled source mixing weights --------------------------------
+
+SOURCE_TEMPERATURE_ORACLE = f"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+scaled AS (
+  SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS s FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       s / (SELECT CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE)
+            FROM scaled) AS weight
+FROM scaled
+"""
+
+
+@query("source_temperature_weights", SOURCE_TEMPERATURE_ORACLE)
+def q_source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (the published
+    multi-source sampling scheme, alpha = 0.5): weight_i =
+    sqrt(tokens_i) / sum_j sqrt(tokens_j) — upweights small sources
+    relative to proportional sampling. One map-side-combinable
+    aggregate to source granularity (tiny), then a window-sum
+    normalization over the per-source rows — the corpus is read
+    once and never shuffled. sqrt is IEEE correctly-rounded, and
+    the normalizer sums the sqrts EXACTLY in decimal (float addition
+    is order-dependent — a partial-agg tree vs DuckDB's serial sum
+    differed by 1 ulp), so the weights are bit-identical across
+    engines at any partitioning."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    scaled = per_source.withColumn(
+        "s", F.sqrt(F.col("n_tokens").cast("double"))
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    denom = F.sum(F.col("s").cast("decimal(38,6)")).over(total).cast(
+        "double"
+    )
+    return scaled.select(
+        "source", "n_docs", "n_tokens",
+        (F.col("s") / denom).alias("weight"),
+    )
