@@ -1,0 +1,181 @@
+"""Scale rehearsal: build N×-duplicated corpora in /tmp and time every
+query family against them.
+
+This is the tool that found round 3's four super-linear bugs (see
+SCALE.md "Scale rehearsal"): sf0.1 hides anything that scales with
+duplication factor or corpus-derived set sizes. Run it after touching
+any dedup/ANN/text operator:
+
+    python tools/scale_rehearsal.py --factor 10 --families dedup ann
+
+Corpora are built to be adversarial: documents/customers duplicate
+every row's CONTENT under fresh ids (worst case for similarity
+blocking); events/lineitem replicate under fresh keys. Events go
+through pyarrow, not DuckDB COPY — DuckDB silently rewrites
+TIMESTAMP_NANOS to microseconds, which breaks the engine's int64-ns
+contract.
+
+Output: one line per query, `name: seconds` (or FAILED + error), and
+a final JSON summary. Success criterion is judgement, not assertion:
+a family is healthy when its times are ~factor× its sf0.1 times or
+better.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+
+FAMILIES = {
+    "dedup": [
+        "dedup_exact", "dedup_incremental", "chunk_dedup", "doc_repetition",
+        "decontaminate", "simhash_near_pairs", "minhash_lsh_pairs",
+        "ngram_jaccard_pairs", "dedup_clusters",
+    ],
+    "text": [
+        "keyword_classify", "lang_id", "text_quality", "doc_fingerprint",
+        "word_freq", "token_stats", "tfidf_top_terms", "doc_chunks",
+        "doc_mask", "corpus_sample", "corpus_curate", "word_pmi", "oov_rate",
+        "token_budget_sample", "sequence_pack", "quality_tiles",
+        "source_temperature_weights",
+    ],
+    "ann": [
+        "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
+        "embedding_stats", "embedding_dedup",
+    ],
+    "events": [
+        "sessionize_events", "detect_gaps", "asof_join_clicks",
+        "skew_salted_counts", "event_type_pivot", "event_funnel",
+        "user_retention", "event_props_json", "event_cube",
+        "stream_window_counts", "stream_sessionize", "stream_user_totals",
+        "stream_click_attribution", "stream_dedup",
+    ],
+    "relational": [
+        "pricing_summary", "above_segment_avg", "top_building_orders",
+        "regional_revenue", "ohlc_daily", "daily_returns", "moving_avg",
+        "rolling_range_7d", "topk_by_volume", "price_percentiles",
+        "append_cutoff", "ohlc_missing_days",
+    ],
+    "ticker": [
+        "snapshot_diff", "rename_detection", "rename_detection_parity",
+        "ticker_sync_changes", "scd1_merge", "scd2_history",
+        "latest_per_key", "dedup_latest",
+    ],
+}
+
+
+def build_corpus(out_dir: str, factor: int) -> None:
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{BASE}/documents.parquet'"
+    ).fetchone()[0]
+    duckdb.sql(f"""
+        COPY (SELECT doc_id + {n_docs} * i AS doc_id, text, lang, source,
+                     n_chars
+              FROM '{BASE}/documents.parquet',
+                   UNNEST(range(0, {factor})) AS t(i))
+        TO '{out_dir}/documents.parquet' (FORMAT PARQUET)""")
+    duckdb.sql(f"""
+        COPY (SELECT vec_id + 2000 * i AS vec_id, embedding
+              FROM '{BASE}/embeddings.parquet',
+                   UNNEST(range(0, {factor})) AS t(i))
+        TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)""")
+    duckdb.sql(f"""
+        COPY (SELECT c_custkey + 15000 * i AS c_custkey,
+                     c_name || '-' || CAST(i AS VARCHAR) AS c_name,
+                     c_acctbal, c_mktsegment, c_nationkey
+              FROM '{BASE}/customer.parquet',
+                   UNNEST(range(0, {factor})) AS t(i))
+        TO '{out_dir}/customer.parquet' (FORMAT PARQUET)""")
+    duckdb.sql(f"""
+        COPY (SELECT l_orderkey + 600000 * i AS l_orderkey, l_partkey,
+                     l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                     l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+              FROM '{BASE}/lineitem.parquet',
+                   UNNEST(range(0, {factor})) AS t(i))
+        TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)""")
+    duckdb.sql(f"""
+        COPY (SELECT o_orderkey + 600000 * i AS o_orderkey, o_custkey,
+                     o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+              FROM '{BASE}/orders.parquet',
+                   UNNEST(range(0, {factor})) AS t(i))
+        TO '{out_dir}/orders.parquet' (FORMAT PARQUET)""")
+    # events: pyarrow to preserve TIMESTAMP_NANOS
+    t = pq.read_table(f"{BASE}/events.parquet")
+    parts = [
+        pa.table({
+            "event_id": pc.add(t["event_id"], 100_000 * i),
+            "ts": t["ts"],
+            "user_id": pc.add(t["user_id"], 1_000 * i),
+            "event_type": t["event_type"],
+            "value": t["value"],
+            "props": t["props"],
+        })
+        for i in range(factor)
+    ]
+    pq.write_table(pa.concat_tables(parts), f"{out_dir}/events.parquet")
+    for name in ("region", "nation", "supplier", "part"):
+        dst = f"{out_dir}/{name}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{name}.parquet", dst)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--families", nargs="*", default=sorted(FAMILIES))
+    ap.add_argument("--dir", default=None,
+                    help="reuse an existing rehearsal corpus dir")
+    args = ap.parse_args()
+
+    out_dir = args.dir or f"/tmp/rehearsal_{args.factor}x"
+    if not args.dir or not os.path.isdir(out_dir):
+        print(f"building {args.factor}x corpus in {out_dir} ...", flush=True)
+        build_corpus(out_dir, args.factor)
+
+    from psx_data_pipeline_spark.plans import QUERIES
+    from psx_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the page cache so times measure compute
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet"):
+            spark.read.parquet(f"{out_dir}/{f}").write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+    timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
+    for fam in args.families:
+        for name in FAMILIES[fam]:
+            t0 = time.perf_counter()
+            try:
+                QUERIES[name](spark, out_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                timings[name] = round(time.perf_counter() - t0, 1)
+                print(f"{name}: {timings[name]} s", flush=True)
+            except Exception as exc:  # keep rehearsing the rest
+                failed[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+                print(f"{name}: FAILED {failed[name]}", flush=True)
+    print(json.dumps({"factor": args.factor, "queries": timings,
+                      "failed": failed}))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
