@@ -398,3 +398,48 @@ def q_ohlc_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cal.join(obs, ["symbol_id", "d"], "left_anti").select(
         "symbol_id", F.col("d").alias("missing_date")
     )
+
+
+# --- brand revenue share (part-dimension join) -------------------------------
+
+BRAND_SHARE_ORACLE = f"""
+WITH per_brand AS (
+  SELECT p.p_brand AS brand,
+         {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+         count(*) AS n_lines
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+)
+SELECT brand, revenue, n_lines,
+       revenue / (SELECT CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE)
+                  FROM per_brand) AS share
+FROM per_brand
+"""
+
+
+@query("brand_revenue_share", BRAND_SHARE_ORACLE)
+def q_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped part-dimension join: per-brand discounted
+    revenue and its share of the total. The part side joins on the
+    partkey — at fixture scale Catalyst broadcasts it, at 100 TB it
+    is a shuffle (or bucketed, zero-exchange) equi-join; the brand
+    rollup is map-side-combinable. Both the per-brand revenue and the
+    share's denominator go through exact decimal sums, so the doubles
+    are bit-identical at any partitioning."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_brand = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    denom = F.sum(F.col("revenue").cast("decimal(38,6)")).over(total).cast(
+        "double"
+    )
+    return per_brand.select(
+        "brand", "revenue", "n_lines", (F.col("revenue") / denom).alias("share")
+    )

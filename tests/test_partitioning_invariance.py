@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.001"
 FLOAT_AGG_QUERIES = [
     "pricing_summary", "update_stats", "ohlc_daily", "moving_avg",
     "ngram_jaccard_pairs", "cosine_topk", "price_percentiles",
-    "source_temperature_weights", "word_pmi",
+    "source_temperature_weights", "word_pmi", "brand_revenue_share",
 ]
 
 
