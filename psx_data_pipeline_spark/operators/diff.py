@@ -123,17 +123,30 @@ def detect_renames(
 
     def rarest_gram(contained: DataFrame, side: str, container_grams: DataFrame) -> DataFrame:
         """One row per contained name, carrying its globally rarest
-        gram (ties broken on the gram string for determinism)."""
+        gram (ties broken on the gram string for determinism).
+
+        The argmin is a map-side-combinable ``min_by`` over
+        (gfreq, gram) — same pick as a sort + row_number window
+        (lexicographic struct order == the (gfreq asc, gram asc)
+        sort) at one partial-aggregated shuffle instead of a full
+        per-key sort stage."""
         freq = container_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
         g = grams(contained.where(F.length(f"{side}_name") >= B), side)
         scored = g.join(freq, "gram", "left").withColumn(
             "gfreq", F.coalesce("gfreq", F.lit(0))
         )
-        w = Window.partitionBy(f"{side}_key").orderBy(F.asc("gfreq"), F.asc("gram"))
-        return (
-            scored.withColumn("__rk", F.row_number().over(w))
-            .where((F.col("__rk") == 1) & (F.col("gfreq") > 0))
-            .drop("__rk", "gfreq")
+        best = scored.groupBy(f"{side}_key").agg(
+            F.min_by(
+                F.struct(
+                    "gram", f"{side}_name", F.col("gfreq").alias("gfreq")
+                ),
+                F.struct("gfreq", "gram"),
+            ).alias("__b")
+        )
+        return best.where(F.col("__b.gfreq") > 0).select(
+            f"{side}_key",
+            F.col(f"__b.{side}_name").alias(f"{side}_name"),
+            F.col("__b.gram").alias("gram"),
         )
 
     def short_grams(df: DataFrame, side: str) -> DataFrame:
@@ -199,15 +212,25 @@ def detect_renames(
                 lambda i: F.col("tok").substr(i, F.lit(B)),
             ))).alias("gram"),
         )
-        w_tok = Window.partitionBy("old_key", "tok").orderBy(
-            F.asc("gfreq"), F.asc("gram")
-        )
         tok_rarest = (
             tok_grams.join(nfreq, "gram", "left")
             .withColumn("gfreq", F.coalesce("gfreq", F.lit(0)))
-            .withColumn("__rk", F.row_number().over(w_tok))
-            .where((F.col("__rk") == 1) & (F.col("gfreq") > 0))
-            .select("old_key", "old_name", "tok", "gram")
+            .groupBy("old_key", "tok")
+            .agg(
+                F.min_by(
+                    F.struct(
+                        "gram", "old_name", F.col("gfreq").alias("gfreq")
+                    ),
+                    F.struct("gfreq", "gram"),
+                ).alias("__b")
+            )
+            .where(F.col("__b.gfreq") > 0)
+            .select(
+                "old_key",
+                F.col("__b.old_name").alias("old_name"),
+                "tok",
+                F.col("__b.gram").alias("gram"),
+            )
         )
         cand_tok = (
             tok_rarest.join(new_grams, "gram")
