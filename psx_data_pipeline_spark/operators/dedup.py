@@ -32,6 +32,72 @@ from psx_data_pipeline_spark.functions.hashing import (
 from psx_data_pipeline_spark.functions.textfns import tokens, word_shingles
 
 
+def _dup_collapse(df: DataFrame, text_col: str, id_col: str):
+    """Collapse exact-duplicate texts before similarity machinery.
+
+    Identical texts make EVERY blocking scheme (bands, pigeonhole
+    blocks, prefix filters) quadratic in the duplication factor while
+    telling us nothing — their pairs are known in advance — and
+    duplicate-heavy corpora are precisely what dedup operators see.
+    Returns (grouped, reps, members): grouped is the persisted
+    working frame (caller must unpersist after materializing),
+    reps has one (id, __txt) row per distinct text (the min-id
+    member, via ONE fingerprint window), members maps every id to
+    its representative."""
+    grouped = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        .withColumn("fp", F.md5("__txt"))
+        .withColumn("rep", F.min("id").over(Window.partitionBy("fp")))
+        .persist()
+    )
+    reps = grouped.where(F.col("id") == F.col("rep")).select("id", "__txt")
+    members = grouped.select("id", "rep")
+    return grouped, reps, members
+
+
+def _expand_dup_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    value_cols: list[str],
+    intra_values: dict[str, Column],
+) -> DataFrame:
+    """Expand representative-level pairs back to document ids.
+
+    Intra-group pairs (identical texts) get the known ``intra_values``
+    (e.g. jaccard 1.0, hamming 0); cross-group pairs inherit the
+    representatives' values — member texts ARE the reps' texts.
+    Output-bound by construction: the expansion joins are on the
+    (tiny) rep keys and emit exactly the final pairs."""
+    intra = (
+        members.select(F.col("id").alias("id_a"), F.col("rep").alias("g"))
+        .join(
+            members.select(F.col("id").alias("id_b"), F.col("rep").alias("g")),
+            "g",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            *[v.alias(k) for k, v in intra_values.items()],
+        )
+    )
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("id").alias("ida"), F.col("rep").alias("rep_a")),
+            "rep_a",
+        )
+        .join(
+            members.select(F.col("id").alias("idb"), F.col("rep").alias("rep_b")),
+            "rep_b",
+        )
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            *value_cols,
+        )
+    )
+    return intra.unionByName(cross)
+
+
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact content dedup: md5 fingerprint group-by, keep min id.
 
@@ -100,9 +166,20 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) whose signatures collide
     in ≥1 LSH band. rows_per_band = k/bands; band signature is the
-    ordered concatenation of the band's min-values."""
+    ordered concatenation of the band's min-values.
+
+    Exact duplicates collapse first (identical texts ⇒ identical
+    signatures ⇒ every band collides — the quadratic-in-duplication
+    candidate volume is known in advance); banding runs on one
+    representative per distinct text and the group pairs expand
+    afterward (see _dup_collapse), so candidate generation scales
+    with DISTINCT texts and the expansion is output-bound."""
+    grouped, reps, members = _dup_collapse(df, text_col, id_col)
     rows_per_band = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k, shingle_n).withColumn(
+    sig = minhash_signatures(
+        reps.select(F.col("id").alias(id_col), F.col("__txt").alias(text_col)),
+        text_col, id_col, k, shingle_n,
+    ).withColumn(
         "band", (F.col("i") / rows_per_band).cast("int")
     )
     band_sig = sig.groupBy("id", "band").agg(
@@ -117,21 +194,26 @@ def minhash_lsh_pairs(
     # the signature computation (the expensive part) runs once
     ).persist()
     a = band_sig.select(
-        F.col("id").alias("id_a"), "band", "bsig"
+        F.col("id").alias("rep_a"), "band", "bsig"
     )
-    b = band_sig.select(F.col("id").alias("id_b"), "band", "bsig")
-    out = (
+    b = band_sig.select(F.col("id").alias("rep_b"), "band", "bsig")
+    rep_pairs = (
         a.join(b, ["band", "bsig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b")
         .distinct()
-        # eager materialization lets the persisted subtree be released
-        # immediately instead of leaking into the session's cache for
-        # its lifetime (checkpointed RDDs are GC-managed; cache()
-        # entries are not)
+        # checkpoint the SMALL inputs of the expansion (rep pairs +
+        # id->rep map), not the expanded output: the persisted
+        # subtrees release immediately, while the (potentially huge,
+        # output-bound) expansion stays a lazy plan — eagerly caching
+        # it as deserialized rows measured 70 s of GC thrash at a
+        # 30x-duplicated corpus
         .localCheckpoint(eager=True)
     )
+    members_ck = members.localCheckpoint(eager=True)
+    out = _expand_dup_pairs(rep_pairs, members_ck, [], {})
     band_sig.unpersist()
+    grouped.unpersist()
     return out
 
 
@@ -175,10 +257,20 @@ def simhash_near_pairs(
     Candidate generation blocks on ⌈bits/16⌉ prefix blocks (pigeonhole:
     Hamming ≤ max_hamming ⇒ at least one 16-bit block equal when
     blocks > max_hamming); verification is bit_count(xor) ≤ d.
+
+    Exact duplicates collapse first (identical texts ⇒ identical
+    simhashes ⇒ every block collides; at a 30×-duplicated corpus the
+    uncollapsed block join OOMed the executor) — blocking runs on one
+    representative per distinct text, intra-group pairs emit with
+    Hamming 0, cross pairs inherit the representatives' distance.
     """
+    grouped, reps, members = _dup_collapse(df, text_col, id_col)
     n_blocks = max(max_hamming + 1, bits // 16)
     block_w = bits // n_blocks
-    sh = simhash(df, text_col, id_col, bits)
+    sh = simhash(
+        reps.select(F.col("id").alias(id_col), F.col("__txt").alias(text_col)),
+        text_col, id_col, bits,
+    )
     blk = sh.select(
         "id",
         "simhash",
@@ -190,22 +282,28 @@ def simhash_near_pairs(
             f" % shiftleft(CAST(1 AS BIGINT), {block_w})"
         ),
     ).persist()  # read by both sides of the self-join below
-    a = blk.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "blkval")
-    b = blk.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "blkval")
-    out = (
+    a = blk.select(F.col("id").alias("rep_a"), F.col("simhash").alias("sh_a"), "blk", "blkval")
+    b = blk.select(F.col("id").alias("rep_b"), F.col("simhash").alias("sh_b"), "blk", "blkval")
+    rep_pairs = (
         a.join(b, ["blk", "blkval"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b", "sh_a", "sh_b")
         .distinct()
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .localCheckpoint(eager=True)  # release the persisted blocks below
+        .select("rep_a", "rep_b", "hamming")
     )
+    rep_pairs = rep_pairs.localCheckpoint(eager=True)  # small
+    members_ck = members.localCheckpoint(eager=True)   # small
+    out = _expand_dup_pairs(
+        rep_pairs, members_ck, ["hamming"],
+        {"hamming": F.lit(0)},
+    )  # lazy expansion over checkpointed inputs (see minhash note)
     blk.unpersist()
+    grouped.unpersist()
     return out
 
 
@@ -248,20 +346,11 @@ def ngram_jaccard_pairs(
     is the difference between 115 s and ~7 s — and at 100 TB between
     quadratic-in-duplication and output-bound.
     """
-    # group id = min doc id per distinct text, via ONE window over the
-    # content fingerprint (a groupBy + join-back would cost two more
-    # shuffles); m carries the id→rep map for the expansion below
-    grouped = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
-        .withColumn("fp", F.md5("__txt"))
-        .withColumn("rep", F.min("id").over(Window.partitionBy("fp")))
-        .persist()  # read by rep filter + both expansion sides
-    )
-    m = grouped.select("id", "rep")
+    grouped, reps, members = _dup_collapse(df, text_col, id_col)
     # the shingle arrays feed four consumers (freq, prefix, both
     # verify sides) — persist so the shingling expression runs once
-    base = grouped.where(F.col("id") == F.col("rep")).select(
-        F.col("rep").alias("id"),
+    base = reps.select(
+        "id",
         F.array_distinct(word_shingles("__txt", shingle_n)).alias("shs"),
     ).withColumn("n_sh", F.size("shs")).persist()
     sh = base.select("id", "n_sh", F.explode("shs").alias("sh"))
@@ -312,33 +401,13 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
-    # expand back to document ids. Intra-group: identical texts, so
-    # Jaccard is exactly 1.0; cross-group: every member pair inherits
-    # the representatives' score (their texts ARE the reps' texts).
-    intra = (
-        m.select(F.col("id").alias("id_a"), F.col("rep").alias("g"))
-        .join(m.select(F.col("id").alias("id_b"), F.col("rep").alias("g")), "g")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
-    )
-    cross = (
-        rep_pairs.join(
-            m.select(F.col("id").alias("ida"), F.col("rep").alias("rep_a")),
-            "rep_a",
-        )
-        .join(
-            m.select(F.col("id").alias("idb"), F.col("rep").alias("rep_b")),
-            "rep_b",
-        )
-        .select(
-            F.least("ida", "idb").alias("id_a"),
-            F.greatest("ida", "idb").alias("id_b"),
-            "jaccard",
-        )
-    )
-    out = intra.unionByName(cross).localCheckpoint(
-        eager=True
-    )  # release the persisted subtrees below
+    # intra-group pairs are Jaccard 1.0 by identity; cross pairs
+    # inherit the representatives' score (see _expand_dup_pairs)
+    rep_pairs = rep_pairs.localCheckpoint(eager=True)  # small
+    members_ck = members.localCheckpoint(eager=True)   # small
+    out = _expand_dup_pairs(
+        rep_pairs, members_ck, ["jaccard"], {"jaccard": F.lit(1.0)}
+    )  # lazy expansion over checkpointed inputs (see minhash note)
     base.unpersist()
     prefix.unpersist()
     grouped.unpersist()
