@@ -57,6 +57,11 @@ FAMILIES = {
         "stream_window_counts", "stream_sessionize", "stream_user_totals",
         "stream_click_attribution", "stream_dedup",
     ],
+    "multimodal": ["multimodal_features", "frame_sample"],
+    "scrape": [
+        "market_watch_parse", "company_enrich", "fallback_source",
+        "url_normalize", "date_roundtrip", "first_run_bootstrap",
+    ],
     "relational": [
         "pricing_summary", "above_segment_avg", "top_building_orders",
         "regional_revenue", "ohlc_daily", "daily_returns", "moving_avg",
