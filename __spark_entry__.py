@@ -45,38 +45,60 @@ DRIVER_VERIFIED_PRIOR = {
 }
 
 
-def _verified_in_correctness_files() -> set[str]:
-    """Names with a fully-green row in any prior round's
-    CORRECTNESS_r*.json — the rotation then needs no manual
-    bookkeeping: each new round automatically front-loads whatever
-    the driver has never confirmed. Fail-safe: unreadable files
+# Names whose prior green rows are KNOWN stale: green in an old round,
+# then broken by a later change (round 3's events.ts fixture-type flip)
+# without a failing row of their own in the meantime. Kept out of the
+# "verified" set until the driver re-confirms them green.
+REVERIFY = {
+    "dedup_latest", "sessionize_events", "asof_join_clicks",
+}
+
+
+def _latest_driver_rows() -> dict[str, bool]:
+    """name → whether its MOST RECENT driver row is fully green.
+
+    Regression-aware (round-3 lesson): a name's old green row must not
+    count once a newer round shows it failing, or the rotation pushes
+    a currently-broken query behind the driver's 50-query window and
+    the fix is never re-confirmed. Rounds are ordered by the r{N}
+    suffix; the latest row wins. Fail-safe: unreadable files
     contribute nothing (the static set above still applies)."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    out: set[str] = set()
+    latest: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
-            for name, r in rows.items():
-                if (
-                    isinstance(r, dict)
-                    and r.get("rows_match")
-                    and r.get("schema_match")
-                    and r.get("hash_match") is not False  # rows-only ok
-                    and not r.get("err")
-                ):
-                    out.add(name)
         except (OSError, ValueError):
             continue
-    return out
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            green = bool(
+                r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match") is not False  # rows-only ok
+                and not r.get("err")
+            )
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, green)
+    return {name: green for name, (_, green) in latest.items()}
 
 
 def _prioritized(d: dict) -> dict:
-    prior = DRIVER_VERIFIED_PRIOR | _verified_in_correctness_files()
+    latest = _latest_driver_rows()
+    prior = {n for n, green in latest.items() if green}
+    # the static r2 set vouches only for names with NO file row at all
+    # (unreadable files); any recorded row defers to its latest result
+    prior |= {n for n in DRIVER_VERIFIED_PRIOR if n not in latest}
+    prior -= REVERIFY
     fresh = {n: v for n, v in d.items() if n not in prior}
     seen = {n: v for n, v in d.items() if n in prior}
     return {**fresh, **seen}

@@ -81,12 +81,21 @@ def detect_renames(
 
     Returns (old_key, new_key, old_name, new_name).
     """
+    # Both inputs are churn residuals (the day's adds/deletes — tiny
+    # at any scale, see module docstring) but each is referenced by
+    # EVERY candidate branch below: grams, rarest-gram frequency,
+    # short-substring residual, token index — ~8 references. Without
+    # materialization each branch re-executes the caller's upstream
+    # plan (snapshot scan + anti-join) per reference, which is where
+    # round 3's 2.5 s → 6.4 s regression came from. A lazy
+    # localCheckpoint computes the residual once at first use and is
+    # GC-managed (no unpersist bookkeeping, unlike cache()).
     old = deleted.select(
         F.col(key).alias("old_key"), F.lower(F.col(name)).alias("old_name")
-    )
+    ).localCheckpoint(eager=False)
     new = added.select(
         F.col(key).alias("new_key"), F.lower(F.col(name)).alias("new_name")
-    )
+    ).localCheckpoint(eager=False)
 
     def keyed_tokens(df: DataFrame, side: str) -> DataFrame:
         toks = F.filter(

@@ -26,7 +26,11 @@ from psx_data_pipeline_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from psx_data_pipeline_spark.plans.registry import query
-from psx_data_pipeline_spark.sources.fixtures import load_table, load_table_parallel
+from psx_data_pipeline_spark.sources.fixtures import (
+    load_events,
+    load_table,
+    load_table_parallel,
+)
 
 _TOKS = TOKENS_SQL.format("text")
 # DuckDB twin of textfns.word_shingles(text, 3): n-word shingles, or the
@@ -58,9 +62,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- keep-last-per-key (R8) -------------------------------------------------
 
-# ts is int64 nanoseconds on the Spark side (see fixtures.load_table)
-# but DuckDB truncates parquet NS timestamps to µs — both sides work
-# on the truncated µs value so ordering and output agree exactly.
+# Both sides order on epoch-µs event time: Spark via the type-adaptive
+# ts_us seam (sources/fixtures.ts_us_expr), DuckDB via epoch_us(ts) —
+# identical values under every physical type the fixtures have used.
 DEDUP_LATEST_ORACLE = """
 SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
 FROM events
@@ -73,9 +77,7 @@ QUALIFY row_number() OVER (
 def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-last-per-key dedup (reference dict-build semantics,
     update_ticker_info.py:136) with an explicit tiebreak column."""
-    ev = load_table(spark, "events", sf_dir).withColumn(
-        "ts_us", F.expr("ts div 1000")
-    ).drop("ts")
+    ev = load_events(spark, sf_dir).drop("ts")
     return dedup_latest(ev, "user_id", "ts_us", "event_id").select(
         "event_id", "ts_us", "user_id", "event_type", "value", "props"
     )

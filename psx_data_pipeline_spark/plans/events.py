@@ -15,10 +15,11 @@ from pyspark.sql import functions as F
 
 from psx_data_pipeline_spark.operators.sessions import asof_join, detect_gaps, sessionize
 from psx_data_pipeline_spark.plans.registry import query
-from psx_data_pipeline_spark.sources.fixtures import load_table
+from psx_data_pipeline_spark.sources.fixtures import load_events, load_table
 
-# 30-minute session gap, in microseconds (events.ts is int64 ns on the
-# Spark side, truncated to µs to match DuckDB's parquet NS handling).
+# 30-minute session gap, in microseconds. Event time always enters as
+# the ts_us epoch-µs column from the type-adaptive loader seam
+# (sources/fixtures.ts_us_expr) — never from raw ts arithmetic.
 _GAP_US = 30 * 60 * 1_000_000
 
 SESSIONIZE_ORACLE = f"""
@@ -44,10 +45,8 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of streaming
     session_window): lag → new-session flag → running sum, one shuffle
     on user_id."""
-    ev = (
-        load_table(spark, "events", sf_dir)
-        .withColumn("ts_us", F.expr("ts div 1000"))
-        .select("event_id", "user_id", "event_type", "ts_us")
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_us"
     )
     out = sessionize(ev, "user_id", "ts_us", _GAP_US, tiebreak="event_id")
     return out.select(
@@ -124,10 +123,7 @@ def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark lacks ASOF JOIN; operators/sessions.asof_join implements it
     as union + carry-forward window (one shuffle, no range-join
     explosion). The oracle is DuckDB's native ASOF LEFT JOIN."""
-    ev = (
-        load_table(spark, "events", sf_dir)
-        .withColumn("ts_us", F.expr("ts div 1000"))
-    )
+    ev = load_events(spark, sf_dir)
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id",
         F.col("ts_us").alias("click_ts_us"),
@@ -236,9 +232,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase funnel per user on first-occurrence
     times: one aggregation with filtered MINs (map-side combinable),
     stage flags from time ordering — no self-joins, no windows."""
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
-    )
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_us")
     first_of = lambda t: F.min(  # noqa: E731
         F.when(F.col("event_type") == t, F.col("ts_us"))
     )
@@ -260,7 +254,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- cohort retention --------------------------------------------------------
 
-_NS_PER_DAY = 86_400 * 1_000_000_000
+_US_PER_DAY = 86_400 * 1_000_000
 
 USER_RETENTION_ORACLE = """
 WITH ev AS (
@@ -286,13 +280,13 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucketed by first-activity week,
     counted per (cohort_week, week_offset) cell — the classic
     retention triangle. Week indices are pure integer division on the
-    raw int64-ns timestamp (no calendar parsing → bit-identical
-    across engines). Two shuffles: the per-user min-week window and
-    the final cell aggregate (map-side-combinable distinct). At
-    100 TB the per-user window partitions by user_id — high
-    cardinality, no skew concern."""
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id", F.expr(f"ts div {_NS_PER_DAY} div 7").alias("week")
+    seam's epoch-µs event time (bit-identical across engines). Two
+    shuffles: the per-user min-week window and the final cell
+    aggregate (map-side-combinable distinct). At 100 TB the per-user
+    window partitions by user_id — high cardinality, no skew
+    concern."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_us div {_US_PER_DAY} div 7").alias("week")
     )
     from pyspark.sql import Window
 

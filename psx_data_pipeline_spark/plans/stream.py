@@ -10,12 +10,19 @@ for a streaming operator).
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.sources.fixtures import load_table
 from psx_data_pipeline_spark.streaming.jobs import (
+    incremental_ingest,
     running_user_totals,
     streaming_sessionize,
+    streaming_sync_change_log,
     windowed_event_counts,
 )
 
@@ -132,3 +139,116 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from psx_data_pipeline_spark.streaming.jobs import streaming_dedup
 
     return streaming_dedup(spark, sf_dir)
+
+
+# --- the two streaming JOBS, query-shaped --------------------------------------
+#
+# incremental_ingest and streaming_sync_change_log are sink-side jobs
+# (they write tables, they don't return DataFrames), previously
+# pytest-verified only (tests/test_streaming.py). These wrappers stage
+# fixture-derived landing files in a temp dir, run the job through its
+# real checkpointed multi-run lifecycle — including a REPLAYED run that
+# must append nothing — and return the sink read back, so the driver's
+# DuckDB oracle now checks the jobs' exactly-once semantics
+# value-for-value, not just a hand-written pytest scenario.
+
+_INGEST_SCHEMA = T.StructType([
+    T.StructField("o_orderkey", T.LongType(), True),
+    T.StructField("o_orderstatus", T.StringType(), True),
+    T.StructField("o_totalprice", T.DoubleType(), True),
+])
+
+STREAM_INGEST_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("stream_incremental_ingest", STREAM_INGEST_ORACLE)
+def q_stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once checkpointed ingest (§7 daily-append layer) as an
+    oracle-checked query: the orders table lands as two 'daily' JSON
+    batches, each ingested by its own `AvailableNow` run against ONE
+    checkpoint; a third run with nothing new must append nothing.
+    The sink aggregate equals the plain batch GROUP BY over orders
+    iff no batch was dropped or double-ingested."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    landing = tempfile.mkdtemp(prefix="ingest_landing_")
+    sink = tempfile.mkdtemp(prefix="ingest_sink_") + "/data"
+    ckpt = tempfile.mkdtemp(prefix="ingest_ckpt_")
+    day1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    day2 = orders.where(F.col("o_orderkey") % 2 == 1)
+    day1.coalesce(1).write.mode("append").json(landing)
+    incremental_ingest(spark, landing, sink, ckpt, _INGEST_SCHEMA)
+    day2.coalesce(1).write.mode("append").json(landing)
+    incremental_ingest(spark, landing, sink, ckpt, _INGEST_SCHEMA)
+    # replayed scheduled run: checkpoint says everything is committed
+    incremental_ingest(spark, landing, sink, ckpt, _INGEST_SCHEMA)
+    return (
+        spark.read.schema(_INGEST_SCHEMA).parquet(sink)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "price_c"
+            ),
+        )
+    )
+
+
+_SYNC_SCHEMA = T.StructType([
+    T.StructField("symbol_id", T.LongType(), True),
+    T.StructField("name", T.StringType(), True),
+])
+
+# run 1 lands the 'prev' universe (everything ADDED against an empty
+# universe — R11 first-run semantics), run 2 lands 'cur' (delta only);
+# prev/cur are the same customer-derived snapshots the batch ticker
+# queries use (plans/ticker.PREV_SQL/CUR_SQL).
+STREAM_SYNC_ORACLE = """
+WITH prev AS (
+  SELECT c_custkey AS symbol_id FROM customer WHERE c_custkey % 5 <> 0
+), cur AS (
+  SELECT c_custkey AS symbol_id FROM customer WHERE c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 100000 FROM customer
+  WHERE c_custkey % 21 = 0 AND c_custkey % 5 <> 0
+)
+SELECT 'ADDED' AS change_type, '+ ' || CAST(symbol_id AS VARCHAR) AS line
+FROM prev
+UNION ALL
+SELECT 'ADDED', '+ ' || CAST(symbol_id AS VARCHAR)
+FROM cur WHERE symbol_id NOT IN (SELECT symbol_id FROM prev)
+UNION ALL
+SELECT 'DELETED', '- ' || CAST(symbol_id AS VARCHAR)
+FROM prev WHERE symbol_id NOT IN (SELECT symbol_id FROM cur)
+"""
+
+
+@query("stream_sync_change_log", STREAM_SYNC_ORACLE)
+def q_stream_sync_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole sync loop as a streaming job
+    (streaming/jobs.streaming_sync_change_log, foreachBatch diff →
+    change log + universe overwrite), oracle-checked: two snapshot
+    files land as two scheduled runs; the typed change log read back
+    must equal the batch diff of the same two snapshots."""
+    from psx_data_pipeline_spark.plans.ticker import _cur, _prev
+
+    landing = tempfile.mkdtemp(prefix="sync_landing_")
+    universe = tempfile.mkdtemp(prefix="sync_universe_") + "/universe"
+    log = tempfile.mkdtemp(prefix="sync_log_") + "/changes"
+    ckpt = tempfile.mkdtemp(prefix="sync_ckpt_")
+    prev = _prev(spark, sf_dir).select("symbol_id", "name")
+    cur = _cur(spark, sf_dir).select("symbol_id", "name")
+    prev.coalesce(1).write.mode("append").json(landing)
+    streaming_sync_change_log(
+        spark, landing, universe, log, ckpt, _SYNC_SCHEMA, key="symbol_id"
+    )
+    cur.coalesce(1).write.mode("append").json(landing)
+    streaming_sync_change_log(
+        spark, landing, universe, log, ckpt, _SYNC_SCHEMA, key="symbol_id"
+    )
+    return spark.read.parquet(log).select("change_type", "line")

@@ -37,10 +37,11 @@ def get_spark(app_name: str = "psx_data_pipeline_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects
-        # by default; surface it as int64 nanoseconds. Also set
-        # defensively in sources/fixtures.load_table because the
-        # driver builds its own session without this factory.
+        # Harmless for the current timestamp[µs] fixtures; kept so a
+        # flip back to TIMESTAMP(NANOS) parquet (the rounds-1-2
+        # physical type) surfaces as int64 ns — which the type-adaptive
+        # ts_us seam (sources/fixtures.ts_us_expr) handles — instead of
+        # a read error. Set once here, never mutated per call.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("PSX_SPARK_DRIVER_MEM", "8g"))

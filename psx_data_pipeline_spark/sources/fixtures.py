@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from psx_data_pipeline_spark.schemas import FIXTURE_TABLES
 
@@ -20,22 +22,59 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Read one fixture table (parquet scan, schema from footer).
-
-    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark rejects
-    by default — the legacy conf surfaces it as int64 nanoseconds.
-    Oracle SQL reads the same values via DuckDB's epoch_ns().
-
-    SIDE EFFECT (deliberate, documented): this sets
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the CALLER's
-    session and leaves it set — required because the driver runs
-    queries under its own session, not session.get_spark (which also
-    sets it at build time). Any nanos-timestamp parquet read in the
-    same session will likewise surface int64 ns instead of erroring.
-    """
+    """Read one fixture table (parquet scan, schema from footer)."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Epoch-microseconds from a TIMESTAMP_NTZ column WITHOUT any session-
+# timezone dependence: NTZ carries a wall-clock value, and the DuckDB
+# oracle's epoch_us(ts) treats that wall clock as UTC directly. The
+# tempting `unix_micros(cast({c} as timestamp))` (and equally
+# `to_utc_timestamp`) first reinterprets the wall clock in the
+# SESSION timezone — correct only when that happens to be UTC — so
+# the conversion is done on the calendar fields instead, which are
+# timezone-free by construction. date_part('SECOND') is DECIMAL(8,6);
+# ×1e6 is exact, the bigint cast loses nothing.
+_NTZ_EPOCH_US = (
+    "unix_date(cast({c} as date)) * 86400000000"  # int × bigint literal
+    " + cast(hour({c}) * 3600 + minute({c}) * 60 as bigint) * 1000000"
+    " + cast(date_part('SECOND', {c}) * 1000000 as bigint)"
+)
+
+
+def ts_us_expr(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-µs column from whatever physical type the fixture writer
+    used for ``col`` — the single type-adaptive seam for event time.
+
+    The fixtures have shipped ``events.ts`` as int64 TIMESTAMP(NANOS)
+    (rounds 1-2) and as timestamp[us] / TIMESTAMP_NTZ (round 3+);
+    every consumer goes through this seam so a future flip (either
+    direction, or to instant-typed TIMESTAMP) is a no-op here and
+    everywhere downstream. Matches the oracle's epoch_us(ts) under
+    all three physical types and any session timezone.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):  # legacy int64 nanoseconds
+        return F.expr(f"{col} div 1000")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(_NTZ_EPOCH_US.format(c=col))
+    if isinstance(dt, T.TimestampType):  # instant-typed: unix_micros is tz-free
+        return F.unix_micros(F.col(col))
+    raise TypeError(
+        f"fixture column {col!r} has unhandled type {dt.simpleString()}; "
+        "expected int64-ns, timestamp_ntz, or timestamp "
+        "(update ts_us_expr in sources/fixtures.py)"
+    )
+
+
+def load_events(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """The events table with a derived ``ts_us`` (epoch-µs BIGINT)
+    column — the canonical event-time representation every batch
+    consumer works in (streaming/jobs.events_stream derives the same
+    column for the streaming path)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.withColumn("ts_us", ts_us_expr(ev))
 
 
 def load_table_parallel(

@@ -30,16 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_STREAM_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType(), True),
-    # ts arrives as TIMESTAMP(NANOS) parquet; read as int64 ns (see
-    # sources/fixtures.py) and converted to a proper timestamp below.
-    T.StructField("ts", T.LongType(), True),
-    T.StructField("user_id", T.LongType(), True),
-    T.StructField("event_type", T.StringType(), True),
-    T.StructField("value", T.DoubleType(), True),
-    T.StructField("props", T.StringType(), True),
-])
+from psx_data_pipeline_spark.sources.fixtures import ts_us_expr
 
 _uniq = itertools.count()
 
@@ -71,16 +62,23 @@ def _sink_name(prefix: str) -> str:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture with event-time
-    columns: ``ts_us`` (µs since epoch) and ``ts_ts`` (timestamp)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    columns: ``ts_us`` (µs since epoch) and ``ts_ts`` (timestamp).
+
+    readStream needs a declared schema; hard-coding one is exactly how
+    round 3's fixture type change (int64-ns → timestamp[µs]) turned
+    into SILENT wrong answers — an explicit LongType over µs data read
+    cleanly but 1000× off. So the schema is taken from the actual file
+    footer (one metadata-only batch read) and event time goes through
+    the same type-adaptive ts_us seam as the batch path."""
+    raw = spark.readStream.schema(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ).option(
         # the file source wants a directory: scan sf_dir, glob-filter
         # down to the events table
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts_us", F.expr("ts div 1000"))
-        .withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+        "pathGlobFilter", "events.parquet"
+    ).parquet(sf_dir)
+    return raw.withColumn("ts_us", ts_us_expr(raw)).withColumn(
+        "ts_ts", F.timestamp_micros(F.col("ts_us"))
     )
 
 
