@@ -45,17 +45,20 @@ DRIVER_VERIFIED_PRIOR = {
 }
 
 
-# Names whose prior green rows are KNOWN stale: green in an old round,
-# then broken by a later change (round 3's events.ts fixture-type flip)
-# without a failing row of their own in the meantime. Kept out of the
-# "verified" set until the driver re-confirms them green.
-REVERIFY = {
-    "dedup_latest", "sessionize_events", "asof_join_clicks",
+# Names whose prior green rows are KNOWN stale as of the given round:
+# green in an old round, then broken by a later change (round 3's
+# events.ts fixture-type flip) without a failing row of their own in
+# the meantime. A name stays out of the "verified" set until the
+# driver re-confirms it green in a LATER round than the one recorded
+# here (a green row from an earlier round is exactly the stale
+# evidence being distrusted).
+REVERIFY_AS_OF = {
+    "dedup_latest": 3, "sessionize_events": 3, "asof_join_clicks": 3,
 }
 
 
-def _latest_driver_rows() -> dict[str, bool]:
-    """name → whether its MOST RECENT driver row is fully green.
+def _latest_driver_rows(here: str | None = None) -> dict[str, tuple[int, bool]]:
+    """name → (round, green) for its MOST RECENT driver row.
 
     Regression-aware (round-3 lesson): a name's old green row must not
     count once a newer round shows it failing, or the rotation pushes
@@ -68,7 +71,7 @@ def _latest_driver_rows() -> dict[str, bool]:
     import os
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = here or os.path.dirname(os.path.abspath(__file__))
     latest: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -89,16 +92,21 @@ def _latest_driver_rows() -> dict[str, bool]:
             )
             if name not in latest or rnd >= latest[name][0]:
                 latest[name] = (rnd, green)
-    return {name: green for name, (_, green) in latest.items()}
+    return latest
 
 
-def _prioritized(d: dict) -> dict:
-    latest = _latest_driver_rows()
-    prior = {n for n, green in latest.items() if green}
+def _prioritized(d: dict, here: str | None = None) -> dict:
+    latest = _latest_driver_rows(here)
+    prior = {
+        n for n, (rnd, green) in latest.items()
+        if green and rnd > REVERIFY_AS_OF.get(n, 0)
+    }
     # the static r2 set vouches only for names with NO file row at all
     # (unreadable files); any recorded row defers to its latest result
-    prior |= {n for n in DRIVER_VERIFIED_PRIOR if n not in latest}
-    prior -= REVERIFY
+    prior |= {
+        n for n in DRIVER_VERIFIED_PRIOR
+        if n not in latest and n not in REVERIFY_AS_OF
+    }
     fresh = {n: v for n, v in d.items() if n not in prior}
     seen = {n: v for n, v in d.items() if n in prior}
     return {**fresh, **seen}

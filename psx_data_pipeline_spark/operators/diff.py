@@ -87,15 +87,19 @@ def detect_renames(
     # short-substring residual, token index — ~8 references. Without
     # materialization each branch re-executes the caller's upstream
     # plan (snapshot scan + anti-join) per reference, which is where
-    # round 3's 2.5 s → 6.4 s regression came from. A lazy
-    # localCheckpoint computes the residual once at first use and is
-    # GC-managed (no unpersist bookkeeping, unlike cache()).
+    # round 3's 2.5 s → 6.4 s regression came from. cache() rather
+    # than localCheckpoint: it preserves the lineage for the plan
+    # guards and skips localCheckpoint's separate non-AQE RDD
+    # compile (~2× the first-call cost, measured); the entries live
+    # for the session but are bounded by the churn volume —
+    # kilobytes-to-megabytes at any scale, by the same argument as
+    # plans/ticker's change-table memo.
     old = deleted.select(
         F.col(key).alias("old_key"), F.lower(F.col(name)).alias("old_name")
-    ).localCheckpoint(eager=False)
+    ).cache()
     new = added.select(
         F.col(key).alias("new_key"), F.lower(F.col(name)).alias("new_name")
-    ).localCheckpoint(eager=False)
+    ).cache()
 
     def keyed_tokens(df: DataFrame, side: str) -> DataFrame:
         toks = F.filter(
@@ -189,6 +193,31 @@ def detect_renames(
     new_grams = grams(new, "new")
     old_grams = grams(old, "old")
 
+    # Short-name residual pruning: names shorter than one gram need
+    # the 1..B-1-substring equi-join fallback, but almost every real
+    # churn set has none (ticker/company names are longer than 4
+    # chars). ONE scalar job (a documented scalar-only action, like
+    # the CC convergence check) probes both residuals — and doubles
+    # as the localCheckpoint materialization trigger — so the dead
+    # branches, their unions, and their whole-stage-codegen compile
+    # cost drop out of the main query.
+    probe = (
+        old.select(
+            F.length("old_name").alias("len_o"),
+            F.lit(None).cast("int").alias("len_n"),
+        )
+        .unionByName(
+            new.select(
+                F.lit(None).cast("int").alias("len_o"),
+                F.length("new_name").alias("len_n"),
+            )
+        )
+        .agg(F.min("len_o").alias("o"), F.min("len_n").alias("n"))
+        .first()
+    )
+    has_short_old = probe["o"] is not None and probe["o"] < B
+    has_short_new = probe["n"] is not None and probe["n"] < B
+
     if not parity:
         # inverted-index candidates: share a significant whole token
         cand_tok = (
@@ -247,16 +276,18 @@ def detect_renames(
             .select(*cols)
             .distinct()
         )
-        # tokens shorter than one gram (possible only when
-        # min_token_len < B-1): the whole token is equi-joined
-        # against the new names' short-substring set
-        short_toks = tok_src.where(F.length("tok") < B)
-        cand_tok = cand_tok.unionByName(
-            short_toks.withColumn("gram", F.col("tok"))
-            .join(short_grams(new, "new"), "gram")
-            .select(*cols)
-            .distinct()
-        )
+        # tokens shorter than one gram — possible only when
+        # min_token_len < B-1 (tokens are filtered to len >
+        # min_token_len, so with the defaults every token is already
+        # gram-sized and this branch is statically empty)
+        if min_token_len < B - 1:
+            short_toks = tok_src.where(F.length("tok") < B)
+            cand_tok = cand_tok.unionByName(
+                short_toks.withColumn("gram", F.col("tok"))
+                .join(short_grams(new, "new"), "gram")
+                .select(*cols)
+                .distinct()
+            )
     old_in_new = (
         rarest_gram(old, "old", new_grams)
         .join(new_grams, "gram")
@@ -271,26 +302,24 @@ def detect_renames(
     )
     # residual: contained side shorter than one gram — the whole
     # short name equi-joins against the other side's short-substring
-    # set (exact containment, no nested loop)
-    short_old = old.where(F.length("old_name") < B)
-    short_new = new.where(F.length("new_name") < B)
-    cand_short = (
-        short_old.withColumn("gram", F.col("old_name"))
-        .join(short_grams(new, "new"), "gram")
-        .select(*cols)
-        .unionByName(
-            short_new.withColumn("gram", F.col("new_name"))
+    # set (exact containment, no nested loop). Built only when the
+    # probe above found short names on that side.
+    cand = cand_tok.unionByName(old_in_new).unionByName(new_in_old)
+    if has_short_old:
+        cand = cand.unionByName(
+            old.where(F.length("old_name") < B)
+            .withColumn("gram", F.col("old_name"))
+            .join(short_grams(new, "new"), "gram")
+            .select(*cols)
+        )
+    if has_short_new:
+        cand = cand.unionByName(
+            new.where(F.length("new_name") < B)
+            .withColumn("gram", F.col("new_name"))
             .join(short_grams(old, "old"), "gram")
             .select(*cols)
         )
-    )
-
-    cand = (
-        cand_tok.unionByName(old_in_new)
-        .unionByName(new_in_old)
-        .unionByName(cand_short)
-        .distinct()
-    )
+    cand = cand.distinct()
 
     contains = F.col("new_name").contains(F.col("old_name")) | F.col(
         "old_name"

@@ -1,0 +1,87 @@
+"""The driver checks only the first 50 queries() entries per round, so
+__spark_entry__ rotates never-verified names to the front. Round 3
+proved the failure mode this logic must prevent: a query with an OLD
+green row breaks later, sorts to the back on the strength of the stale
+green, and the driver never re-confirms the fix. These tests pin the
+rotation's semantics against synthetic CORRECTNESS files (no Spark)."""
+
+from __future__ import annotations
+
+import importlib
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+entry = importlib.import_module("__spark_entry__")
+
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True,
+         "spark_rows": 1, "oracle_rows": 1, "err": None}
+CRASH = {"rows_match": None, "schema_match": None, "hash_match": None,
+         "spark_rows": None, "oracle_rows": None, "err": "boom"}
+WRONG = {"rows_match": False, "schema_match": True, "hash_match": False,
+         "spark_rows": 1, "oracle_rows": 2, "err": None}
+ROWS_ONLY = {"rows_match": True, "schema_match": True, "hash_match": None,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+
+
+def _write(tmp_path, rnd: int, rows: dict) -> None:
+    (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(rows))
+
+
+def _order(tmp_path, names: list[str]) -> list[str]:
+    return list(entry._prioritized({n: n for n in names}, str(tmp_path)))
+
+
+def test_never_verified_sorts_first(tmp_path):
+    _write(tmp_path, 1, {"a": GREEN})
+    assert _order(tmp_path, ["a", "b"]) == ["b", "a"]
+
+
+def test_latest_row_wins_over_stale_green(tmp_path):
+    # green in r1, crashed in r2 → must be treated as unverified
+    _write(tmp_path, 1, {"a": GREEN, "b": GREEN})
+    _write(tmp_path, 2, {"a": CRASH})
+    assert _order(tmp_path, ["b", "a"]) == ["a", "b"]
+
+
+def test_wrong_answer_counts_as_failed(tmp_path):
+    # hash-mismatch (not just a crash) also invalidates the old green
+    _write(tmp_path, 1, {"a": GREEN, "b": GREEN})
+    _write(tmp_path, 2, {"a": WRONG})
+    assert _order(tmp_path, ["b", "a"]) == ["a", "b"]
+
+
+def test_recovery_re_verifies(tmp_path):
+    # crash in r2, green again in r3 → verified again
+    _write(tmp_path, 1, {"a": GREEN})
+    _write(tmp_path, 2, {"a": CRASH})
+    _write(tmp_path, 3, {"a": GREEN, "b": GREEN})
+    assert _order(tmp_path, ["a", "b", "c"]) == ["c", "a", "b"]
+
+
+def test_rows_only_checks_count_as_green(tmp_path):
+    _write(tmp_path, 1, {"a": ROWS_ONLY, "b": GREEN})
+    assert _order(tmp_path, ["a", "b", "c"]) == ["c", "a", "b"]
+
+
+def test_reverify_distrusts_greens_up_to_the_recorded_round(tmp_path):
+    # the round-3 scenario: green rows exist (r2) but the query is
+    # KNOWN broken as of round 3 with no driver row showing it —
+    # REVERIFY_AS_OF must front-load it...
+    name = "dedup_latest"
+    assert entry.REVERIFY_AS_OF.get(name) == 3
+    _write(tmp_path, 2, {name: GREEN})
+    assert _order(tmp_path, ["z", name])[0] == name or _order(
+        tmp_path, [name, "z"]
+    )[0] == name
+    # ...until a LATER round's green row exists, after which the name
+    # is trusted again and rotates to the back
+    _write(tmp_path, 4, {name: GREEN})
+    assert _order(tmp_path, [name, "z"]) == ["z", name]
+
+
+def test_unreadable_file_falls_back_to_static_set(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
+    static_name = "pricing_summary"
+    assert static_name in entry.DRIVER_VERIFIED_PRIOR
+    assert _order(tmp_path, [static_name, "new_q"]) == ["new_q", static_name]
