@@ -198,9 +198,9 @@ def detect_renames(
     # churn set has none (ticker/company names are longer than 4
     # chars). ONE scalar job (a documented scalar-only action, like
     # the CC convergence check) probes both residuals — and doubles
-    # as the localCheckpoint materialization trigger — so the dead
-    # branches, their unions, and their whole-stage-codegen compile
-    # cost drop out of the main query.
+    # as the cache-materialization trigger — so the dead branches,
+    # their unions, and their whole-stage-codegen compile cost drop
+    # out of the main query.
     probe = (
         old.select(
             F.length("old_name").alias("len_o"),

@@ -11,9 +11,10 @@ any dedup/ANN/text operator:
 Corpora are built to be adversarial: documents/customers duplicate
 every row's CONTENT under fresh ids (worst case for similarity
 blocking); events/lineitem replicate under fresh keys. Events go
-through pyarrow, not DuckDB COPY — DuckDB silently rewrites
-TIMESTAMP_NANOS to microseconds, which breaks the engine's int64-ns
-contract.
+through pyarrow, not DuckDB COPY, so the fixture's exact physical
+timestamp type is preserved bit-for-bit (DuckDB COPY normalizes
+timestamp types) — the rehearsal must exercise the same ts_us seam
+branch (sources/fixtures.ts_us_expr) the driver's fixtures do.
 
 Output: one line per query, `name: seconds` (or FAILED + error), and
 a final JSON summary. Success criterion is judgement, not assertion:
@@ -66,12 +67,18 @@ FAMILIES = {
         "pricing_summary", "above_segment_avg", "top_building_orders",
         "regional_revenue", "ohlc_daily", "daily_returns", "moving_avg",
         "rolling_range_7d", "topk_by_volume", "price_percentiles",
-        "append_cutoff", "ohlc_missing_days",
+        "append_cutoff", "ohlc_missing_days", "brand_revenue_share",
+        "symbol_rollup", "calendar_range",
     ],
     "ticker": [
-        "snapshot_diff", "rename_detection", "rename_detection_parity",
-        "ticker_sync_changes", "scd1_merge", "scd2_history",
-        "latest_per_key", "dedup_latest",
+        "snapshot_diff", "ticker_sync_changes", "rename_detection",
+        "rename_detection_parity", "change_log_format", "scd1_merge",
+        "scd1_sentinel_merge", "sentinel_parity", "scd2_history",
+        "latest_per_key", "dedup_latest", "update_stats",
+        "symbol_normalize",
+    ],
+    "streamjobs": [
+        "stream_incremental_ingest", "stream_sync_change_log",
     ],
 }
 
