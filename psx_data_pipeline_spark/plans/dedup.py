@@ -281,3 +281,54 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("id"),
         F.count(F.lit(1)).alias("batch_copies"),
     ).select("id", F.col("fp").alias("fingerprint"), "batch_copies")
+
+
+# --- bucket-prefiltered incremental dedup ------------------------------------
+
+# Single-hash Bloom-style prefilter: the store's fingerprints are
+# summarized as a DISTINCT set of 2^16 hash buckets — a bounded,
+# broadcastable digest regardless of store size.
+_PREFILTER_BUCKETS = 1 << 16
+
+# Same logical answer as dedup_incremental — deliberately: this query
+# is the alternative PHYSICAL strategy for the same operator, and the
+# shared oracle proves strategy choice never changes the result.
+DEDUP_BUCKET_PREFILTER_ORACLE = DEDUP_INCREMENTAL_ORACLE
+
+
+@query("dedup_bucket_prefilter", DEDUP_BUCKET_PREFILTER_ORACLE)
+def q_dedup_bucket_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup with a broadcast bucket prefilter —
+    the runtime-bloom-filter pattern, written out explicitly.
+
+    dedup_incremental shuffles the WHOLE batch against the store.
+    At 100 TB the daily batch is huge while true duplicates are rare,
+    so that shuffle mostly moves rows whose answer is already 'new'.
+    Here the store is summarized as its distinct xxhash64-bucket set
+    (≤ 2^16 values — a fixed-size broadcast digest no matter how big
+    the store grows). Batch rows whose bucket is NOT in the digest
+    are PROVABLY new and never shuffle at all (broadcast anti-join);
+    only digest hits — true duplicates plus the ~|store|/2^16
+    false-positive rate — pay the exact fingerprint anti-join. The
+    exact join makes the bucket collisions harmless, which is what
+    keeps the oracle identical to the unfiltered plan."""
+    docs = load_table(spark, "documents", sf_dir)
+    fp = F.md5("text").alias("fp")
+    store = docs.where(F.col("doc_id") % _STORE_MOD == 0).select(fp).distinct()
+    bucket = F.pmod(F.xxhash64("fp"), F.lit(_PREFILTER_BUCKETS))
+    store_buckets = store.select(bucket.alias("bucket")).distinct()
+    batch = (
+        docs.where(F.col("doc_id") % _STORE_MOD != 0)
+        .select("doc_id", fp)
+        .withColumn("bucket", bucket)
+    )
+    definitely_new = batch.join(
+        F.broadcast(store_buckets), "bucket", "left_anti"
+    )
+    candidates = batch.join(F.broadcast(store_buckets), "bucket", "left_semi")
+    exact_new = candidates.join(store, "fp", "left_anti")
+    fresh = definitely_new.unionByName(exact_new).drop("bucket")
+    return fresh.groupBy("fp").agg(
+        F.min("doc_id").alias("id"),
+        F.count(F.lit(1)).alias("batch_copies"),
+    ).select("id", F.col("fp").alias("fingerprint"), "batch_copies")

@@ -143,6 +143,75 @@ def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- binned range join (point-in-interval, no equi-key) ----------------------
+
+_HOUR_US = 3600 * 1_000_000
+
+RANGE_JOIN_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, epoch_us(ts) AS purchase_ts_us
+  FROM events WHERE event_type = 'purchase' AND value > 0.95
+),
+c AS (
+  SELECT event_id AS click_id, epoch_us(ts) AS click_ts_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT purchase_id, click_id, purchase_ts_us, click_ts_us
+FROM p JOIN c
+  ON c.click_ts_us >= p.purchase_ts_us
+ AND c.click_ts_us <  p.purchase_ts_us + {_HOUR_US}
+"""
+
+
+@query("range_join_binned", RANGE_JOIN_ORACLE)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join — every click (any user) within the hour after
+    a high-value purchase — as a BINNED equi-join. There is no equi
+    key here, and Spark has no native range-join optimization: the
+    naive form is a broadcast nested-loop scan of |purchases|×|clicks|
+    comparisons, which test_plan_guards forbids as a scale killer.
+
+    The standard fix: quantize time into interval-sized bins. Each
+    interval [t, t+1h) overlaps at most two hour bins, so the
+    interval side explodes ≤2×, joins clicks on the bin as a plain
+    hash join, and the exact range predicate filters the candidates.
+    A (purchase, click) pair meets in exactly one bin — the click's
+    own — so no dedup pass is needed. Shuffle volume is bounded by
+    events-per-bin, not |p|×|c|; skewed bins fall to AQE. The asof
+    join (operators/sessions.py) covers the keyed flavor; this is
+    the keyless one (trade/quote matching across the whole book,
+    ad attribution across users)."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0.95)
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_ts_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_ts_us"),
+    )
+    p = purchases.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"purchase_ts_us div {_HOUR_US}"),
+                F.expr(f"(purchase_ts_us + {_HOUR_US} - 1) div {_HOUR_US}"),
+            )
+        ),
+    )
+    c = clicks.withColumn("bin", F.expr(f"click_ts_us div {_HOUR_US}"))
+    return (
+        p.join(c, "bin")
+        .where(
+            (F.col("click_ts_us") >= F.col("purchase_ts_us"))
+            & (F.col("click_ts_us") < F.col("purchase_ts_us") + _HOUR_US)
+        )
+        .select("purchase_id", "click_id", "purchase_ts_us", "click_ts_us")
+    )
+
+
 # --- salted two-phase aggregation (skew pattern) -----------------------------
 
 SALTED_COUNTS_ORACLE = """

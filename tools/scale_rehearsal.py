@@ -36,7 +36,8 @@ BASE = "/root/testdata/sf0.1"
 
 FAMILIES = {
     "dedup": [
-        "dedup_exact", "dedup_incremental", "chunk_dedup", "doc_repetition",
+        "dedup_exact", "dedup_incremental", "dedup_bucket_prefilter",
+        "chunk_dedup", "doc_repetition",
         "decontaminate", "simhash_near_pairs", "minhash_lsh_pairs",
         "ngram_jaccard_pairs", "dedup_clusters",
     ],
@@ -53,6 +54,7 @@ FAMILIES = {
     ],
     "events": [
         "sessionize_events", "detect_gaps", "asof_join_clicks",
+        "range_join_binned",
         "skew_salted_counts", "event_type_pivot", "event_funnel",
         "user_retention", "event_props_json", "event_cube",
         "stream_window_counts", "stream_sessionize", "stream_user_totals",
