@@ -42,6 +42,10 @@ ELSE [array_to_string({_TOKS}, ' ')] END
 """
 _MD5_LONG = "CAST(('0x' || substr(md5({0}), 1, 15)) AS BIGINT)"
 
+# "already ingested" = doc_id % _STORE_MOD == 0 — the store/batch
+# split shared by every incremental-ingest query in this module.
+_STORE_MOD = 5
+
 
 # --- exact dedup (north star; generalizes reference R8) ---------------------
 
@@ -118,6 +122,80 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of colliding candidates."""
     docs = load_table_parallel(spark, "documents", sf_dir, "doc_id")
     return minhash_lsh_pairs(docs, "text", "doc_id", k=_K, bands=_BANDS)
+
+
+# --- incremental MinHash (batch vs LSH index) --------------------------------
+
+# Restriction of the full-corpus LSH self-join to batch×store pairs —
+# the "query the index with today's drop" shape. The oracle reuses the
+# full bsig pipeline and filters the two sides by the store predicate.
+MINHASH_INCREMENTAL_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest(list_distinct({_SHINGLES})) AS sh FROM documents
+),
+h AS (
+  SELECT id, {_MD5_LONG.format('sh')} % {HASH_P} AS h FROM sh
+),
+perms AS (SELECT * FROM (VALUES {_PERM_VALUES}) AS p(i, a, b)),
+sig AS (
+  SELECT id, i, MIN((a * h + b) % {HASH_P}) AS minv
+  FROM h CROSS JOIN perms GROUP BY id, i
+),
+bsig AS (
+  SELECT id, CAST(i // {_RPB} AS INT) AS band,
+         string_agg(CAST(minv AS VARCHAR), ',' ORDER BY i) AS bsig
+  FROM sig GROUP BY 1, 2
+)
+SELECT DISTINCT b.id AS batch_id, s.id AS store_id
+FROM bsig b JOIN bsig s ON b.band = s.band AND b.bsig = s.bsig
+WHERE b.id % {_STORE_MOD} <> 0 AND s.id % {_STORE_MOD} = 0
+"""
+
+
+@query("minhash_incremental", MINHASH_INCREMENTAL_ORACLE)
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup screen of an incoming batch against the EXISTING
+    corpus's LSH index — the steady-state production shape (the
+    full-corpus self-join of minhash_lsh_pairs is the backfill shape).
+
+    Only the batch's signatures are computed per drop; the store side
+    is a precomputed (band, bsig, id) index table in production —
+    recomputed here from the fixture because the driver gives one
+    static table. The join is batch-bands × store-bands on the exact
+    band signature, so per-drop cost tracks |batch| + collisions and
+    NEVER re-pairs the store against itself — at 100 TB the store
+    index is bucketed by (band, bsig) and the probe is a co-located
+    join with zero store-side exchange."""
+    docs = load_table_parallel(spark, "documents", sf_dir, "doc_id")
+    rows_per_band = _K // _BANDS
+
+    def band_sigs(df: DataFrame) -> DataFrame:
+        from psx_data_pipeline_spark.operators.dedup import minhash_signatures
+
+        sig = minhash_signatures(df, "text", "doc_id", _K, 3).withColumn(
+            "band", (F.col("i") / rows_per_band).cast("int")
+        )
+        return sig.groupBy("id", "band").agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "minv"))),
+                    lambda s: s["minv"].cast("string"),
+                ),
+            ).alias("bsig")
+        )
+
+    store = band_sigs(docs.where(F.col("doc_id") % _STORE_MOD == 0)).select(
+        F.col("id").alias("store_id"), "band", "bsig"
+    )
+    batch = band_sigs(docs.where(F.col("doc_id") % _STORE_MOD != 0)).select(
+        F.col("id").alias("batch_id"), "band", "bsig"
+    )
+    return (
+        batch.join(store, ["band", "bsig"])
+        .select("batch_id", "store_id")
+        .distinct()
+    )
 
 
 # --- SimHash near pairs -----------------------------------------------------
@@ -241,8 +319,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- incremental ingest dedup ------------------------------------------------
-
-_STORE_MOD = 5  # "already ingested" = doc_id % 5 == 0
 
 DEDUP_INCREMENTAL_ORACLE = f"""
 WITH store AS (

@@ -37,7 +37,7 @@ BASE = "/root/testdata/sf0.1"
 FAMILIES = {
     "dedup": [
         "dedup_exact", "dedup_incremental", "dedup_bucket_prefilter",
-        "chunk_dedup", "doc_repetition",
+        "minhash_incremental", "chunk_dedup", "doc_repetition",
         "decontaminate", "simhash_near_pairs", "minhash_lsh_pairs",
         "ngram_jaccard_pairs", "dedup_clusters",
     ],
