@@ -1,0 +1,136 @@
+"""Sink/scan lifecycle queries — SURVEY.md §2 S8/S9/K1/K2/R4 under the
+driver's oracle.
+
+These rows were previously pytest-only (tests/test_io_roundtrip.py):
+the driver's correctness harness is query-shaped, so sink behavior it
+can't observe got the weaker check. Same move as the streaming jobs
+(plans/stream.py): run the real write → read lifecycle inside the
+query against a scratch directory, return the read-back, and let the
+DuckDB oracle compare it value-for-value with the frame that was
+written. Round-trip fidelity (types, header handling, the K1
+projection, dated-partition selection, dynamic-overwrite idempotence)
+becomes a hash-checked driver row.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.plans.ticker import _cur, _prev
+from psx_data_pipeline_spark.sources.io import (
+    read_snapshot_json,
+    read_tickers_csv,
+    read_partitioned_parquet,
+    write_partitioned_parquet,
+    write_snapshot_json,
+    write_tickers_csv,
+)
+
+def _tickers(df: DataFrame) -> DataFrame:
+    """String-typed ticker projection of the customer-derived snapshot
+    — the persisted shape (io.TICKER_*_SCHEMA is all-string, like the
+    reference's CSV/JSON round-trip)."""
+    return df.select(
+        F.col("symbol_id").cast("string").alias("symbol"),
+        "name",
+        "sector",
+        F.concat(
+            F.lit("https://dps.psx.com.pk/company/"),
+            F.col("symbol_id").cast("string"),
+        ).alias("url"),
+    )
+
+
+CSV_ROUNDTRIP_ORACLE = """
+WITH cur AS (
+  SELECT c_custkey AS symbol_id, c_name AS name, c_mktsegment AS sector
+  FROM customer WHERE c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 100000, c_name || ' ltd', c_mktsegment
+  FROM customer WHERE c_custkey % 21 = 0 AND c_custkey % 5 <> 0
+)
+SELECT CAST(symbol_id AS VARCHAR) AS symbol, name, sector
+FROM cur
+"""
+
+
+@query("csv_sink_roundtrip", CSV_ROUNDTRIP_ORACLE)
+def q_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 CSV sink + S8 CSV scan + R4 projection-on-write, end to end:
+    the 4-column snapshot is written through the reference's 3-column
+    CSV shape (url silently dropped at the sink, scrape_tickers.py:505)
+    and read back with the explicit header schema. The oracle is the
+    written frame MINUS the url column — the projection is observable
+    in the result schema, and any header/quoting/null mangling in the
+    round-trip breaks the value hash."""
+    out = tempfile.mkdtemp(prefix="csv_sink_") + "/all_tickers"
+    write_tickers_csv(_tickers(_cur(spark, sf_dir)), out)
+    return read_tickers_csv(spark, out)
+
+
+JSON_LATEST_ORACLE = """
+WITH cur AS (
+  SELECT c_custkey AS symbol_id, c_name AS name, c_mktsegment AS sector
+  FROM customer WHERE c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 100000, c_name || ' ltd', c_mktsegment
+  FROM customer WHERE c_custkey % 21 = 0 AND c_custkey % 5 <> 0
+)
+SELECT CAST(symbol_id AS VARCHAR) AS symbol, name, sector,
+       'https://dps.psx.com.pk/company/' || CAST(symbol_id AS VARCHAR) AS url
+FROM cur
+"""
+
+
+@query("json_snapshot_latest", JSON_LATEST_ORACLE)
+def q_json_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 dated JSON snapshots + S9 JSON scan + S10 latest-snapshot
+    selection, end to end: two dated snapshot directories are written
+    (prev under 2024-01-01, cur under 2024-01-02), the base path is
+    read back with partition discovery, and the LATEST snapshot is
+    selected data-borne — max(snapshot_date) as a value, never file
+    mtime (the reference's mtime scheme, update_ticker_info.py:54, is
+    non-reproducible and forbidden per SURVEY.md §7.4). The oracle is
+    exactly the second snapshot's rows."""
+    base = tempfile.mkdtemp(prefix="json_snap_")
+    write_snapshot_json(_tickers(_prev(spark, sf_dir)), base, "2024-01-01")
+    write_snapshot_json(_tickers(_cur(spark, sf_dir)), base, "2024-01-02")
+    snaps = read_snapshot_json(spark, base)  # partition col discovered
+    latest = snaps.agg(F.max("snapshot_date").alias("d"))
+    return (
+        snaps.join(F.broadcast(latest), snaps.snapshot_date == latest.d)
+        .select("symbol", "name", "sector", "url")
+    )
+
+
+PARTITIONED_OVERWRITE_ORACLE = JSON_LATEST_ORACLE
+
+
+@query("partitioned_overwrite_idempotent", PARTITIONED_OVERWRITE_ORACLE)
+def q_partitioned_overwrite_idempotent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite, proven idempotent: day-1 and day-2
+    snapshots land in one partitioned parquet table, then the day-2
+    write RE-RUNS — with dynamic overwrite it replaces only its own
+    partition, so the re-run is a no-op to the table's content (static
+    overwrite would have truncated day 1; append would have doubled
+    day 2 — either corruption breaks the oracle hash). The read is
+    partition-pruned to the latest day."""
+    base = tempfile.mkdtemp(prefix="part_parquet_") + "/snapshots"
+    prev = _tickers(_prev(spark, sf_dir)).withColumn(
+        "snapshot_date", F.lit("2024-01-01")
+    )
+    cur = _tickers(_cur(spark, sf_dir)).withColumn(
+        "snapshot_date", F.lit("2024-01-02")
+    )
+    write_partitioned_parquet(prev, base)
+    write_partitioned_parquet(cur, base)
+    write_partitioned_parquet(cur, base)  # idempotent re-run of day 2
+    return read_partitioned_parquet(spark, base, "2024-01-02").select(
+        "symbol", "name", "sector", "url"
+    )

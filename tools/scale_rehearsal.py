@@ -82,6 +82,10 @@ FAMILIES = {
     "streamjobs": [
         "stream_incremental_ingest", "stream_sync_change_log",
     ],
+    "io": [
+        "csv_sink_roundtrip", "json_snapshot_latest",
+        "partitioned_overwrite_idempotent",
+    ],
 }
 
 
