@@ -89,7 +89,7 @@ FAMILIES = {
 }
 
 
-def build_corpus(out_dir: str, factor: int) -> None:
+def build_corpus(out_dir: str, factor: int, hot_frac: float = 0.0) -> None:
     import duckdb
 
     import pyarrow as pa
@@ -131,19 +131,30 @@ def build_corpus(out_dir: str, factor: int) -> None:
               FROM '{BASE}/orders.parquet',
                    UNNEST(range(0, {factor})) AS t(i))
         TO '{out_dir}/orders.parquet' (FORMAT PARQUET)""")
-    # events: pyarrow to preserve TIMESTAMP_NANOS
+    # events: pyarrow to preserve the exact physical timestamp type
     t = pq.read_table(f"{BASE}/events.parquet")
-    parts = [
-        pa.table({
+    parts = []
+    for i in range(factor):
+        uid = pc.add(t["user_id"], 1_000 * i)
+        if hot_frac > 0.0:
+            # hot-key skew: route a fraction of every replica's rows
+            # to user 1 — the adversarial shape for per-key windows
+            # (sessionize, retention) and stateful streaming keys
+            import numpy as np
+
+            k = max(2, int(round(1.0 / hot_frac)))
+            hot = pa.array(
+                np.asarray(t["event_id"].combine_chunks()) % k == 0
+            )
+            uid = pc.if_else(hot, pa.scalar(1, pa.int64()), uid)
+        parts.append(pa.table({
             "event_id": pc.add(t["event_id"], 100_000 * i),
             "ts": t["ts"],
-            "user_id": pc.add(t["user_id"], 1_000 * i),
+            "user_id": uid,
             "event_type": t["event_type"],
             "value": t["value"],
             "props": t["props"],
-        })
-        for i in range(factor)
-    ]
+        }))
     pq.write_table(pa.concat_tables(parts), f"{out_dir}/events.parquet")
     for name in ("region", "nation", "supplier", "part"):
         dst = f"{out_dir}/{name}.parquet"
@@ -157,12 +168,17 @@ def main() -> int:
     ap.add_argument("--families", nargs="*", default=sorted(FAMILIES))
     ap.add_argument("--dir", default=None,
                     help="reuse an existing rehearsal corpus dir")
+    ap.add_argument("--hot-frac", type=float, default=0.0,
+                    help="route this fraction of events to ONE user "
+                         "(hot-key skew probe for per-key windows / "
+                         "stateful streaming)")
     args = ap.parse_args()
 
-    out_dir = args.dir or f"/tmp/rehearsal_{args.factor}x"
+    tag = f"_hot{int(args.hot_frac * 100)}" if args.hot_frac else ""
+    out_dir = args.dir or f"/tmp/rehearsal_{args.factor}x{tag}"
     if not args.dir or not os.path.isdir(out_dir):
         print(f"building {args.factor}x corpus in {out_dir} ...", flush=True)
-        build_corpus(out_dir, args.factor)
+        build_corpus(out_dir, args.factor, args.hot_frac)
 
     from psx_data_pipeline_spark.plans import QUERIES
     from psx_data_pipeline_spark.session import get_spark
