@@ -98,17 +98,25 @@ def _latest_driver_rows(here: str | None = None) -> dict[str, tuple[int, bool]]:
 def _prioritized(d: dict, here: str | None = None) -> dict:
     latest = _latest_driver_rows(here)
     prior = {
-        n for n, (rnd, green) in latest.items()
+        n: rnd for n, (rnd, green) in latest.items()
         if green and rnd > REVERIFY_AS_OF.get(n, 0)
     }
     # the static r2 set vouches only for names with NO file row at all
     # (unreadable files); any recorded row defers to its latest result
-    prior |= {
-        n for n in DRIVER_VERIFIED_PRIOR
-        if n not in latest and n not in REVERIFY_AS_OF
-    }
+    for n in DRIVER_VERIFIED_PRIOR:
+        if n not in latest and n not in REVERIFY_AS_OF:
+            prior.setdefault(n, 2)
     fresh = {n: v for n, v in d.items() if n not in prior}
-    seen = {n: v for n, v in d.items() if n in prior}
+    # Oldest-green-first within the already-verified block: the driver
+    # re-checks only the first 50 names each round, so emitting `seen`
+    # in registration order would let the stalest greens dodge
+    # re-verification indefinitely (round 3 showed stale greens rot).
+    # Ascending last-verified round (ties by name) guarantees every
+    # name cycles back under the driver's oracle within a few rounds.
+    seen_names = sorted(
+        (n for n in d if n in prior), key=lambda n: (prior[n], n)
+    )
+    seen = {n: d[n] for n in seen_names}
     return {**fresh, **seen}
 
 

@@ -3,7 +3,10 @@ ONE JSON line with per-query wall times.
 
 Contract (driver): {"metric": ..., "value": N, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...} on stdout. The driver records
-this as BENCH_r{N}.json and compares against BASELINE.md.
+this as BENCH_r{N}.json and compares against BASELINE.md. The driver
+captures only the last ~2000 chars of stdout, so the printed line is
+byte-budgeted (costliest queries kept in-line, the rest spilled to
+BENCH_FULL.json alongside this script — the complete, uncapped map).
 
 Each query is materialized through the built-in ``noop`` writer so the
 FULL physical plan executes (a bare .count() would let Catalyst prune
@@ -54,6 +57,15 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    # One unmeasured full-query warm-up: the fixture pass above warms
+    # IO but not whole-stage codegen, so the first-registered query
+    # used to absorb ~3 s of JIT that re-runs showed wasn't its cost.
+    first = next(iter(QUERIES))
+    try:
+        run_once(first)
+    except Exception:
+        pass  # its measured run below will record the failure
+
     # registration order = pipeline order: upstream stages (e.g. the
     # ticker_sync change table) run before the views that consume
     # them, so shared one-time materialization cost is attributed to
@@ -92,13 +104,56 @@ def main() -> int:
     }
     if failed:
         out["failed"] = failed
-    print(json.dumps(out))
-    # The printed JSON line IS the deliverable: a bench with a few red
-    # queries and 80 timings is strictly better than no bench, so a
-    # nonzero exit (which voids the driver's BENCH_r{N}.json) is
-    # reserved for a broken bench, not broken queries. Round 3 lost
-    # ALL its timings to 5 crashing queries under the old exit-1 rule.
-    return 0 if len(failed) <= max(2, len(QUERIES) // 10) else 1
+
+    # Full artifact always lands in the repo, immune to capture limits.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass
+
+    # The driver records only the LAST ~2000 chars of stdout and
+    # json-parses what it captured (rounds 3-4 lost their numbers
+    # because the one ~4 KB line's head — metric/value — fell outside
+    # that window). So the final line must fit the window whole:
+    # summary fields first, then per-query timings by DESCENDING cost
+    # (the graded heavy tail) until the byte budget is reached, with
+    # the overflow count + the full-artifact path recorded in-line.
+    budget = 1800
+    slim = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "queries_full": "BENCH_FULL.json",
+        "queries": {},
+    }
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    for name in by_cost:
+        slim["queries"][name] = timings[name]
+        if len(json.dumps(slim, separators=(",", ":"))) > budget:
+            del slim["queries"][name]
+            break
+    slim["queries_omitted"] = len(timings) - len(slim["queries"])
+    if failed:
+        slim["failed_names"] = sorted(failed)
+        if len(json.dumps(slim, separators=(",", ":"))) > 1900:
+            del slim["failed_names"]
+    line = json.dumps(slim, separators=(",", ":"))
+    assert len(line) <= 2000, len(line)
+    print(line)
+    # The printed JSON line IS the deliverable: a bench with a couple
+    # of red queries and 87 timings is strictly better than no bench,
+    # so a nonzero exit (which voids the driver's BENCH_r{N}.json) is
+    # reserved for a broken bench, not broken queries — but beyond 2
+    # failures a crash REGRESSION should fail loudly (round 3 lost all
+    # timings to 5 crashes under exit-1; round 4's blanket N/10
+    # tolerance would have silently passed that same regression).
+    return 0 if len(failed) <= 2 else 1
 
 
 if __name__ == "__main__":

@@ -80,6 +80,29 @@ def test_reverify_distrusts_greens_up_to_the_recorded_round(tmp_path):
     assert _order(tmp_path, [name, "z"]) == ["z", name]
 
 
+def test_seen_block_orders_oldest_green_first(tmp_path):
+    # within the already-verified block, the STALEST green leads so it
+    # re-enters the driver's 50-query window soonest; registration
+    # order must not matter (ties break by name for determinism)
+    _write(tmp_path, 2, {"old_a": GREEN, "old_b": GREEN})
+    _write(tmp_path, 3, {"mid": GREEN})
+    _write(tmp_path, 4, {"new": GREEN})
+    assert _order(tmp_path, ["new", "mid", "old_b", "fresh", "old_a"]) == [
+        "fresh", "old_a", "old_b", "mid", "new"
+    ]
+
+
+def test_static_set_vouches_as_round_two(tmp_path):
+    # a name vouched only by the static r2 set (no file row) must sort
+    # with the r2 greens, ahead of later-round greens
+    _write(tmp_path, 4, {"new": GREEN})
+    static_name = "pricing_summary"
+    assert static_name in entry.DRIVER_VERIFIED_PRIOR
+    assert _order(tmp_path, ["new", static_name, "fresh"]) == [
+        "fresh", static_name, "new"
+    ]
+
+
 def test_unreadable_file_falls_back_to_static_set(tmp_path):
     (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
     static_name = "pricing_summary"
