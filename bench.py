@@ -84,12 +84,18 @@ def main() -> int:
     # and the MINIMUM is recorded: min-of-N measures the plan's cost,
     # not the pauses, and stays honest for one-shot costs because a
     # query's first run is always one of the candidates. Memoized
-    # pipeline stages (ticker_sync) keep their first-run number — the
-    # memo hit would measure the cache, not the query.
+    # pipeline stages (ticker_sync) get their session memos AND the
+    # backing Spark cache entries dropped first, so their second run
+    # re-executes the whole DAG with warm codegen — the same
+    # treatment as every other query, instead of measuring the memo.
+    from psx_data_pipeline_spark.plans import clear_session_memos
+
     _MEMOIZED = {"ticker_sync_changes"}
     for name, t in list(timings.items()):
-        if t > 2.0 and name not in _MEMOIZED:
+        if t > 2.0:
             try:
+                if name in _MEMOIZED:
+                    clear_session_memos()
                 timings[name] = min(t, run_once(name))
             except Exception:  # first timing stands
                 pass

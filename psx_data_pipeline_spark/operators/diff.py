@@ -46,6 +46,7 @@ def detect_renames(
     name: str = "name",
     min_token_len: int = 3,
     parity: bool = False,
+    min_name_lens: tuple[int | None, int | None] | None = None,
 ) -> DataFrame:
     """Deterministic re-spec of the reference's fuzzy rename matcher.
 
@@ -196,27 +197,41 @@ def detect_renames(
     # Short-name residual pruning: names shorter than one gram need
     # the 1..B-1-substring equi-join fallback, but almost every real
     # churn set has none (ticker/company names are longer than 4
-    # chars). ONE scalar job (a documented scalar-only action, like
-    # the CC convergence check) probes both residuals — and doubles
-    # as the cache-materialization trigger — so the dead branches,
-    # their unions, and their whole-stage-codegen compile cost drop
-    # out of the main query.
-    probe = (
-        old.select(
-            F.length("old_name").alias("len_o"),
-            F.lit(None).cast("int").alias("len_n"),
-        )
-        .unionByName(
-            new.select(
-                F.lit(None).cast("int").alias("len_o"),
-                F.length("new_name").alias("len_n"),
+    # chars). The minimum name length per side decides whether those
+    # branches exist at all, so the dead branches, their unions, and
+    # their whole-stage-codegen compile cost drop out of the main
+    # query. Callers that already materialized the residuals (the
+    # plans-layer churn cache piggybacks a min(length(name)) on the
+    # same job) pass ``min_name_lens=(deleted_min, added_min)``;
+    # otherwise ONE scalar job (a documented scalar-only action, like
+    # the CC convergence check) probes both sides here.
+    #
+    # STATIC-INPUT ASSUMPTION: the branch gating observes the inputs
+    # once, at plan-construction time. Both sides are cache()d above,
+    # so the frames this probe saw are the frames the plan executes
+    # against; callers must not pass inputs whose underlying source
+    # mutates between construction and execution (re-call
+    # detect_renames after a source change instead).
+    if min_name_lens is not None:
+        min_o, min_n = min_name_lens
+    else:
+        probe = (
+            old.select(
+                F.length("old_name").alias("len_o"),
+                F.lit(None).cast("int").alias("len_n"),
             )
+            .unionByName(
+                new.select(
+                    F.lit(None).cast("int").alias("len_o"),
+                    F.length("new_name").alias("len_n"),
+                )
+            )
+            .agg(F.min("len_o").alias("o"), F.min("len_n").alias("n"))
+            .first()
         )
-        .agg(F.min("len_o").alias("o"), F.min("len_n").alias("n"))
-        .first()
-    )
-    has_short_old = probe["o"] is not None and probe["o"] < B
-    has_short_new = probe["n"] is not None and probe["n"] < B
+        min_o, min_n = probe["o"], probe["n"]
+    has_short_old = min_o is not None and min_o < B
+    has_short_new = min_n is not None and min_n < B
 
     if not parity:
         # inverted-index candidates: share a significant whole token

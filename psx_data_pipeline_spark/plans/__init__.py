@@ -20,3 +20,8 @@ from psx_data_pipeline_spark.plans import scrape  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import stream  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import multimodal  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import io_queries  # noqa: F401,E402
+
+# Benchmark hook: drops plan-layer memos (and their Spark cache
+# entries) so a memoized query's re-run measures the plan, not the
+# memo. Extend here if another plan module grows a session memo.
+from psx_data_pipeline_spark.plans.ticker import clear_session_memos  # noqa: F401,E402

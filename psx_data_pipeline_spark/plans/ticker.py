@@ -136,25 +136,56 @@ SELECT old_key, new_key, old_name, new_name FROM r2 WHERE r_new = 1
 # Churn residuals (added = cur ∖ prev, deleted = prev ∖ cur, by key),
 # materialized once per (application, sf_dir): three registered
 # queries (both rename variants + the sync pipeline) start from the
-# same two anti-joins, and the frames are churn-bounded — the day's
+# same subtree, and the frames are churn-bounded — the day's
 # adds/deletes, kilobytes at any scale — so one shared cache beats
-# three rebuilds of the same snapshot-scan-plus-anti-join subtree.
-_RESIDUAL_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+# three rebuilds. Both residuals come out of ONE cached full-outer
+# join (one shuffle; the two separate anti-joins each re-shuffled
+# both snapshots — twice the exchange volume at any scale), and the
+# materializing job doubles as a stats probe: min(length(name)) per
+# side rides along so detect_renames can gate its short-name
+# branches without running its own probe job.
+_RESIDUAL_CACHE: dict[
+    tuple[str, str],
+    tuple[DataFrame, DataFrame, tuple[int | None, int | None], DataFrame],
+] = {}
 
 
 def _churn_residuals(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """(added, deleted) snapshot residuals, cached per app + sf_dir."""
+) -> tuple[DataFrame, DataFrame, tuple[int | None, int | None]]:
+    """(added, deleted, (deleted_min_name_len, added_min_name_len)),
+    cached per app + sf_dir. The min-length pair feeds
+    detect_renames(min_name_lens=...); None = side is empty. The memo
+    additionally holds the cached parent frame so
+    clear_session_memos() can unpersist it."""
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     hit = _RESIDUAL_CACHE.get(memo_key)
     if hit is not None:
-        return hit
+        return hit[0], hit[1], hit[2]
     cur, prev = _cur(spark, sf_dir), _prev(spark, sf_dir)
-    added = cur.join(prev, "symbol_id", "left_anti").cache()
-    deleted = prev.join(cur, "symbol_id", "left_anti").cache()
-    _RESIDUAL_CACHE[memo_key] = (added, deleted)
-    return added, deleted
+    j = cur.select(F.struct(*cur.columns).alias("c")).join(
+        prev.select(F.struct(*prev.columns).alias("p")),
+        F.col("c.symbol_id") == F.col("p.symbol_id"),
+        "full_outer",
+    )
+    # cache ONLY the churn rows (either side null): the cache must be
+    # residual-bounded, not snapshot-bounded — caching the whole join
+    # would hold (and make every downstream reference rescan) the full
+    # snapshot instead of the day's kilobytes of churn
+    resid = j.where(F.col("c").isNull() | F.col("p").isNull()).cache()
+    added = resid.where(F.col("p").isNull()).select("c.*")
+    deleted = resid.where(F.col("c").isNull()).select("p.*")
+    stats = resid.agg(
+        F.min(
+            F.when(F.col("c").isNull(), F.length(F.col("p.name")))
+        ).alias("min_deleted"),
+        F.min(
+            F.when(F.col("p").isNull(), F.length(F.col("c.name")))
+        ).alias("min_added"),
+    ).first()
+    lens = (stats["min_deleted"], stats["min_added"])
+    _RESIDUAL_CACHE[memo_key] = (added, deleted, lens, resid)
+    return added, deleted, lens
 
 
 # Parity variant: the reference's EXACT third clause — any old-name
@@ -220,6 +251,24 @@ WHERE change_type = 'DELETED'
 """
 
 
+def clear_session_memos() -> None:
+    """Drop the plan-layer memos AND their Spark-side cache entries.
+
+    For benchmarking only: a memoized query's re-run would otherwise
+    measure the memo hit instead of the plan, making it the only
+    registered query whose recorded time keeps its one-time JIT cost
+    (every other >2 s query gets min-of-two with warm codegen).
+    Unpersist matters as much as the dict clear — Spark's cache
+    manager matches by analyzed plan, so a rebuilt identical plan
+    would silently reuse the old materialized partitions."""
+    for _, _, _, resid in _RESIDUAL_CACHE.values():
+        resid.unpersist()
+    _RESIDUAL_CACHE.clear()
+    for df in _SYNC_CHANGE_CACHE.values():
+        df.unpersist()
+    _SYNC_CHANGE_CACHE.clear()
+
+
 # The materialized change table, one per (application, sf_dir). The
 # sync pipeline has two registered consumers (the typed table and the
 # formatted change-log view); without this memo the formatter would
@@ -250,7 +299,7 @@ def q_ticker_sync_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diff's ADDED/DELETED rows select), so the sync pipeline starts
     # from the same cached frames as the two rename queries instead
     # of rebuilding the diff subtree
-    added, deleted = _churn_residuals(spark, sf_dir)
+    added, deleted, lens = _churn_residuals(spark, sf_dir)
     added_keys = added.select("symbol_id")
     deleted_keys = deleted.select("symbol_id")
     # The rename table is referenced three times below (RENAMED rows +
@@ -258,7 +307,9 @@ def q_ticker_sync_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the snapshot), so cache it once instead of recomputing the
     # multi-branch candidate-join subtree per reference — at any scale
     # this is kilobytes, and AQE then broadcasts the anti-joins.
-    ren = detect_renames(deleted, added, key="symbol_id", name="name").cache()
+    ren = detect_renames(
+        deleted, added, key="symbol_id", name="name", min_name_lens=lens
+    ).cache()
     renamed = ren.select(
         F.lit("RENAMED").alias("change_type"),
         F.col("old_key").alias("old_symbol_id"),
@@ -287,14 +338,19 @@ def q_ticker_sync_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         renamed.unionByName(pure_added)
         .unionByName(pure_deleted)
-        # eager materialization: the checkpointed partitions are the
-        # shared artifact; checkpointed RDDs are GC-managed, unlike
-        # cache() entries which leak until an explicit unpersist
-        .localCheckpoint(eager=True)
+        # eager materialization via cache + count, NOT localCheckpoint:
+        # localCheckpoint compiles a second, non-AQE physical plan for
+        # the whole sync DAG (~2× the first-call cost — the same
+        # measurement that moved detect_renames to cache(), see
+        # operators/diff.py). The cache entry lives for the session but
+        # is churn-bounded (the day's adds/deletes/renames, kilobytes
+        # at any scale), the same argument as the residual cache.
+        .cache()
     )
+    out.count()
     # the shared churn residuals stay cached (other registered
     # queries reuse them); only the sync-local rename table is
-    # released once the checkpoint holds the final rows
+    # released once the final rows are materialized
     ren.unpersist()
     _SYNC_CHANGE_CACHE[memo_key] = out
     return out
@@ -314,8 +370,10 @@ def q_rename_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     with deterministic 1:1 assignment; candidates via inverted-token
     join instead of a cross join (the oracle may cross-join — it is
     allowed to be slow)."""
-    added, deleted = _churn_residuals(spark, sf_dir)
-    return detect_renames(deleted, added, key="symbol_id", name="name")
+    added, deleted, lens = _churn_residuals(spark, sf_dir)
+    return detect_renames(
+        deleted, added, key="symbol_id", name="name", min_name_lens=lens
+    )
 
 
 @query("rename_detection_parity", _RENAME_PARITY_SQL)
@@ -323,8 +381,11 @@ def q_rename_detection_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-exact rename predicate (scrape_tickers.py:612-614):
     token-as-substring third clause, gram-blocked candidate join —
     the parity mode of operators/diff.detect_renames."""
-    added, deleted = _churn_residuals(spark, sf_dir)
-    return detect_renames(deleted, added, key="symbol_id", name="name", parity=True)
+    added, deleted, lens = _churn_residuals(spark, sf_dir)
+    return detect_renames(
+        deleted, added, key="symbol_id", name="name",
+        parity=True, min_name_lens=lens,
+    )
 
 
 # --- change-log presentation view (K3) ----------------------------------------
