@@ -5,12 +5,15 @@ North-star operators for a training-data pipeline: image / audio /
 video travel as `binary` columns with a modality tag; decode,
 feature-extract, and frame-sample run as vectorized Python over
 Arrow batches (the only layer where Python is acceptable — columnar
-transfer, no per-row pickling). The actual media decoding is STUBBED
-(this container ships no image/audio codecs): `decode_real` raises
-NotImplementedError by design, and `extract_features` /
-`sample_frames` compute deterministic fakes derived from the payload
-bytes — the Spark-side schema, partitioning, UDF signatures, and
-batch shapes are the real thing and are what these operators test.
+transfer, no per-row pickling). `decode_real` is a real,
+dependency-free decoder for the uncompressed containers a codec-less
+container can handle (24bpp BMP, binary netpbm P5/P6); compressed
+formats (JPEG/PNG/audio/video) raise ValueError at the same seam
+where PIL / soundfile / pyav slot in for a full deployment.
+`extract_features` / `sample_frames` keep their deterministic
+payload-derived fakes — the driver fixtures are text corpora, not
+media — while `decode_images` runs the real decoder end-to-end over
+Arrow batches.
 
 Scale notes: both operators are narrow (no shuffle) — they stream
 Arrow batches through Python workers partition-by-partition, so
@@ -22,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -55,13 +59,200 @@ _FRAME_CHARS = 256  # fake frame = 256-char slice of the payload
 _FRAME_STRIDE = 10  # keep every 10th frame
 
 
-def decode_real(payload: bytes, modality: str):
-    """The real decoder seam (PIL / soundfile / pyav live here in a
-    full deployment). Deliberately unimplemented in this container."""
-    raise NotImplementedError(
-        f"no {modality} codec in this environment — use the deterministic "
-        "fake in extract_features/sample_frames"
+def _decode_bmp(b: bytes) -> dict:
+    """Uncompressed 24bpp BMP (BITMAPINFOHEADER or later). Pixel rows
+    are stored bottom-up (unless height < 0) with 4-byte padding; the
+    digest is over the UNPADDED bytes reassembled top-down, in the
+    file's stored channel order (BGR) — a canonical form that is
+    independent of padding and row direction."""
+    if len(b) < 54:
+        raise ValueError("truncated BMP header")
+    (pixel_off,) = struct.unpack_from("<I", b, 10)
+    (hdr_size,) = struct.unpack_from("<I", b, 14)
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMP unsupported")
+    width, height = struct.unpack_from("<ii", b, 18)
+    _planes, bpp = struct.unpack_from("<HH", b, 26)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if compression != 0 or bpp != 24:
+        raise ValueError("only uncompressed 24bpp BMP supported")
+    if width <= 0 or height == 0:
+        raise ValueError("degenerate BMP dimensions")
+    top_down = height < 0
+    h = abs(height)
+    row = width * 3
+    stride = (row + 3) & ~3
+    if len(b) < pixel_off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = [
+        b[pixel_off + r * stride : pixel_off + r * stride + row]
+        for r in range(h)
+    ]
+    if not top_down:
+        rows.reverse()
+    return {
+        "format": "bmp",
+        "width": width,
+        "height": h,
+        "channels": 3,
+        "pixel_digest": hashlib.md5(b"".join(rows)).hexdigest(),
+    }
+
+
+def _decode_netpbm(b: bytes) -> dict:
+    """Binary netpbm: P6 (RGB) / P5 (gray), 8-bit. Header is magic +
+    three whitespace-separated ints (width, height, maxval) with
+    '#'-comment lines allowed, then ONE whitespace byte, then raw
+    pixel bytes."""
+    magic = b[:2]
+    idx = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while idx < len(b) and b[idx : idx + 1].isspace():
+            idx += 1
+        if idx < len(b) and b[idx : idx + 1] == b"#":
+            while idx < len(b) and b[idx] != 0x0A:
+                idx += 1
+            continue
+        start = idx
+        while idx < len(b) and not b[idx : idx + 1].isspace():
+            idx += 1
+        if start == idx:
+            raise ValueError("truncated netpbm header")
+        vals.append(int(b[start:idx]))
+    idx += 1  # exactly one whitespace byte separates header and pixels
+    width, height, maxval = vals
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate netpbm dimensions")
+    if not 0 < maxval < 256:
+        raise ValueError("16-bit netpbm unsupported")
+    channels = 3 if magic == b"P6" else 1
+    need = width * height * channels
+    px = b[idx : idx + need]
+    if len(px) < need:
+        raise ValueError("truncated netpbm pixel data")
+    return {
+        "format": "ppm" if channels == 3 else "pgm",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixel_digest": hashlib.md5(px).hexdigest(),
+    }
+
+
+def decode_real(payload: bytes, modality: str) -> dict:
+    """Real decode for containers a dependency-free environment can
+    handle: uncompressed 24bpp BMP and binary netpbm (P6 PPM / P5
+    PGM). Returns {format, width, height, channels, pixel_digest}
+    where pixel_digest is md5 over the raw pixel bytes in top-down
+    row-major stored-channel order (BMP padding stripped).
+
+    Compressed containers (JPEG/PNG) and the audio/video modalities
+    raise ValueError — this is the seam where PIL / soundfile / pyav
+    slot in for a full deployment."""
+    if modality != "image":
+        raise ValueError(f"no {modality} codec in this environment")
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_netpbm(payload)
+    raise ValueError("unsupported image container (need BMP24/P5/P6)")
+
+
+def encode_bmp(width: int, height: int, fill: int) -> bytes:
+    """Minimal uncompressed 24bpp bottom-up BMP with every channel of
+    every pixel set to ``fill`` — the deterministic fixture twin of
+    decode_real (uniform fill makes the pixel digest row-order- and
+    channel-order-independent, so an oracle can reproduce it)."""
+    row = width * 3
+    stride = (row + 3) & ~3
+    header = struct.pack("<2sIHHI", b"BM", 54 + stride * height, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height,
+        2835, 2835, 0, 0,
     )
+    rowbytes = bytes([fill]) * row + b"\x00" * (stride - row)
+    return header + info + rowbytes * height
+
+
+def encode_ppm(width: int, height: int, fill: int) -> bytes:
+    """Minimal binary P6 PPM, uniform ``fill`` byte (see encode_bmp)."""
+    return (b"P6\n%d %d\n255\n" % (width, height)) + bytes([fill]) * (
+        width * height * 3
+    )
+
+
+PAYLOAD_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+IMAGE_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), True),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("width", T.LongType(), True),
+    T.StructField("height", T.LongType(), True),
+    T.StructField("channels", T.LongType(), True),
+    T.StructField("pixel_digest", T.StringType(), True),
+])
+
+
+def synth_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-container fixtures: one tiny image per row,
+    BMP for even ids / PPM for odd, dimensions and uniform fill byte
+    derived from the id. Stands in for raw bytes ingested from an
+    object store; everything downstream (binary column, Arrow
+    batches, decode) is the production shape."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h, fill = 4 + i % 13, 3 + i % 7, 65 + i % 26
+                payloads.append(
+                    encode_bmp(w, h, fill) if i % 2 == 0
+                    else encode_ppm(w, h, fill)
+                )
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "payload": pd.array(payloads, dtype=object),
+            })
+
+    return df.mapInPandas(batches, PAYLOAD_SCHEMA)
+
+
+def decode_images(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Run the real decoder over an opaque binary column, Arrow batch
+    by Arrow batch (narrow — no shuffle; payloads never on the
+    driver). One row per image: container format, dimensions, channel
+    count, canonical pixel digest."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {k.name: [] for k in IMAGE_DECODE_SCHEMA}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = decode_real(bytes(payload), "image")
+                out["doc_id"].append(int(doc_id))
+                out["format"].append(d["format"])
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["channels"].append(d["channels"])
+                out["pixel_digest"].append(d["pixel_digest"])
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "format": pd.array(out["format"], dtype="object"),
+                "width": pd.array(out["width"], dtype="int64"),
+                "height": pd.array(out["height"], dtype="int64"),
+                "channels": pd.array(out["channels"], dtype="int64"),
+                "pixel_digest": pd.array(out["pixel_digest"], dtype="object"),
+            })
+
+    return df.mapInPandas(batches, IMAGE_DECODE_SCHEMA)
 
 
 def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

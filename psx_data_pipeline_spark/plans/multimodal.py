@@ -10,8 +10,10 @@ from psx_data_pipeline_spark.operators.multimodal import (
     _FRAME_CHARS,
     _FRAME_STRIDE,
     attach_payload,
+    decode_images,
     extract_features,
     sample_frames,
+    synth_image_payloads,
 )
 from psx_data_pipeline_spark.plans.registry import query
 from psx_data_pipeline_spark.sources.fixtures import load_table
@@ -64,3 +66,33 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape of real frame extraction."""
     docs = load_table(spark, "documents", sf_dir)
     return sample_frames(attach_payload(docs))
+
+
+# The fixture payloads use a UNIFORM fill byte, so the decoder's
+# canonical pixel digest (top-down, padding-stripped, stored channel
+# order) collapses to md5 of the fill char repeated width*height*3
+# times for both containers — which DuckDB can state directly. The
+# decoder itself is exercised on real BMP/PPM bytes (header parse,
+# stride/padding strip, bottom-up reassembly); non-uniform pixels are
+# pinned by unit tests (tests/test_image_decode.py).
+IMAGE_DECODE_ORACLE = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+  CAST(4 + doc_id % 13 AS BIGINT) AS width,
+  CAST(3 + doc_id % 7 AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  md5(repeat(chr(CAST(65 + doc_id % 26 AS INT)),
+             CAST((4 + doc_id % 13) * (3 + doc_id % 7) * 3 AS INT)))
+    AS pixel_digest
+FROM documents
+"""
+
+
+@query("image_decode", IMAGE_DECODE_ORACLE)
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode end-to-end: synthesize one BMP/PPM container
+    per document (opaque binary column), then decode_real parses
+    headers, strips row padding, and digests the pixels — all inside
+    Arrow-batched mapInPandas (operators/multimodal.decode_images)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return decode_images(synth_image_payloads(docs))

@@ -15,8 +15,10 @@ from psx_data_pipeline_spark.operators.multimodal import (
 )
 
 
-def test_decode_seam_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_decode_seam_rejects_compressed_containers():
+    # the real-decoder seam: PNG is compressed, no codec here — the
+    # full decode surface is pinned in tests/test_image_decode.py
+    with pytest.raises(ValueError, match="unsupported image container"):
         decode_real(b"\x89PNG", "image")
 
 
