@@ -14,12 +14,12 @@ becomes a hash-checked driver row.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.scratch import scratch_dir
 from psx_data_pipeline_spark.plans.ticker import _cur, _prev
 from psx_data_pipeline_spark.sources.io import (
     read_snapshot_json,
@@ -67,7 +67,7 @@ def q_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     written frame MINUS the url column — the projection is observable
     in the result schema, and any header/quoting/null mangling in the
     round-trip breaks the value hash."""
-    out = tempfile.mkdtemp(prefix="csv_sink_") + "/all_tickers"
+    out = scratch_dir("csv_sink") + "/all_tickers"
     write_tickers_csv(_tickers(_cur(spark, sf_dir)), out)
     return read_tickers_csv(spark, out)
 
@@ -96,7 +96,7 @@ def q_json_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     mtime (the reference's mtime scheme, update_ticker_info.py:54, is
     non-reproducible and forbidden per SURVEY.md §7.4). The oracle is
     exactly the second snapshot's rows."""
-    base = tempfile.mkdtemp(prefix="json_snap_")
+    base = scratch_dir("json_snap")
     write_snapshot_json(_tickers(_prev(spark, sf_dir)), base, "2024-01-01")
     write_snapshot_json(_tickers(_cur(spark, sf_dir)), base, "2024-01-02")
     snaps = read_snapshot_json(spark, base)  # partition col discovered
@@ -121,7 +121,7 @@ def q_partitioned_overwrite_idempotent(
     overwrite would have truncated day 1; append would have doubled
     day 2 — either corruption breaks the oracle hash). The read is
     partition-pruned to the latest day."""
-    base = tempfile.mkdtemp(prefix="part_parquet_") + "/snapshots"
+    base = scratch_dir("part_parquet") + "/snapshots"
     prev = _tickers(_prev(spark, sf_dir)).withColumn(
         "snapshot_date", F.lit("2024-01-01")
     )

@@ -10,13 +10,12 @@ for a streaming operator).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.scratch import scratch_dir
 from psx_data_pipeline_spark.sources.fixtures import load_table
 from psx_data_pipeline_spark.streaming.jobs import (
     incremental_ingest,
@@ -176,9 +175,9 @@ def q_stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    landing = tempfile.mkdtemp(prefix="ingest_landing_")
-    sink = tempfile.mkdtemp(prefix="ingest_sink_") + "/data"
-    ckpt = tempfile.mkdtemp(prefix="ingest_ckpt_")
+    landing = scratch_dir("ingest_landing")
+    sink = scratch_dir("ingest_sink") + "/data"
+    ckpt = scratch_dir("ingest_ckpt")
     day1 = orders.where(F.col("o_orderkey") % 2 == 0)
     day2 = orders.where(F.col("o_orderkey") % 2 == 1)
     day1.coalesce(1).write.mode("append").json(landing)
@@ -237,10 +236,10 @@ def q_stream_sync_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the batch diff of the same two snapshots."""
     from psx_data_pipeline_spark.plans.ticker import _cur, _prev
 
-    landing = tempfile.mkdtemp(prefix="sync_landing_")
-    universe = tempfile.mkdtemp(prefix="sync_universe_") + "/universe"
-    log = tempfile.mkdtemp(prefix="sync_log_") + "/changes"
-    ckpt = tempfile.mkdtemp(prefix="sync_ckpt_")
+    landing = scratch_dir("sync_landing")
+    universe = scratch_dir("sync_universe") + "/universe"
+    log = scratch_dir("sync_log") + "/changes"
+    ckpt = scratch_dir("sync_ckpt")
     prev = _prev(spark, sf_dir).select("symbol_id", "name")
     cur = _cur(spark, sf_dir).select("symbol_id", "name")
     prev.coalesce(1).write.mode("append").json(landing)

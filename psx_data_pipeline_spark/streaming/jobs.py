@@ -24,12 +24,12 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from psx_data_pipeline_spark.scratch import scratch_dir
 from psx_data_pipeline_spark.sources.fixtures import ts_us_expr
 
 _uniq = itertools.count()
@@ -87,7 +87,7 @@ def run_to_memory(result: DataFrame, output_mode: str, prefix: str) -> str:
     in-memory table; returns the table name. The checkpoint lives in a
     fresh temp dir — each call is an independent 'scheduled run'."""
     name = _sink_name(prefix)
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    ckpt = scratch_dir(f"ckpt_{name}")
     q = (
         result.writeStream.outputMode(output_mode)
         .format("memory")

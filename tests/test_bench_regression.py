@@ -1,0 +1,81 @@
+"""Perf-regression guard: compare the latest local bench run
+(BENCH_FULL.json, written by every `python bench.py`) against the most
+recent driver-recorded round (BENCH_r{N}.json). Any query that slowed
+more than 3× (min-of-two basis on both sides) fails here, locally,
+before the driver ever sees it.
+
+The driver artifact stores only a ~2 KB stdout tail, so its per-query
+map may be head-truncated; timings are recovered pair-by-pair with a
+regex rather than json.loads. No Spark session is involved — this is
+pure artifact comparison, so it costs milliseconds and runs in every
+pytest sweep."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# ratio above which a slowdown is a failure, and the absolute floor
+# below which noise dominates (sub-second queries swing multiples on
+# a busy box without meaning anything)
+RATIO = 3.0
+FLOOR_SEC = 1.0
+
+_PAIR = re.compile(r'"([a-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)')
+_NON_QUERY_KEYS = {
+    "metric", "value", "sf", "n", "rc", "cpus", "n_queries",
+    "n_failed", "queries_omitted",
+}
+
+
+def _latest_round_timings(sf: float) -> tuple[str, dict[str, float]]:
+    rounds = sorted(
+        glob.glob(os.path.join(HERE, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for path in reversed(rounds):
+        try:
+            art = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if art.get("sf") not in (None, sf):
+            continue  # different scale factor — not comparable
+        # prefer the parsed map; fall back to regex recovery from the
+        # truncated tail (every "name": 1.23 pair that survives)
+        parsed = art.get("parsed") or {}
+        q = dict(parsed.get("queries") or {})
+        if not q:
+            q = {
+                k: float(v)
+                for k, v in _PAIR.findall(art.get("tail") or "")
+                if k not in _NON_QUERY_KEYS
+            }
+        if q:
+            return os.path.basename(path), q
+    return "", {}
+
+
+def test_no_query_slowed_3x_vs_last_round():
+    full_path = os.path.join(HERE, "BENCH_FULL.json")
+    if not os.path.exists(full_path):
+        pytest.skip("no local bench run yet (BENCH_FULL.json missing)")
+    full = json.load(open(full_path))
+    current = full["queries"]
+    src, prior = _latest_round_timings(full.get("sf"))
+    if not prior:
+        pytest.skip("no recoverable prior-round bench timings at this sf")
+    regressions = {
+        name: (prior[name], t)
+        for name, t in current.items()
+        if name in prior and t > FLOOR_SEC and t > RATIO * prior[name]
+    }
+    assert not regressions, (
+        f"queries slowed >{RATIO}x vs {src} (prior_sec, current_sec): "
+        f"{regressions}"
+    )

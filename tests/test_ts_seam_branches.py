@@ -91,20 +91,20 @@ def test_unhandled_type_raises_diagnostic(spark):
         ts_us_expr(df)
 
 
-def test_ntz_branch_is_session_timezone_independent(tmp_path):
+def test_ntz_branch_is_session_timezone_independent(spark, tmp_path):
     """The core invariant: under a non-UTC session timezone the seam
     still matches DuckDB (the naive cast-to-timestamp would be off by
-    the zone offset). Uses a dedicated session; the shared fixture
-    session stays UTC."""
-    from pyspark.sql import SparkSession
-
+    the zone offset). Flips the SHARED fixture session's timezone for
+    the duration of the test and restores it in the finally block —
+    taking the fixture (rather than getActiveSession) both guarantees
+    the session exists when this test runs alone and makes the
+    dependency on the shared session explicit."""
     path = str(tmp_path / "t.parquet")
     pq.write_table(
         pa.table({"event_id": pa.array(_IDS, pa.int64()),
                   "ts": pa.array(_WALL, pa.timestamp("us"))}),
         path,
     )
-    spark = SparkSession.getActiveSession()
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
         spark.conf.set("spark.sql.session.timeZone", "Asia/Karachi")

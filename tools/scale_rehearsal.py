@@ -60,7 +60,7 @@ FAMILIES = {
         "stream_window_counts", "stream_sessionize", "stream_user_totals",
         "stream_click_attribution", "stream_dedup",
     ],
-    "multimodal": ["multimodal_features", "frame_sample"],
+    "multimodal": ["multimodal_features", "frame_sample", "image_decode"],
     "scrape": [
         "market_watch_parse", "company_enrich", "fallback_source",
         "url_normalize", "date_roundtrip", "first_run_bootstrap",
@@ -172,6 +172,9 @@ def main() -> int:
                     help="route this fraction of events to ONE user "
                          "(hot-key skew probe for per-key windows / "
                          "stateful streaming)")
+    ap.add_argument("--queries", nargs="*", default=None,
+                    help="run exactly these query names (overrides "
+                         "--families)")
     args = ap.parse_args()
 
     tag = f"_hot{int(args.hot_frac * 100)}" if args.hot_frac else ""
@@ -194,18 +197,22 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
-    for fam in args.families:
-        for name in FAMILIES[fam]:
-            t0 = time.perf_counter()
-            try:
-                QUERIES[name](spark, out_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                timings[name] = round(time.perf_counter() - t0, 1)
-                print(f"{name}: {timings[name]} s", flush=True)
-            except Exception as exc:  # keep rehearsing the rest
-                failed[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
-                print(f"{name}: FAILED {failed[name]}", flush=True)
+    names = (
+        args.queries
+        if args.queries
+        else [n for fam in args.families for n in FAMILIES[fam]]
+    )
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            QUERIES[name](spark, out_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 1)
+            print(f"{name}: {timings[name]} s", flush=True)
+        except Exception as exc:  # keep rehearsing the rest
+            failed[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+            print(f"{name}: FAILED {failed[name]}", flush=True)
     print(json.dumps({"factor": args.factor, "queries": timings,
                       "failed": failed}))
     return 1 if failed else 0
