@@ -251,3 +251,17 @@ def q_stream_sync_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, landing, universe, log, ckpt, _SYNC_SCHEMA, key="symbol_id"
     )
     return spark.read.parquet(log).select("change_type", "line")
+
+
+# --- streaming multimodal decode --------------------------------------------
+
+from psx_data_pipeline_spark.plans.multimodal import IMAGE_DECODE_ORACLE  # noqa: E402
+from psx_data_pipeline_spark.streaming.jobs import streaming_image_decode  # noqa: E402
+
+
+@query("stream_image_decode", IMAGE_DECODE_ORACLE)
+def q_stream_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image_decode pipeline under the streaming runtime
+    (decode-on-ingest): same oracle as the batch query — the
+    streaming engine must produce value-identical decode output."""
+    return streaming_image_decode(spark, sf_dir)

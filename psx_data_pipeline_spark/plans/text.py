@@ -1025,3 +1025,100 @@ def q_source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "n_tokens",
         (F.col("s") / denom).alias("weight"),
     )
+
+
+# --- per-domain cap (training-mix dedup of over-represented hosts) ----------
+
+_CAP_K = 10
+_CAP_SALTS = 8
+
+DOMAIN_CAP_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {_CAP_K}
+"""
+
+
+@query("domain_cap", DOMAIN_CAP_ORACLE)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most K docs per source (the per-domain cap every
+    pretraining mix applies to over-crawled hosts), deterministically:
+    the K smallest doc_ids win.
+
+    Two-phase min-K so no single reducer ever sorts a hot domain's
+    full row set: phase 1 takes the per-(source, salt) top-K across
+    ``_CAP_SALTS`` salted sub-groups (bounding any one sort to the
+    sub-group), phase 2 re-ranks the ≤ S·K survivors per source.
+    min-K is distributive, so the survivor set equals the direct
+    single-pass top-K — the oracle states the direct form. At 100 TB
+    the phase-2 input is (#domains · S · K) rows — trivially small —
+    while the naive form serializes each domain in one partition."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    w1 = Window.partitionBy(
+        "source", (F.col("doc_id") % _CAP_SALTS).alias("salt")
+    ).orderBy("doc_id")
+    phase1 = (
+        docs.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= _CAP_K)
+        .drop("rn1")
+    )
+    w2 = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        phase1.withColumn("rn", F.row_number().over(w2).cast("long"))
+        .where(F.col("rn") <= _CAP_K)
+        .select("doc_id", "source", "rn")
+    )
+
+
+# --- unigram-LM log-probability scoring (perplexity-style quality) ----------
+
+UNIGRAM_LOGPROB_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+tc AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(CAST(floor(1000 * ln(CAST(tc.c AS DOUBLE) / tot.n))
+                AS BIGINT)) AS BIGINT) AS logprob_milli
+FROM tok t JOIN tc USING (tok) CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
+@query("unigram_logprob", UNIGRAM_LOGPROB_ORACLE)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM log-probability — the classic cheap
+    perplexity proxy for quality filtering (docs of rare tokens score
+    low / very negative; boilerplate scores high).
+
+    The per-token log-prob uses the tf-idf trick (idf_milli above):
+    floor(1000·ln(c/N)) is an integer, so the per-doc sum is exact
+    BIGINT arithmetic — order-independent, hash-identical across
+    engines — instead of a float sum whose value depends on reduce
+    order. Three shuffles total, all map-side combinable: token
+    count, token→count join (AQE handles the stopword skew), per-doc
+    sum. The vocabulary table stays distributed (corpus-derived, so
+    it grows with the data; never broadcast)."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tok.join(tc, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(
+                F.lit(1000.0)
+                * F.log(F.col("c").cast("double") / F.col("n"))
+            ).cast("long").alias("lp_milli"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.sum("lp_milli").cast("long").alias("logprob_milli"),
+    )

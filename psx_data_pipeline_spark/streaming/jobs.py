@@ -378,3 +378,28 @@ def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     with _pinned_state_shuffle(spark):
         table = run_to_memory(joined, "append", "attribution")
     return spark.table(table)
+
+
+def streaming_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-on-ingest: the documents table replayed as a file
+    stream; every micro-batch synthesizes its binary payload column
+    and runs the real BMP/PPM decoder (operators/multimodal) inside
+    Arrow-batched mapInPandas. Stateless and narrow — no watermark,
+    no state store, no shuffle — so the streaming plan is the batch
+    plan fed micro-batch-sized Arrow slices: the shape a production
+    media-ingest pipeline has (decode once, on arrival, not in every
+    downstream job)."""
+    from psx_data_pipeline_spark.operators.multimodal import (
+        decode_images,
+        synth_image_payloads,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    decoded = decode_images(synth_image_payloads(raw.select("doc_id")))
+    table = run_to_memory(decoded, "append", "img_decode")
+    return spark.table(table)

@@ -29,9 +29,12 @@ FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 # IVF probes query×centroid where both sides are size-capped via the
 # corpus-scaled mod (plans/similarity.py), and word_pmi / oov_rate
 # carry corpus totals / the top-K vocabulary as ONE broadcast scalar
-# row. The corpus side is never the build side, so these survive
+# row (unigram_logprob's broadcast is likewise its single-row token
+# total). The corpus side is never the build side, so these survive
 # 100 TB.
-BOUNDED_BROADCAST_OK = {"cosine_topk", "ivf_topk", "word_pmi", "oov_rate"}
+BOUNDED_BROADCAST_OK = {
+    "cosine_topk", "ivf_topk", "word_pmi", "oov_rate", "unigram_logprob",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

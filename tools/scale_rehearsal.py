@@ -46,7 +46,7 @@ FAMILIES = {
         "word_freq", "token_stats", "tfidf_top_terms", "doc_chunks",
         "doc_mask", "corpus_sample", "corpus_curate", "word_pmi", "oov_rate",
         "token_budget_sample", "sequence_pack", "quality_tiles",
-        "source_temperature_weights",
+        "source_temperature_weights", "domain_cap", "unigram_logprob",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
@@ -60,7 +60,10 @@ FAMILIES = {
         "stream_window_counts", "stream_sessionize", "stream_user_totals",
         "stream_click_attribution", "stream_dedup",
     ],
-    "multimodal": ["multimodal_features", "frame_sample", "image_decode"],
+    "multimodal": [
+        "multimodal_features", "frame_sample", "image_decode",
+        "stream_image_decode",
+    ],
     "scrape": [
         "market_watch_parse", "company_enrich", "fallback_source",
         "url_normalize", "date_roundtrip", "first_run_bootstrap",
