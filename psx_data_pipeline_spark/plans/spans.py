@@ -1,0 +1,238 @@
+"""Cross-document duplicated-span analysis over ``documents`` — the
+exact-substring layer of training-data dedup that MinHash/SimHash
+(whole-doc, approximate) do not cover.
+
+Two operators:
+
+* ``dup_span_fraction`` — per document, the fraction of token
+  positions covered by at least one K-token shingle that also occurs
+  in ANOTHER document (the "duplicated text fraction" used to decide
+  trim-vs-drop in exact-substring dedup of pretraining corpora).
+* ``heavy_shingles`` — corpus-wide frequent-phrase mining: every
+  K-token shingle whose count exceeds n/PHI of all shingle
+  occurrences (boilerplate detection — license headers, navigation
+  chrome, template text). Exact answer via per-partition Misra-Gries
+  candidate pruning + a restricted exact recount.
+
+Scale design (100 TB): both operators avoid shuffling raw shingle
+strings corpus-wide. ``dup_span_fraction`` first aggregates on the
+64-bit xxhash of the shingle (8-byte keys, map-side combined) to find
+candidate cross-doc hashes, then verifies the (rare) candidates on
+the true string — false positives from hash collisions die in the
+verify step, so the result is exact. ``heavy_shingles`` runs a
+Misra-Gries sketch per partition (bounded memory, one pass, no
+shuffle) whose union provably contains every global heavy hitter;
+only the candidate set — at most PHI entries per partition — is
+shuffled and recounted exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.functions.textfns import TOKENS_SQL, tokens, word_shingles
+from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.sources.fixtures import load_table, load_table_parallel
+
+_TOKS = TOKENS_SQL.format("text")
+
+# --- duplicated-span fraction ------------------------------------------------
+
+_SPAN_K = 5  # shingle width: spans shorter than this are not "duplication"
+
+DUP_SPAN_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, CAST(p AS INT) AS pos,
+         array_to_string(list_slice(toks, p, p + {_SPAN_K} - 1), ' ') AS shingle
+  FROM d, LATERAL (SELECT unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS p) u
+  WHERE len(toks) >= {_SPAN_K}
+),
+dup AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) > 1
+),
+cov AS (
+  SELECT DISTINCT s.doc_id, CAST(p2 AS INT) AS p2
+  FROM sh s JOIN dup USING (shingle),
+       LATERAL (SELECT unnest(range(s.pos, s.pos + {_SPAN_K})) AS p2) v
+)
+SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_toks,
+       CAST(count(cov.p2) AS BIGINT) AS dup_toks,
+       CAST(CAST(count(cov.p2) AS DOUBLE) / len(d.toks) AS DOUBLE) AS dup_frac
+FROM d LEFT JOIN cov USING (doc_id)
+GROUP BY d.doc_id, len(d.toks)
+"""
+
+
+@query("dup_span_fraction", DUP_SPAN_ORACLE)
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication measure: per doc, how many token
+    positions sit inside a {_SPAN_K}-gram that some OTHER document
+    also contains.
+
+    Plan: positional shingles → (1) candidate filter grouped on
+    xxhash64(shingle) — min(doc)≠max(doc) keeps exactly the hashes
+    that span documents, an 8-byte-key map-side-combinable aggregate;
+    (2) the candidate subset (tiny: true dups + rare collisions) is
+    re-grouped on the real string to kill collision false positives;
+    (3) surviving occurrences explode to covered positions, distinct,
+    count per doc. The full shingle text is never shuffled — only
+    hashes and the verified-candidate residue move.
+    """
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    d = docs.select("doc_id", tokens("text").alias("toks")).withColumn(
+        "n_toks", F.size("toks")
+    )
+    k = _SPAN_K
+    sh = (
+        d.where(F.col("n_toks") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_toks") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("toks", i, k)).alias("shingle"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.shingle")
+        .withColumn("h", F.xxhash64("shingle"))
+    )
+    # (1) cross-doc candidate hashes: 8-byte group keys, partial agg
+    cand_h = (
+        sh.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    shc = sh.join(cand_h, "h", "left_semi")
+    # (2) exact verify on the candidate residue only
+    dup = (
+        shc.groupBy("shingle")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
+        .select("shingle")
+    )
+    # (3) covered positions, de-overlapped per doc
+    cov = (
+        shc.join(dup, "shingle", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("p2"),
+        )
+        .distinct()
+    )
+    per = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dup_toks"))
+    return (
+        d.select("doc_id", "n_toks")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            F.coalesce("dup_toks", F.lit(0)).cast("long").alias("dup_toks"),
+            (
+                F.coalesce("dup_toks", F.lit(0)).cast("double") / F.col("n_toks")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# --- heavy shingles (frequent-phrase / boilerplate mining) -------------------
+
+_HH_K = 4       # phrase width
+_HH_PHI = 10_000  # report shingles with count > n/PHI
+
+
+HEAVY_SHINGLES_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT array_to_string(list_slice(toks, p, p + {_HH_K} - 1), ' ') AS shingle
+  FROM d, LATERAL (SELECT unnest(range(1, len(toks) - {_HH_K} + 2)) AS p) u
+  WHERE len(toks) >= {_HH_K}
+),
+tot AS (SELECT count(*) AS n FROM sh)
+SELECT shingle, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(CAST(count(*) AS DOUBLE) / tot.n AS DOUBLE) AS freq
+FROM sh CROSS JOIN tot
+GROUP BY shingle, tot.n
+HAVING count(*) * {_HH_PHI} > tot.n
+"""
+
+
+def _mg_candidates(it):
+    """Misra-Gries summary over one partition's shingles, built by
+    MERGING per-batch exact counts (Agarwal et al., "Mergeable
+    Summaries"): add the batch's value_counts (vectorized, C speed —
+    no per-item Python loop), and when the table exceeds cap
+    counters, subtract the (cap+1)-th largest count from all and drop
+    the non-positives. Each trim removes ≥ (cap+1)·thr total weight,
+    so the summary's undercount is ≤ n_p/(cap+1) = n_p/PHI — any item
+    with partition-local count > n_p/PHI survives. A global heavy
+    hitter (count > N/PHI) must exceed n_p/PHI in at least one
+    partition (pigeonhole), so the union of per-partition survivors
+    is a superset of the exact answer; the recount pass makes it
+    exact.
+    """
+    from collections import Counter
+
+    import pandas as pd
+
+    acc: Counter = Counter()
+    cap = _HH_PHI - 1
+    for pdf in it:
+        acc.update(pdf["shingle"].value_counts().to_dict())
+        if len(acc) > cap:
+            thr = sorted(acc.values(), reverse=True)[cap]
+            acc = Counter(
+                {k: v - thr for k, v in acc.items() if v > thr}
+            )
+    yield pd.DataFrame({"shingle": list(acc)})
+
+
+@query("heavy_shingles", HEAVY_SHINGLES_ORACLE)
+def q_heavy_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent {_HH_K}-gram phrases above the n/{_HH_PHI} support
+    threshold — boilerplate/template detection for corpus curation.
+
+    Two-pass exact heavy hitters: per-partition Misra-Gries (Arrow
+    batches, bounded memory, zero shuffle) yields a candidate
+    superset ≤ PHI rows per partition; the corpus is then recounted
+    ONLY for candidates (broadcast semi-join — the big side never
+    shuffles raw strings; map-side partial aggregation compresses to
+    the candidate vocabulary before the exchange). The MG sketch's
+    content depends on partitioning, but the recount + threshold make
+    the final rows partitioning-independent — byte-identical to the
+    oracle's direct GROUP BY.
+    """
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    sh = docs.where(F.size(tokens("text")) >= _HH_K).select(
+        F.explode(word_shingles("text", _HH_K)).alias("shingle")
+    )
+    cand = sh.mapInPandas(_mg_candidates, "shingle string").distinct()
+    counts = (
+        sh.join(F.broadcast(cand), "shingle", "left_semi")
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # total shingle count needs no explode: Σ max(len-K+1, 0) is a
+    # scan-side aggregate over documents — one narrow pass
+    tot = docs.agg(
+        F.sum(
+            F.greatest(
+                F.size(tokens("text")) - (_HH_K - 1), F.lit(0)
+            ).cast("long")
+        ).alias("n")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * _HH_PHI > F.col("n"))
+        .select(
+            "shingle",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.col("cnt").cast("double") / F.col("n")).alias("freq"),
+        )
+    )

@@ -34,6 +34,7 @@ FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 # 100 TB.
 BOUNDED_BROADCAST_OK = {
     "cosine_topk", "ivf_topk", "word_pmi", "oov_rate", "unigram_logprob",
+    "heavy_shingles",  # single-row corpus total rides as a broadcast
 }
 
 

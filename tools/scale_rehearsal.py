@@ -47,6 +47,7 @@ FAMILIES = {
         "doc_mask", "corpus_sample", "corpus_curate", "word_pmi", "oov_rate",
         "token_budget_sample", "sequence_pack", "quality_tiles",
         "source_temperature_weights", "domain_cap", "unigram_logprob",
+        "dup_span_fraction", "heavy_shingles",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
