@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from psx_data_pipeline_spark.plans.registry import query
 from psx_data_pipeline_spark.scratch import scratch_dir
 from psx_data_pipeline_spark.plans.ticker import _cur, _prev
+from psx_data_pipeline_spark.sources.fixtures import load_table
 from psx_data_pipeline_spark.sources.io import (
     read_snapshot_json,
     read_tickers_csv,
@@ -133,4 +134,60 @@ def q_partitioned_overwrite_idempotent(
     write_partitioned_parquet(cur, base)  # idempotent re-run of day 2
     return read_partitioned_parquet(spark, base, "2024-01-02").select(
         "symbol", "name", "sector", "url"
+    )
+
+BUCKETED_JOIN_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("bucketed_join", BUCKETED_JOIN_ORACLE)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB fact-fact join posture, driver-verified end to end:
+    both join sides are WRITTEN bucketed by the join key (8 buckets,
+    sorted within bucket), then joined as a sort-merge join whose
+    exchange is satisfied by the bucket layout — the shuffle moved to
+    ingest, once, and this and every later key-aligned join pays
+    zero. tests/test_bucketed_join.py asserts the joined plan over
+    these exact tables contains NO Exchange; the oracle checks the
+    result equals the plain lineitem⋈orders aggregate, so the bucket
+    routing provably loses/duplicates nothing. The merge hint (not a
+    session-conf flip) keeps AQE from broadcasting the
+    fixture-scale side — at production scale both sides are far past
+    any broadcast threshold and SMJ is what the planner picks anyway.
+    """
+    from psx_data_pipeline_spark.functions.numeric import dsum
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    base = scratch_dir("bucketed")
+    for name, df, key in [
+        ("li_bucketed_q", li, "l_orderkey"),
+        ("orders_bucketed_q", orders, "o_orderkey"),
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    joined = spark.table("li_bucketed_q").hint("merge").join(
+        spark.table("orders_bucketed_q"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        dsum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
     )

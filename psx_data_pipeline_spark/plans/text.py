@@ -1122,3 +1122,74 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_toks"),
         F.sum("lp_milli").cast("long").alias("logprob_milli"),
     )
+
+
+# --- per-document token entropy ---------------------------------------------
+
+TOKEN_ENTROPY_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+per AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM per GROUP BY doc_id),
+s AS (
+  SELECT per.doc_id, n.n_toks, n.n_distinct,
+         CAST(sum(c * CAST(floor(1000 * ln(CAST(n.n_toks AS DOUBLE) / c))
+                           AS BIGINT)) AS BIGINT) AS entropy_milli_sum
+  FROM per JOIN n USING (doc_id)
+  GROUP BY per.doc_id, n.n_toks, n.n_distinct)
+SELECT doc_id, n_toks, n_distinct, entropy_milli_sum,
+       CAST(CAST(entropy_milli_sum AS DOUBLE) / n_toks AS DOUBLE)
+         AS entropy_milli
+FROM s
+"""
+
+
+@query("token_entropy", TOKEN_ENTROPY_ORACLE)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (in
+    milli-nats) — the information-theoretic repetitiveness signal
+    that complements doc_repetition's Gopher rules: near-zero entropy
+    means the doc is one token repeated; high entropy means diverse
+    vocabulary. H = (1/n)·Σ c·ln(n/c) over the doc's own histogram.
+
+    Determinism: the per-term weight floor(1000·ln(n/c)) is an
+    integer (the unigram_logprob trick), so the per-doc sum is exact
+    BIGINT arithmetic — order-independent across any partitioning —
+    and the final normalization is one int/int double division.
+    Shape: (doc,token) count [map-side combinable], join with the
+    per-doc token total (row count of `documents` scale, AQE picks
+    the strategy), per-doc sum. Everything is keyed by doc_id or
+    (doc_id, tok) — no global state, no skew hazard beyond a single
+    pathological document, which stays one key's work."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    d = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.size("toks").cast("long").alias("n_toks"), "toks"
+    )
+    per = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = (
+        per.join(d.select("doc_id", "n_toks"), "doc_id")
+        .groupBy("doc_id", "n_toks")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(
+                F.col("c")
+                * F.floor(
+                    F.lit(1000.0)
+                    * F.log(
+                        F.col("n_toks").cast("double") / F.col("c")
+                    )
+                ).cast("long")
+            ).cast("long").alias("entropy_milli_sum"),
+        )
+    )
+    return s.select(
+        "doc_id", "n_toks", "n_distinct", "entropy_milli_sum",
+        (
+            F.col("entropy_milli_sum").cast("double") / F.col("n_toks")
+        ).alias("entropy_milli"),
+    )

@@ -58,3 +58,21 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_registered_bucketed_join_query_is_exchange_free(spark):
+    """The registered `bucketed_join` query writes its own bucketed
+    tables; the join over those tables must stay SMJ-with-no-Exchange
+    (the property the query exists to demonstrate)."""
+    from pyspark.sql import functions as F
+
+    from psx_data_pipeline_spark.plans import QUERIES
+
+    QUERIES["bucketed_join"](spark, SF)  # (re)writes the tables
+    joined = spark.table("li_bucketed_q").hint("merge").join(
+        spark.table("orders_bucketed_q"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
