@@ -236,3 +236,58 @@ def q_heavy_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt").cast("double") / F.col("n")).alias("freq"),
         )
     )
+
+
+# --- cross-source overlap matrix ---------------------------------------------
+
+SOURCE_OVERLAP_ORACLE = f"""
+WITH d AS (SELECT source, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         array_to_string(list_slice(toks, p, p + {_SPAN_K} - 1), ' ') AS shingle
+  FROM d, LATERAL (SELECT unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS p) u
+  WHERE len(toks) >= {_SPAN_K}
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_shingles
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+@query("source_overlap", SOURCE_OVERLAP_ORACLE)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance forensics: for every source pair, how many distinct
+    {_SPAN_K}-gram shingles they share — the contamination matrix
+    that shows which crawl sources republish each other's content
+    (the cross-source analogue of dup_span_fraction's per-doc view).
+
+    Scale shape: shingles collapse to DISTINCT (source, shingle)
+    first, so a shingle repeated a million times inside one source
+    contributes ONE row — the self-join's per-shingle fan-out is
+    bounded by the number of sources sharing it (the dimension being
+    measured), never by raw occurrence counts. The equi-join on
+    shingle is a plain hash join; the result is at most
+    |sources|²/2 rows. At extreme source cardinality the same
+    pre-collapse + count(shingles shared) shape holds — the join key
+    could further move to xxhash64(shingle) with a string verify
+    (the dup_span_fraction trick) if shingle-string shuffle width
+    ever dominates."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    k = _SPAN_K
+    sh = (
+        docs.where(F.size(tokens("text")) >= k)
+        .select(
+            "source",
+            F.explode(word_shingles("text", k)).alias("shingle"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )

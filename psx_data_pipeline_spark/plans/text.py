@@ -1193,3 +1193,100 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("entropy_milli_sum").cast("double") / F.col("n_toks")
         ).alias("entropy_milli"),
     )
+
+
+# --- DSIR-style importance-resampling weights --------------------------------
+
+DSIR_ORACLE = f"""
+WITH tok AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents),
+cf AS (SELECT tok, count(*) AS c_f FROM tok GROUP BY tok),
+ct AS (SELECT tok, count(*) AS c_t FROM tok WHERE lang = 'en' GROUP BY tok),
+tots AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_f,
+         CAST(count(DISTINCT tok) AS BIGINT) AS v,
+         CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_t
+  FROM tok),
+s AS (
+  SELECT t.doc_id,
+         CAST(floor(1000 * ln(CAST(COALESCE(ct.c_t, 0) + 1 AS DOUBLE)
+                              / (tots.n_t + tots.v))) AS BIGINT)
+         - CAST(floor(1000 * ln(CAST(cf.c_f + 1 AS DOUBLE)
+                                / (tots.n_f + tots.v))) AS BIGINT) AS w
+  FROM tok t
+  JOIN cf USING (tok)
+  LEFT JOIN ct USING (tok)
+  CROSS JOIN tots)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(w) AS BIGINT) AS dsir_milli_sum,
+       CAST(CAST(sum(w) AS DOUBLE) / count(*) AS DOUBLE) AS dsir_milli
+FROM s GROUP BY doc_id
+"""
+
+
+@query("dsir_weights", DSIR_ORACLE)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance weights in the style of DSIR (Xie et
+    al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS'23): per document, the average per-token
+    log-likelihood ratio between a TARGET unigram LM (here the
+    English subcorpus — the domain being selected for) and the
+    full-corpus unigram LM, both add-one smoothed over the shared
+    vocabulary. Positive = looks more like the target than the
+    average document; the weights feed importance resampling of the
+    raw corpus toward the target distribution.
+
+    Determinism: both log-probs use the floor(1000·ln(·)) integer
+    surrogate, so the per-doc sum is exact BIGINT arithmetic under
+    any partitioning; the final per-token average is one int/int
+    double division. Shape: two map-side-combinable token counts
+    (full + target), token-keyed joins back to the token stream (AQE
+    absorbs stopword skew), the three corpus totals ride as ONE
+    broadcast scalar row, and the per-doc sum is keyed by doc_id —
+    the vocabulary tables stay distributed, nothing corpus-sized is
+    ever broadcast or collected."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    )
+    cf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_f"))
+    ct = (
+        tok.where(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    tots = tok.agg(
+        F.count(F.lit(1)).alias("n_f"),
+        F.countDistinct("tok").alias("v"),
+        F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("n_t"),
+    )
+    w = (
+        tok.join(cf, "tok")
+        .join(ct, "tok", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "doc_id",
+            (
+                F.floor(
+                    F.lit(1000.0)
+                    * F.log(
+                        (F.coalesce("c_t", F.lit(0)) + 1).cast("double")
+                        / (F.col("n_t") + F.col("v"))
+                    )
+                ).cast("long")
+                - F.floor(
+                    F.lit(1000.0)
+                    * F.log(
+                        (F.col("c_f") + 1).cast("double")
+                        / (F.col("n_f") + F.col("v"))
+                    )
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    return w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.sum("w").cast("long").alias("dsir_milli_sum"),
+        (
+            F.sum("w").cast("double") / F.count(F.lit(1))
+        ).alias("dsir_milli"),
+    )

@@ -35,6 +35,7 @@ FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 BOUNDED_BROADCAST_OK = {
     "cosine_topk", "ivf_topk", "word_pmi", "oov_rate", "unigram_logprob",
     "heavy_shingles",  # single-row corpus total rides as a broadcast
+    "dsir_weights",  # single-row corpus totals ride as a broadcast
 }
 
 

@@ -47,7 +47,8 @@ FAMILIES = {
         "doc_mask", "corpus_sample", "corpus_curate", "word_pmi", "oov_rate",
         "token_budget_sample", "sequence_pack", "quality_tiles",
         "source_temperature_weights", "domain_cap", "unigram_logprob",
-        "dup_span_fraction", "heavy_shingles",
+        "dup_span_fraction", "heavy_shingles", "token_entropy",
+        "dsir_weights", "source_overlap",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
@@ -74,7 +75,7 @@ FAMILIES = {
         "regional_revenue", "ohlc_daily", "daily_returns", "moving_avg",
         "rolling_range_7d", "topk_by_volume", "price_percentiles",
         "append_cutoff", "ohlc_missing_days", "brand_revenue_share",
-        "symbol_rollup", "calendar_range",
+        "symbol_rollup", "calendar_range", "bucketed_join",
     ],
     "ticker": [
         "snapshot_diff", "ticker_sync_changes", "rename_detection",
