@@ -191,3 +191,51 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+SCHEMA_EVOLUTION_ORACLE = """
+WITH cur AS (
+  SELECT c_custkey AS symbol_id, c_name AS name, c_mktsegment AS sector
+  FROM customer WHERE c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 100000, c_name || ' ltd', c_mktsegment
+  FROM customer WHERE c_custkey % 21 = 0 AND c_custkey % 5 <> 0
+)
+SELECT CAST(symbol_id AS VARCHAR) AS symbol, name, sector,
+       CASE WHEN symbol_id % 2 = 0
+            THEN CAST(length(name) AS BIGINT) END AS quality,
+       CAST(symbol_id % 2 = 0 AS BOOLEAN) AS has_quality
+FROM cur
+"""
+
+
+@query("schema_evolution", SCHEMA_EVOLUTION_ORACLE)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution, end to end: generation-1 files are
+    written WITHOUT the `quality` column (the even-keyed half gets it
+    in generation 2 — a later pipeline version added a score), then
+    the store is read as one table with mergeSchema, old rows
+    surfacing NULL for the new column, and a `has_quality` flag
+    derives from the data. This is the additive-column upgrade every
+    long-lived 100 TB store goes through: no rewrite of old files, a
+    footer-union schema at read time, and readers that must tolerate
+    the NULL backfill. The oracle states the expected merged view
+    directly, so a reader that dropped old rows, dropped the new
+    column, or mistyped the backfill breaks the hash."""
+    base = scratch_dir("schema_evo") + "/docs"
+    snap = _tickers(_cur(spark, sf_dir)).drop("url").withColumn(
+        "__k", F.col("symbol").cast("long")
+    )
+    gen1 = snap.where(F.col("__k") % 2 != 0).drop("__k")
+    gen2 = snap.where(F.col("__k") % 2 == 0).drop("__k").withColumn(
+        "quality", F.length("name").cast("long")
+    )
+    gen1.write.mode("overwrite").parquet(base + "/gen=1")
+    gen2.write.mode("overwrite").parquet(base + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    return merged.select(
+        "symbol", "name", "sector", "quality",
+        F.col("quality").isNotNull().alias("has_quality"),
+    )

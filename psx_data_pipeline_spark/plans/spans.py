@@ -163,33 +163,43 @@ HAVING count(*) * {_HH_PHI} > tot.n
 """
 
 
-def _mg_candidates(it):
-    """Misra-Gries summary over one partition's shingles, built by
-    MERGING per-batch exact counts (Agarwal et al., "Mergeable
-    Summaries"): add the batch's value_counts (vectorized, C speed —
-    no per-item Python loop), and when the table exceeds cap
-    counters, subtract the (cap+1)-th largest count from all and drop
-    the non-positives. Each trim removes ≥ (cap+1)·thr total weight,
-    so the summary's undercount is ≤ n_p/(cap+1) = n_p/PHI — any item
-    with partition-local count > n_p/PHI survives. A global heavy
-    hitter (count > N/PHI) must exceed n_p/PHI in at least one
-    partition (pigeonhole), so the union of per-partition survivors
-    is a superset of the exact answer; the recount pass makes it
-    exact.
+def mg_summary(batches, phi: int):
+    """Misra-Gries summary over an iterable of per-batch exact count
+    dicts, built by MERGING (Agarwal et al., "Mergeable Summaries"):
+    add the batch's counts, and when the table exceeds phi-1
+    counters, subtract the phi-th largest count from all and drop the
+    non-positives. Each trim removes ≥ phi·thr total weight, so the
+    summary's undercount is ≤ n/phi — any item with stream count
+    > n/phi survives. Property-tested against the exact counts for
+    arbitrary batchings in tests/test_mg_summary.py.
     """
     from collections import Counter
 
-    import pandas as pd
-
     acc: Counter = Counter()
-    cap = _HH_PHI - 1
-    for pdf in it:
-        acc.update(pdf["shingle"].value_counts().to_dict())
+    cap = phi - 1
+    for counts in batches:
+        acc.update(counts)
         if len(acc) > cap:
             thr = sorted(acc.values(), reverse=True)[cap]
             acc = Counter(
                 {k: v - thr for k, v in acc.items() if v > thr}
             )
+    return acc
+
+
+def _mg_candidates(it):
+    """Arrow adapter for mg_summary: per-batch value_counts run
+    vectorized (C speed — no per-item Python loop); the survivor set
+    of the partition's summary is the candidate output. A global
+    heavy hitter (count > N/PHI) must exceed n_p/PHI in at least one
+    partition (pigeonhole), so the union of per-partition survivors
+    is a superset of the exact answer; the recount pass makes it
+    exact."""
+    import pandas as pd
+
+    acc = mg_summary(
+        (pdf["shingle"].value_counts().to_dict() for pdf in it), _HH_PHI
+    )
     yield pd.DataFrame({"shingle": list(acc)})
 
 
