@@ -52,13 +52,29 @@ TOKEN_COUNT_SQL = "len(" + TOKENS_SQL + ")"
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """n-word shingles as strings: the MinHash/Jaccard unit.
 
-    Built with array higher-order functions (transform over a
-    0..len-n index sequence) — stays JVM-side, no explode needed
-    until the caller chooses to.
+    Built with array higher-order functions — stays JVM-side, no
+    explode needed until the caller chooses to. Construction is a
+    chain of n-1 zip_with merges of the token array against its own
+    k-shifted slices: each zip_with lambda touches only its two
+    elements, so the whole array builds in O(tokens·n). The previous
+    form (transform over an index sequence with slice(tokens, i, n)
+    in the lambda body) re-evaluated the TOKENIZING SPLIT per
+    element — higher-order-function lambdas run interpreted, with no
+    common-subexpression reuse of captured expressions — making
+    shingling O(tokens²) per document: invisible on 50-token fixture
+    docs, a straggler task that never finishes on a 300 k-token
+    document (found by the --giant-doc-tokens rehearsal probe).
     """
     t = tokens(col)
-    idx = F.sequence(F.lit(0), F.size(t) - n)
+    acc = t
+    for k in range(1, n):
+        shifted = F.slice(
+            t, k + 1, F.greatest(F.size(t) - k, F.lit(0))
+        )
+        acc = F.zip_with(
+            acc, shifted, lambda a, b: F.concat_ws(" ", a, b)
+        )
     return F.when(
         F.size(t) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))),
+        F.slice(acc, 1, F.size(t) - (n - 1)),
     ).otherwise(F.array(F.concat_ws(" ", t)))

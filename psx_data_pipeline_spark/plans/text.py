@@ -364,12 +364,26 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil((F.length("text") - _OVERLAP) / F.lit(float(_STRIDE))).cast("long"),
         F.lit(1).cast("long"),
     )
-    idx = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
-    chunks = F.transform(
-        idx,
-        lambda i: F.col("text").substr(
-            (i * _STRIDE + 1).cast("int"), F.lit(_CHUNK)
+    # One linear \G-regex pass splits the text into stride-sized
+    # pieces; chunk_i = piece_i + the first OVERLAP chars of
+    # piece_{i+1} (zip against the 1-shifted array). The direct form
+    # — substr(text, i·stride, CHUNK) per index — is O(position) per
+    # call (UTF-8 char indexing rescans the string head), O(len²)
+    # per document: ~28 s for ONE 1.2 MB doc, found by the
+    # --giant-doc-tokens probe; this shape is O(len).
+    pieces = F.split("text", r"(?s)(?<=\G.{" + str(_STRIDE) + r"})")
+    chunks = F.slice(
+        F.zip_with(
+            pieces,
+            F.slice(
+                pieces, 2, F.greatest(F.size(pieces) - 1, F.lit(0))
+            ),
+            lambda a, b: F.concat(
+                a, F.substring(F.coalesce(b, F.lit("")), 1, _OVERLAP)
+            ),
         ),
+        1,
+        n_chunks,
     )
     out = docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
     return out.select(
@@ -412,10 +426,14 @@ def q_doc_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- deterministic stratified sampling (dataset mixing) ----------------------
 
-# per-source admission rate out of 100: even-numbered sources are
-# upsampled (80), odd downsampled (20) — a two-tier training mix
-_RATE_SQL = """
-  CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+# per-source admission rate out of 100: half the sources (by hash
+# parity of the NAME — source ids are arbitrary strings at scale, so
+# no numeric-suffix parsing; the old substr-cast form crashed under
+# ANSI on any source not shaped 'srcN', found by the giant-doc skew
+# probe) are upsampled (80), the rest downsampled (20) — a two-tier
+# training mix
+_RATE_SQL = f"""
+  CASE WHEN {md5_long_sql("source")} % 2 = 0
        THEN 80 ELSE 20 END
 """
 
@@ -435,7 +453,7 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a pure scan-side filter (pushdown-friendly, no shuffle)."""
     docs = load_table(spark, "documents", sf_dir)
     rate = F.when(
-        F.substring("source", 4, 10).cast("long") % 2 == 0, F.lit(80)
+        md5_long(F.col("source")) % 2 == 0, F.lit(80)
     ).otherwise(F.lit(20))
     gate = md5_long(F.col("doc_id").cast("string")) % 100
     return docs.where(gate < rate).select("doc_id", "source")
@@ -665,19 +683,25 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning before the final per-doc rollup. No text column ever
     shuffles twice — blocks carry only (doc_id, hash)."""
     docs = load_table_parallel(spark, "documents", sf_dir)
-    toks = tokens("text")
+    # tokenize ONCE into an aliased column the next projection
+    # references several times — embedding the tokens(...) expression
+    # tree directly in the transform lambda re-runs the split per
+    # array element (interpreted HOF, no CSE): O(tokens²) per doc, a
+    # never-finishing straggler on a 300 k-token document (found by
+    # the --giant-doc-tokens probe; same bug class as word_shingles)
+    base = docs.select("doc_id", tokens("text").alias("__t"))
     n_blocks = F.greatest(
-        F.ceil(F.size(toks) / F.lit(float(_BLK))).cast("long"),
+        F.ceil(F.size("__t") / F.lit(float(_BLK))).cast("long"),
         F.lit(1).cast("long"),
     )
     idx = F.sequence(F.lit(0).cast("long"), n_blocks - 1)
-    blocks = docs.select(
+    blocks = base.select(
         "doc_id",
         F.explode(
             F.transform(
                 idx,
                 lambda i: F.array_join(
-                    F.slice(toks, (i * _BLK + 1).cast("int"), _BLK), " "
+                    F.slice("__t", (i * _BLK + 1).cast("int"), _BLK), " "
                 ),
             )
         ).alias("blk"),

@@ -89,12 +89,17 @@ FAMILIES = {
     ],
     "io": [
         "csv_sink_roundtrip", "json_snapshot_latest",
-        "partitioned_overwrite_idempotent",
+        "partitioned_overwrite_idempotent", "schema_evolution",
     ],
 }
 
 
-def build_corpus(out_dir: str, factor: int, hot_frac: float = 0.0) -> None:
+def build_corpus(
+    out_dir: str,
+    factor: int,
+    hot_frac: float = 0.0,
+    giant_doc_tokens: int = 0,
+) -> None:
     import duckdb
 
     import pyarrow as pa
@@ -105,11 +110,38 @@ def build_corpus(out_dir: str, factor: int, hot_frac: float = 0.0) -> None:
     n_docs = duckdb.sql(
         f"SELECT count(*) FROM '{BASE}/documents.parquet'"
     ).fetchone()[0]
+    giant_sql = ""
+    if giant_doc_tokens > 0:
+        # ONE pathological document (default docs run ~50 tokens):
+        # the adversarial shape for per-doc array work (sorts,
+        # shingle explodes, chunkers). Deterministic token stream
+        # cycling the base vocabulary with a quadratic stride so
+        # bigrams vary (a pure phrase repeat would only stress the
+        # dedup counters, not the per-doc machinery).
+        vocab = [
+            r[0]
+            for r in duckdb.sql(
+                "SELECT DISTINCT unnest(string_split(text, ' ')) AS w "
+                f"FROM '{BASE}/documents.parquet' "
+                "WHERE text IS NOT NULL ORDER BY w"
+            ).fetchall()
+            if r[0]
+        ]
+        v = len(vocab)
+        text = " ".join(
+            vocab[(i * i + i) % v] for i in range(giant_doc_tokens)
+        ).replace("'", "")
+        giant_sql = f"""
+            UNION ALL
+            SELECT {factor * n_docs + 1} AS doc_id, '{text}' AS text,
+                   'en' AS lang, 'giant' AS source,
+                   {len(text)} AS n_chars"""
     duckdb.sql(f"""
         COPY (SELECT doc_id + {n_docs} * i AS doc_id, text, lang, source,
                      n_chars
               FROM '{BASE}/documents.parquet',
-                   UNNEST(range(0, {factor})) AS t(i))
+                   UNNEST(range(0, {factor})) AS t(i)
+              {giant_sql})
         TO '{out_dir}/documents.parquet' (FORMAT PARQUET)""")
     duckdb.sql(f"""
         COPY (SELECT vec_id + 2000 * i AS vec_id, embedding
@@ -180,13 +212,20 @@ def main() -> int:
     ap.add_argument("--queries", nargs="*", default=None,
                     help="run exactly these query names (overrides "
                          "--families)")
+    ap.add_argument("--giant-doc-tokens", type=int, default=0,
+                    help="append ONE document with this many tokens "
+                         "(pathological-document skew probe for "
+                         "per-doc array operators)")
     args = ap.parse_args()
 
     tag = f"_hot{int(args.hot_frac * 100)}" if args.hot_frac else ""
+    if args.giant_doc_tokens:
+        tag += f"_giant{args.giant_doc_tokens // 1000}k"
     out_dir = args.dir or f"/tmp/rehearsal_{args.factor}x{tag}"
     if not args.dir or not os.path.isdir(out_dir):
         print(f"building {args.factor}x corpus in {out_dir} ...", flush=True)
-        build_corpus(out_dir, args.factor, args.hot_frac)
+        build_corpus(out_dir, args.factor, args.hot_frac,
+                     args.giant_doc_tokens)
 
     from psx_data_pipeline_spark.plans import QUERIES
     from psx_data_pipeline_spark.session import get_spark
