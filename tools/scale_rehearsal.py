@@ -99,6 +99,7 @@ def build_corpus(
     factor: int,
     hot_frac: float = 0.0,
     giant_doc_tokens: int = 0,
+    distinct_texts: bool = False,
 ) -> None:
     import duckdb
 
@@ -110,6 +111,15 @@ def build_corpus(
     n_docs = duckdb.sql(
         f"SELECT count(*) FROM '{BASE}/documents.parquet'"
     ).fetchone()[0]
+    # --distinct-texts: append one doc-unique token to every text, so
+    # NO two documents are byte-identical and the vocabulary grows
+    # with the corpus — disables every exact-dup-collapse fast path
+    # and measures the honest per-distinct-text sketch cost
+    text_expr = (
+        "text || ' u' || CAST(doc_id + {0} * i AS VARCHAR)".format(n_docs)
+        if distinct_texts
+        else "text"
+    )
     giant_sql = ""
     if giant_doc_tokens > 0:
         # ONE pathological document (default docs run ~50 tokens):
@@ -137,8 +147,8 @@ def build_corpus(
                    'en' AS lang, 'giant' AS source,
                    {len(text)} AS n_chars"""
     duckdb.sql(f"""
-        COPY (SELECT doc_id + {n_docs} * i AS doc_id, text, lang, source,
-                     n_chars
+        COPY (SELECT doc_id + {n_docs} * i AS doc_id,
+                     {text_expr} AS text, lang, source, n_chars
               FROM '{BASE}/documents.parquet',
                    UNNEST(range(0, {factor})) AS t(i)
               {giant_sql})
@@ -216,16 +226,22 @@ def main() -> int:
                     help="append ONE document with this many tokens "
                          "(pathological-document skew probe for "
                          "per-doc array operators)")
+    ap.add_argument("--distinct-texts", action="store_true",
+                    help="make every document byte-unique (defeats "
+                         "exact-dup collapse; honest per-distinct-"
+                         "text sketch cost)")
     args = ap.parse_args()
 
     tag = f"_hot{int(args.hot_frac * 100)}" if args.hot_frac else ""
     if args.giant_doc_tokens:
         tag += f"_giant{args.giant_doc_tokens // 1000}k"
+    if args.distinct_texts:
+        tag += "_distinct"
     out_dir = args.dir or f"/tmp/rehearsal_{args.factor}x{tag}"
     if not args.dir or not os.path.isdir(out_dir):
         print(f"building {args.factor}x corpus in {out_dir} ...", flush=True)
         build_corpus(out_dir, args.factor, args.hot_frac,
-                     args.giant_doc_tokens)
+                     args.giant_doc_tokens, args.distinct_texts)
 
     from psx_data_pipeline_spark.plans import QUERIES
     from psx_data_pipeline_spark.session import get_spark
