@@ -287,3 +287,110 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "comp",
         (F.col("id") == F.col("comp")).alias("is_survivor"),
     )
+
+
+# --- int8 scalar quantization ------------------------------------------------
+
+EMB_QUANTIZE_ORACLE = """
+WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  generate_subscripts(embedding, 1) AS dim
+           FROM embeddings),
+r AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim),
+q AS (SELECT x.vec_id, x.dim, x.v, r.mn, r.mx,
+        CASE WHEN r.mx - r.mn > 0
+             THEN CAST(least(255, floor(((x.v - r.mn) * 255)
+                                        / (r.mx - r.mn))) AS BIGINT)
+             ELSE 0 END AS qi
+      FROM x JOIN r USING (dim)),
+e AS (SELECT vec_id, dim, qi,
+        CAST(floor(abs(v - (mn + ((qi + 0.5) * (mx - mn)) / 256))
+                   * 1000000) AS BIGINT) AS err_micro
+      FROM q)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+       CAST(sum(dim * qi) AS BIGINT) AS q_checksum,
+       CAST(sum(err_micro) AS BIGINT) AS err_micro_sum
+FROM e GROUP BY vec_id
+"""
+
+
+@query("embedding_quantize", EMB_QUANTIZE_ORACLE)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding store — the 4×
+    memory-compression step production ANN runs before sharding a
+    100 TB vector corpus (per-dimension min/max ranges, 256 levels,
+    mid-rise dequantization). Returns per vector the code checksum
+    and the total reconstruction error in micro-units — both exact
+    BIGINTs, so the oracle hash pins every code and every error bit.
+
+    Plan shape: the ONLY aggregation is the per-dimension min/max —
+    64 keys, map-side combinable — whose result rides back as ONE
+    broadcast row of (mins, maxs) arrays; quantization itself is a
+    narrow per-row transform (element_at into the broadcast arrays,
+    O(1) per dimension), and per-vector sums are in-row F.aggregate
+    folds. No shuffle ever carries per-dimension rows keyed by
+    vector — the 64×-row explode exists only inside the tiny stats
+    aggregate. Float determinism: floats are promoted to double
+    BEFORE the min/max, and every downstream expression uses the
+    identical operand order in both engines, so doubles stay
+    bit-identical."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    x = emb.select(F.posexplode("embedding").alias("d0", "v")).select(
+        (F.col("d0") + 1).alias("dim"), F.col("v").cast("double").alias("v")
+    )
+    r = x.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    ranges = r.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))),
+            lambda s: s["mn"],
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))),
+            lambda s: s["mx"],
+        ).alias("maxs"),
+    )
+
+    def term(v, i):
+        vd = v.cast("double")
+        idx = (i + 1).cast("int")
+        mn = F.element_at(F.col("mins"), idx)
+        mx = F.element_at(F.col("maxs"), idx)
+        span = mx - mn
+        q = (
+            F.when(
+                span > 0,
+                F.least(
+                    F.lit(255).cast("long"),
+                    F.floor((vd - mn) * 255 / span),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        deq = mn + (q.cast("double") + 0.5) * span / 256
+        err = F.floor(F.abs(vd - deq) * 1e6).cast("long")
+        return F.struct(
+            err.alias("err"), (idx.cast("long") * q).alias("wq")
+        )
+
+    terms = F.transform("embedding", term)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("wq"),
+        F.lit(0).cast("long").alias("err"),
+    )
+    # one fold, struct accumulator: the transform + fold run
+    # interpreted (HOF), so folding once instead of twice halves the
+    # per-element interpretation cost
+    sums = F.aggregate(
+        terms,
+        zero,
+        lambda acc, t: F.struct(
+            (acc["wq"] + t["wq"]).alias("wq"),
+            (acc["err"] + t["err"]).alias("err"),
+        ),
+    )
+    return emb.crossJoin(F.broadcast(ranges)).select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        sums["wq"].alias("q_checksum"),
+        sums["err"].alias("err_micro_sum"),
+    )

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from psx_data_pipeline_spark.functions.textfns import TOKENS_SQL, tokens, word_shingles
 from psx_data_pipeline_spark.plans.registry import query
-from psx_data_pipeline_spark.sources.fixtures import load_table, load_table_parallel
+from psx_data_pipeline_spark.sources.fixtures import load_table_parallel
 
 _TOKS = TOKENS_SQL.format("text")
 

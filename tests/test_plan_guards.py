@@ -36,6 +36,7 @@ BOUNDED_BROADCAST_OK = {
     "cosine_topk", "ivf_topk", "word_pmi", "oov_rate", "unigram_logprob",
     "heavy_shingles",  # single-row corpus total rides as a broadcast
     "dsir_weights",  # single-row corpus totals ride as a broadcast
+    "embedding_quantize",  # one broadcast row of per-dim ranges
 }
 
 

@@ -52,7 +52,7 @@ FAMILIES = {
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
-        "embedding_stats", "embedding_dedup",
+        "embedding_stats", "embedding_dedup", "embedding_quantize",
     ],
     "events": [
         "sessionize_events", "detect_gaps", "asof_join_clicks",
