@@ -2,7 +2,7 @@
 exact-substring layer of training-data dedup that MinHash/SimHash
 (whole-doc, approximate) do not cover.
 
-Two operators:
+Three operators:
 
 * ``dup_span_fraction`` — per document, the fraction of token
   positions covered by at least one K-token shingle that also occurs
@@ -13,6 +13,9 @@ Two operators:
   occurrences (boilerplate detection — license headers, navigation
   chrome, template text). Exact answer via per-partition Misra-Gries
   candidate pruning + a restricted exact recount.
+* ``source_overlap`` — the cross-SOURCE contamination matrix: for
+  every source pair, the count of distinct shingles both publish
+  (which crawl sources republish each other's content).
 
 Scale design (100 TB): both operators avoid shuffling raw shingle
 strings corpus-wide. ``dup_span_fraction`` first aggregates on the
