@@ -7,9 +7,10 @@ feature-extract, and frame-sample run as vectorized Python over
 Arrow batches (the only layer where Python is acceptable — columnar
 transfer, no per-row pickling). `decode_real` is a real,
 dependency-free decoder for the uncompressed containers a codec-less
-container can handle (24bpp BMP, binary netpbm P5/P6); compressed
-formats (JPEG/PNG/audio/video) raise ValueError at the same seam
-where PIL / soundfile / pyav slot in for a full deployment.
+container can handle (24bpp BMP, binary netpbm P5/P6, RIFF/WAVE
+16-bit PCM); compressed formats (JPEG/PNG/MP3/video) raise
+ValueError at the same seam where PIL / soundfile / pyav slot in for
+a full deployment.
 `extract_features` / `sample_frames` keep their deterministic
 payload-derived fakes — the driver fixtures are text corpora, not
 media — while `decode_images` runs the real decoder end-to-end over
@@ -140,23 +141,73 @@ def _decode_netpbm(b: bytes) -> dict:
     }
 
 
+def _decode_wav(b: bytes) -> dict:
+    """RIFF/WAVE, 16-bit mono PCM. Walks the chunk list (id + LE size
+    + data, padded to even) rather than assuming fixed offsets, so
+    files with LIST/INFO or other chunks before ``data`` decode
+    correctly. Returns sample_rate / n_samples / duration_ms plus two
+    sample-level features a real audio pipeline computes on decode:
+    RMS amplitude and the zero-crossing count (signbit changes
+    between consecutive samples; a 0 sample counts as positive)."""
+    import numpy as np  # noqa: PLC0415 — worker-side import
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = data = None
+    idx = 12
+    while idx + 8 <= len(b):
+        cid = b[idx : idx + 4]
+        (size,) = struct.unpack_from("<I", b, idx + 4)
+        body = b[idx + 8 : idx + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        idx += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if audio_format != 1 or bits != 16 or channels != 1:
+        raise ValueError("only 16-bit mono PCM WAV supported")
+    if rate <= 0:
+        raise ValueError("degenerate sample rate")
+    s = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.float64)
+    n = int(s.size)
+    rms = float(np.sqrt(np.mean(s * s))) if n else 0.0
+    zc = int(np.count_nonzero((s[1:] < 0) != (s[:-1] < 0))) if n else 0
+    return {
+        "sample_rate": int(rate),
+        "n_samples": n,
+        "duration_ms": n * 1000 // int(rate),
+        "rms": rms,
+        "zero_crossings": zc,
+    }
+
+
 def decode_real(payload: bytes, modality: str) -> dict:
     """Real decode for containers a dependency-free environment can
     handle: uncompressed 24bpp BMP and binary netpbm (P6 PPM / P5
-    PGM). Returns {format, width, height, channels, pixel_digest}
-    where pixel_digest is md5 over the raw pixel bytes in top-down
-    row-major stored-channel order (BMP padding stripped).
+    PGM) for images — {format, width, height, channels, pixel_digest}
+    with pixel_digest md5 over the raw pixel bytes in top-down
+    row-major stored-channel order (BMP padding stripped) — and
+    RIFF/WAVE 16-bit mono PCM for audio — {sample_rate, n_samples,
+    duration_ms, rms, zero_crossings}.
 
-    Compressed containers (JPEG/PNG) and the audio/video modalities
+    Compressed containers (JPEG/PNG/MP3/...) and the video modality
     raise ValueError — this is the seam where PIL / soundfile / pyav
     slot in for a full deployment."""
-    if modality != "image":
-        raise ValueError(f"no {modality} codec in this environment")
-    if payload[:2] == b"BM":
-        return _decode_bmp(payload)
-    if payload[:2] in (b"P5", b"P6"):
-        return _decode_netpbm(payload)
-    raise ValueError("unsupported image container (need BMP24/P5/P6)")
+    if modality == "image":
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            return _decode_netpbm(payload)
+        raise ValueError("unsupported image container (need BMP24/P5/P6)")
+    if modality == "audio":
+        return _decode_wav(payload)
+    raise ValueError(f"no {modality} codec in this environment")
 
 
 def encode_bmp(width: int, height: int, fill: int) -> bytes:
@@ -180,6 +231,24 @@ def encode_ppm(width: int, height: int, fill: int) -> bytes:
     return (b"P6\n%d %d\n255\n" % (width, height)) + bytes([fill]) * (
         width * height * 3
     )
+
+
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Minimal RIFF/WAVE: 16-bit mono PCM, fmt + data chunks — the
+    deterministic fixture twin of ``_decode_wav``. ``samples`` is any
+    int16-representable sequence (numpy array or list)."""
+    import numpy as np  # noqa: PLC0415 — worker-side import
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 PAYLOAD_SCHEMA = T.StructType([
@@ -253,6 +322,80 @@ def decode_images(
             })
 
     return df.mapInPandas(batches, IMAGE_DECODE_SCHEMA)
+
+
+AUDIO_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), True),
+    T.StructField("sample_rate", T.LongType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("zero_crossings", T.LongType(), True),
+])
+
+_WAV_RATE = 8000  # fixture sample rate
+
+
+def synth_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-container audio fixtures: one tiny WAV per
+    row — a square wave whose half-period, amplitude, and length
+    derive from the id, so every decoded feature has a closed form an
+    oracle can state (see plans/multimodal.AUDIO_DECODE_ORACLE).
+    Stands in for raw bytes ingested from an object store."""
+    import numpy as np  # noqa: PLC0415 — worker-side import
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                n = 400 + i % 800           # samples
+                p = 2 + i % 9               # half-period in samples
+                a = 1000 + (i % 20) * 997   # amplitude
+                j = np.arange(n)
+                s = np.where((j // p) % 2 == 0, a, -a).astype("<i2")
+                payloads.append(encode_wav(_WAV_RATE, s))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "payload": pd.array(payloads, dtype=object),
+            })
+
+    return df.mapInPandas(batches, PAYLOAD_SCHEMA)
+
+
+def decode_audio(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Run the real WAV decoder over an opaque binary column, Arrow
+    batch by Arrow batch (narrow — no shuffle; payloads never on the
+    driver). One row per clip: container params + sample-level
+    features (RMS, zero crossings)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {k.name: [] for k in AUDIO_DECODE_SCHEMA}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = decode_real(bytes(payload), "audio")
+                out["doc_id"].append(int(doc_id))
+                for k in (
+                    "sample_rate", "n_samples", "duration_ms", "rms",
+                    "zero_crossings",
+                ):
+                    out[k].append(d[k])
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "sample_rate": pd.array(out["sample_rate"], dtype="int64"),
+                "n_samples": pd.array(out["n_samples"], dtype="int64"),
+                "duration_ms": pd.array(out["duration_ms"], dtype="int64"),
+                "rms": pd.array(out["rms"], dtype="float64"),
+                "zero_crossings": pd.array(
+                    out["zero_crossings"], dtype="int64"
+                ),
+            })
+
+    return df.mapInPandas(batches, AUDIO_DECODE_SCHEMA)
 
 
 def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -10,9 +10,11 @@ from psx_data_pipeline_spark.operators.multimodal import (
     _FRAME_CHARS,
     _FRAME_STRIDE,
     attach_payload,
+    decode_audio,
     decode_images,
     extract_features,
     sample_frames,
+    synth_audio_payloads,
     synth_image_payloads,
 )
 from psx_data_pipeline_spark.plans.registry import query
@@ -96,3 +98,35 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas (operators/multimodal.decode_images)."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
     return decode_images(synth_image_payloads(docs))
+
+
+# The fixture clips are square waves (operators/multimodal.
+# synth_audio_payloads): n = 400 + id%800 samples at 8 kHz, half-
+# period p = 2 + id%9, amplitude a = 1000 + (id%20)*997. Every
+# decoded feature then has a closed form: RMS of a ±a square wave is
+# exactly a (n·a² < 2^53, so mean and sqrt are IEEE-exact), and the
+# signbit flips exactly at each multiple of p → (n-1)//p crossings.
+# The decoder itself walks real RIFF chunks; extra-chunk and
+# non-square-wave cases are pinned by tests/test_audio_decode.py.
+AUDIO_DECODE_ORACLE = """
+SELECT doc_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(400 + doc_id % 800 AS BIGINT) AS n_samples,
+  CAST((400 + doc_id % 800) // 8 AS BIGINT) AS duration_ms,
+  CAST(1000 + (doc_id % 20) * 997 AS DOUBLE) AS rms,
+  CAST((400 + doc_id % 800 - 1) // (2 + doc_id % 9) AS BIGINT)
+    AS zero_crossings
+FROM documents
+"""
+
+
+@query("audio_decode", AUDIO_DECODE_ORACLE)
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode end-to-end: synthesize one RIFF/WAVE 16-bit
+    PCM clip per document (opaque binary column), then decode_real
+    walks the chunk list and computes sample-level features (RMS,
+    zero crossings) — all inside Arrow-batched mapInPandas
+    (operators/multimodal.decode_audio). The audio twin of
+    image_decode, closing the audio leg of the codec seam."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return decode_audio(synth_audio_payloads(docs))
