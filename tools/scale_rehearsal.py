@@ -48,7 +48,7 @@ FAMILIES = {
         "token_budget_sample", "sequence_pack", "quality_tiles",
         "source_temperature_weights", "domain_cap", "unigram_logprob",
         "dup_span_fraction", "heavy_shingles", "token_entropy",
-        "dsir_weights", "source_overlap",
+        "dsir_weights", "source_overlap", "bm25_scores",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
@@ -64,7 +64,7 @@ FAMILIES = {
     ],
     "multimodal": [
         "multimodal_features", "frame_sample", "image_decode",
-        "stream_image_decode",
+        "stream_image_decode", "audio_decode",
     ],
     "scrape": [
         "market_watch_parse", "company_enrich", "fallback_source",
