@@ -36,10 +36,15 @@ VALID_SYMBOL_SQL = "(length({0}) > 1 AND NOT contains(upper({0}), 'SELECT'))"
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of a text column (empty strings dropped)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+    # no trim(): the w <> '' filter already drops the empty edge
+    # pieces split() produces, and trim is NOT equivalent across
+    # engines — DuckDB's trim strips unicode spaces (NBSP), Spark's
+    # only ASCII space, so trimming made NBSP-edged text tokenize
+    # differently (found by tools/hostile_text_probe.py)
+    return F.filter(F.split(c, r"\s+"), lambda w: w != "")
 
 
-TOKENS_SQL = "list_filter(str_split_regex(trim({0}), '\\s+'), w -> w <> '')"
+TOKENS_SQL = "list_filter(str_split_regex({0}, '\\s+'), w -> w <> '')"
 
 
 def token_count(col: Column | str) -> Column:
@@ -74,7 +79,16 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
         acc = F.zip_with(
             acc, shifted, lambda a, b: F.concat_ws(" ", a, b)
         )
+    # Zero-token (or NULL) docs get an EMPTY shingle set, not [''].
+    # The '' fallback silently paired every empty/whitespace/NULL
+    # document with every other as jaccard-1.0 near-dups (and the
+    # engines even disagreed: DuckDB's array_to_string([]) is NULL,
+    # Spark's concat_ws is '') — found by tools/hostile_text_probe.py.
+    # A doc with no tokens participates in no similarity pairs; exact
+    # dedup still catches byte-identical empties upstream.
     return F.when(
         F.size(t) >= n,
         F.slice(acc, 1, F.size(t) - (n - 1)),
-    ).otherwise(F.array(F.concat_ws(" ", t)))
+    ).when(
+        F.size(t) > 0, F.array(F.concat_ws(" ", t))
+    ).otherwise(F.array().cast("array<string>"))

@@ -429,12 +429,21 @@ def extract_features(df: DataFrame) -> DataFrame:
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
+            # NULL payloads (e.g. NULL source text) propagate as NULL
+            # features, matching SQL null semantics — len(None)
+            # crashed the whole worker before (hostile-probe finding)
+            n_bytes = pd.Series(
+                [len(b) if b is not None else None for b in payloads],
+                dtype="Int64", index=pdf.index,
+            )
             out = pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "modality": pdf["modality"],
-                "n_bytes": n_bytes.astype("int64"),
-                "digest": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                "n_bytes": n_bytes,
+                "digest": payloads.map(
+                    lambda b: hashlib.md5(b).hexdigest()
+                    if b is not None else None
+                ),
             })
             img = pdf["modality"] == "image"
             aud = pdf["modality"] == "audio"
@@ -466,6 +475,8 @@ def sample_frames(df: DataFrame) -> DataFrame:
             ids, idxs, digs = [], [], []
             vids = pdf[pdf["modality"] == "video"]
             for doc_id, text in zip(vids["doc_id"], vids["text"]):
+                if text is None:  # NULL payload → no frames
+                    continue
                 n_chunks = math.ceil(len(text) / _FRAME_CHARS)
                 for i in range(0, n_chunks, _FRAME_STRIDE):
                     chunk = text[i * _FRAME_CHARS:(i + 1) * _FRAME_CHARS]

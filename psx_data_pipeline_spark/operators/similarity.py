@@ -61,6 +61,55 @@ def _norm2(a: Column) -> Column:
     return _dot(a, a)
 
 
+# Validity contract for vectors entering the similarity machinery.
+# |component| ≤ _EMB_BOUND keeps every quantized product
+# floor(x·y·1e12) and its 64-term sum far inside int64 (100·100·1e12
+# ·64 ≈ 6.4e17 < 2^63); NaN/±Inf components and wrong-dimension /
+# NULL vectors are excluded outright. Real embedding corpora contain
+# all of these (failed encoders emit zero or NaN vectors) — without
+# the gate a single such row crashes the whole job under ANSI
+# arithmetic (found by tools/hostile_events_probe.py).
+_EMB_BOUND = 100.0
+
+
+def valid_embedding(vec: Column | str, dim: int, bound: float = _EMB_BOUND) -> Column:
+    """Non-NULL, exactly ``dim`` components, all non-NULL, finite,
+    and bounded. The explicit x IS NULL arm matters: a NULL component
+    makes the NaN/bound lambdas return NULL, and the two engines
+    disagree on NULL lambda results (Spark EXISTS → NULL → row
+    filtered; DuckDB list_filter → element dropped → row KEPT)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return (
+        v.isNotNull()
+        & (F.size(v) == dim)
+        & ~F.exists(v, lambda x: x.isNull() | x.isNaN() | (F.abs(x) > bound))
+    )
+
+
+def indexable_embedding(vec: Column | str, dim: int, bound: float = _EMB_BOUND) -> Column:
+    """valid_embedding AND nonzero — cosine needs norm > 0."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return valid_embedding(v, dim, bound) & F.exists(v, lambda x: x != 0.0)
+
+
+def valid_embedding_sql(e: str, dim: int, bound: float = _EMB_BOUND) -> str:
+    """DuckDB twin of valid_embedding."""
+    return (
+        f"({e} IS NOT NULL AND len({e}) = {dim}"
+        f" AND len(list_filter({e}, x -> x IS NULL"
+        f" OR isnan(CAST(x AS DOUBLE))"
+        f" OR abs(CAST(x AS DOUBLE)) > {bound})) = 0)"
+    )
+
+
+def indexable_embedding_sql(e: str, dim: int, bound: float = _EMB_BOUND) -> str:
+    """DuckDB twin of indexable_embedding."""
+    return (
+        f"({valid_embedding_sql(e, dim, bound)}"
+        f" AND len(list_filter({e}, x -> x <> 0)) > 0)"
+    )
+
+
 def with_unit_geometry(df: DataFrame, vec_col: str) -> DataFrame:
     """Attach vecd (double array) and norm2 — computed once per vector."""
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))

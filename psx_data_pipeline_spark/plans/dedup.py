@@ -38,7 +38,8 @@ _TOKS = TOKENS_SQL.format("text")
 _SHINGLES = f"""
 CASE WHEN len({_TOKS}) >= 3 THEN
   [array_to_string(({_TOKS})[i:i+2], ' ') FOR i IN generate_series(1, len({_TOKS}) - 2)]
-ELSE [array_to_string({_TOKS}, ' ')] END
+WHEN len({_TOKS}) > 0 THEN [array_to_string({_TOKS}, ' ')]
+ELSE CAST([] AS VARCHAR[]) END
 """
 _MD5_LONG = "CAST(('0x' || substr(md5({0}), 1, 15)) AS BIGINT)"
 

@@ -25,6 +25,7 @@ _GAP_US = 30 * 60 * 1_000_000
 SESSIONIZE_ORACLE = f"""
 WITH ev AS (
   SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+  WHERE ts IS NOT NULL
 ),
 lagged AS (
   SELECT *, lag(ts_us) OVER (
@@ -45,9 +46,12 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of streaming
     session_window): lag → new-session flag → running sum, one shuffle
     on user_id."""
+    # an event without a timestamp cannot be sessioned — and the
+    # engines would disagree on where to sort it anyway (Spark
+    # NULLS FIRST, DuckDB NULLS LAST; hostile-probe finding)
     ev = load_events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "ts_us"
-    )
+    ).where(F.col("ts_us").isNotNull())
     out = sessionize(ev, "user_id", "ts_us", _GAP_US, tiebreak="event_id")
     return out.select(
         "event_id", "user_id", "event_type", "ts_us",
@@ -372,13 +376,23 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- JSON property extraction ------------------------------------------------
 
+# jk mirrors Spark's lax from_json: malformed / empty / non-object /
+# missing-key / null-valued props all extract as NULL instead of
+# erroring (DuckDB's bare ->> raises on malformed JSON — the ORACLE
+# side crashed on an empty-string props; hostile-probe finding)
 EVENT_PROPS_JSON_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         TRY_CAST((CASE WHEN json_valid(props) THEN props END)->>'k'
+                  AS BIGINT) AS jk
+  FROM events
+)
 SELECT event_type,
        count(*) AS n,
-       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(count(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_distinct_k,
-       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
-FROM events GROUP BY event_type
+       CAST(sum(jk) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT jk) AS BIGINT) AS n_distinct_k,
+       CAST(max(jk) AS BIGINT) AS max_k
+FROM ev GROUP BY event_type
 """
 
 

@@ -15,15 +15,36 @@ from pyspark.sql import functions as F
 
 from psx_data_pipeline_spark.operators.similarity import (
     cosine_topk,
+    indexable_embedding,
+    indexable_embedding_sql,
     ivf_topk,
     dot_sql,
     hyperplane_signature_sql,
     lsh_bucketed_neighbors,
+    valid_embedding,
+    valid_embedding_sql,
 )
 from psx_data_pipeline_spark.plans.registry import query
 from psx_data_pipeline_spark.sources.fixtures import load_table
 
 _DIM = 64
+
+# Every similarity query runs over the INDEXABLE subset of the store:
+# well-formed (64 dims, finite, bounded) and nonzero (cosine needs
+# norm > 0). A real store contains NULL / truncated / NaN / zero
+# vectors from failed encoders; un-gated, one such row crashes the
+# ANSI plan or divides by zero (hostile-probe finding). The gate is a
+# scan-side predicate in both engines; embedding_stats is the QA view
+# that reports the invalid rows instead of dropping them.
+_VEMB_CTE = (
+    "vembeddings AS (SELECT * FROM embeddings WHERE "
+    + indexable_embedding_sql("embedding", _DIM)
+    + ")"
+)
+
+
+def _indexable(emb: DataFrame) -> DataFrame:
+    return emb.where(indexable_embedding("embedding", _DIM))
 # query set = vec_id % MOD == 0, with MOD scaled so the QUERY COUNT
 # stays ~fixed (~20) as the corpus grows — the brute-force baseline
 # is |queries| × |corpus|; a corpus-proportional query set makes it
@@ -34,7 +55,7 @@ _QUERY_MOD = 100
 _QUERY_TARGET = 20
 _QUERY_MOD_SQL = (
     f"GREATEST({_QUERY_MOD}, CAST(ceil("
-    f"CAST((SELECT count(*) FROM embeddings) AS DOUBLE) / {_QUERY_TARGET}"
+    f"CAST((SELECT count(*) FROM vembeddings) AS DOUBLE) / {_QUERY_TARGET}"
     f") AS BIGINT))"
 )
 _K = 5
@@ -62,11 +83,12 @@ _COS = (
 )
 
 COSINE_TOPK_ORACLE = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+WITH {_VEMB_CTE},
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM vembeddings
   WHERE vec_id % {_QUERY_MOD_SQL} = 0
 ),
-c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM vembeddings),
 scored AS (
   SELECT q.query_id, c.neighbor_id, {_COS} AS cosine
   FROM q CROSS JOIN c
@@ -85,7 +107,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact ANN baseline: broadcast the (small) query set
     against the corpus; per-query top-k via row_number with an id
     tie-break so the ranking is unique."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = _indexable(load_table(spark, "embeddings", sf_dir))
     queries = _scaled_mod_subset(emb, _QUERY_MOD, _QUERY_TARGET, 0)
     return cosine_topk(emb, queries, "embedding", "vec_id", k=_K)
 
@@ -93,17 +115,18 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BITS = 8
 _COS_T = 0.1
 
-_SIG_SQL = hyperplane_signature_sql("embedding", "vec_id", "embeddings", _BITS, _DIM)
+_SIG_SQL = hyperplane_signature_sql("embedding", "vec_id", "vembeddings", _BITS, _DIM)
 _PAIR_COS = (
     f"{dot_sql('a.e', 'b.e')}"
     f" / (sqrt({dot_sql('a.e', 'a.e')}) * sqrt({dot_sql('b.e', 'b.e')}))"
 )
 
 LSH_NEIGHBORS_ORACLE = f"""
-WITH sig AS ({_SIG_SQL}),
+WITH {_VEMB_CTE},
+sig AS ({_SIG_SQL}),
 v AS (
   SELECT s.sig_id AS id, s.sig, e.embedding AS e
-  FROM sig s JOIN embeddings e ON e.vec_id = s.sig_id
+  FROM sig s JOIN vembeddings e ON e.vec_id = s.sig_id
 ),
 cand AS (
   SELECT a.id AS id_a, b.id AS id_b, {_PAIR_COS} AS cosine
@@ -120,7 +143,7 @@ def q_lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inlined integer plane constants; candidates come from the
     signature equi-join (bucket-local work at scale), verified by
     exact cosine."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = _indexable(load_table(spark, "embeddings", sf_dir))
     return lsh_bucketed_neighbors(
         emb, "embedding", "vec_id", dim=_DIM, bits=_BITS, threshold=_COS_T
     )
@@ -138,7 +161,7 @@ _CENT_MOD = 40
 _CENT_TARGET = 50  # cells held ~constant; real IVF retrains offline
 _CENT_MOD_SQL = (
     f"GREATEST({_CENT_MOD}, CAST(ceil("
-    f"CAST((SELECT count(*) FROM embeddings) AS DOUBLE) / {_CENT_TARGET}"
+    f"CAST((SELECT count(*) FROM vembeddings) AS DOUBLE) / {_CENT_TARGET}"
     f") AS BIGINT))"
 )
 _NPROBE = 2
@@ -153,15 +176,16 @@ _IVF_COS = (
 )
 
 IVF_TOPK_ORACLE = f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+WITH {_VEMB_CTE},
+cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM vembeddings
   WHERE vec_id % {_CENT_MOD_SQL} = 1
 ),
 cells AS (
   SELECT id AS neighbor_id, e AS ne, cid FROM (
     SELECT v.vec_id AS id, v.e, ct.cid, row_number() OVER (
       PARTITION BY v.vec_id ORDER BY {_ASSIGN_COS} DESC, ct.cid) AS rk
-    FROM (SELECT vec_id, embedding AS e FROM embeddings) v
+    FROM (SELECT vec_id, embedding AS e FROM vembeddings) v
     CROSS JOIN cent ct
   ) WHERE rk = 1
 ),
@@ -169,7 +193,7 @@ probes AS (
   SELECT id AS query_id, e AS qe, cid FROM (
     SELECT v.vec_id AS id, v.e, ct.cid, row_number() OVER (
       PARTITION BY v.vec_id ORDER BY {_ASSIGN_COS} DESC, ct.cid) AS rk
-    FROM (SELECT vec_id, embedding AS e FROM embeddings
+    FROM (SELECT vec_id, embedding AS e FROM vembeddings
           WHERE vec_id % {_QUERY_MOD_SQL} = 0) v
     CROSS JOIN cent ct
   ) WHERE rk <= {_NPROBE}
@@ -193,7 +217,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inverted lists), queries probe their {_NPROBE} nearest cells —
     comparisons are cell-local, shuffled on cid, instead of
     query × corpus. The data-adaptive twin of the LSH path."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = _indexable(load_table(spark, "embeddings", sf_dir))
     cents = _scaled_mod_subset(emb, _CENT_MOD, _CENT_TARGET, 1).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
@@ -206,14 +230,33 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding preprocessing stats ------------------------------------------
 
+_VALID_SQL = valid_embedding_sql("embedding", _DIM)
+
+# DuckDB decorrelates the CASE's inner subqueries and evaluates them
+# on EVERY row, so the guarded expressions must also be total: clamp
+# each component to a finite bounded value (NaN→0, ±Inf→±100) inside
+# the subquery. Invalid rows discard the clamped value through the
+# outer CASE, so only crash-freedom matters, not the clamped result.
+_SAFE = (
+    "(CASE WHEN isnan(CAST({0} AS DOUBLE)) THEN 0.0"
+    " ELSE least(greatest(CAST({0} AS DOUBLE), -100.0), 100.0) END)"
+)
+_SA = _SAFE.format("x.a")
+
 EMBED_STATS_ORACLE = f"""
 SELECT vec_id,
   CAST(len(embedding) AS INT) AS n_dims,
-  sqrt({dot_sql('embedding', 'embedding')}) AS l2norm,
-  CAST((SELECT SUM(CAST(floor(CAST(x.a AS DOUBLE) * 127) AS BIGINT))
-        FROM (SELECT UNNEST(embedding) AS a) x) AS BIGINT) AS q8_sum,
-  CAST((SELECT MAX(CAST(floor(CAST(x.a AS DOUBLE) * 127) AS BIGINT))
-        FROM (SELECT UNNEST(embedding) AS a) x) AS BIGINT) AS q8_max
+  CASE WHEN {_VALID_SQL} THEN
+    sqrt(CAST((SELECT SUM(CAST(floor({_SA} * {_SA} * 1e12) AS BIGINT))
+          FROM (SELECT UNNEST(embedding) AS a) x) AS DOUBLE) / 1e12)
+  END AS l2norm,
+  CASE WHEN {_VALID_SQL} THEN
+    CAST((SELECT SUM(CAST(floor({_SA} * 127) AS BIGINT))
+          FROM (SELECT UNNEST(embedding) AS a) x) AS BIGINT) END AS q8_sum,
+  CASE WHEN {_VALID_SQL} THEN
+    CAST((SELECT MAX(CAST(floor({_SA} * 127) AS BIGINT))
+          FROM (SELECT UNNEST(embedding) AS a) x) AS BIGINT) END AS q8_max,
+  {_VALID_SQL} AS is_valid
 FROM embeddings
 """
 
@@ -221,10 +264,15 @@ FROM embeddings
 @query("embedding_stats", EMBED_STATS_ORACLE)
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-preprocessing pass: dimension check, exact L2 norm
-    (quantized-integer accumulation), and int8-quantization summary
-    stats — the sanity/QA scan an embedding corpus gets before
-    indexing. Pure array expressions on the scan; no shuffle."""
+    (quantized-integer accumulation), int8-quantization summary
+    stats, and the is_valid flag — the sanity/QA scan an embedding
+    corpus gets before indexing. This is the TOTAL view: NULL /
+    wrong-dim / non-finite vectors are reported (NULL stats,
+    is_valid=false), not dropped — the gated similarity queries all
+    run over the is_valid subset. Pure array expressions on the
+    scan; no shuffle."""
     emb = load_table(spark, "embeddings", sf_dir)
+    valid = valid_embedding("embedding", _DIM)
     vecd = F.transform("embedding", lambda x: x.cast("double"))
     q8 = F.transform(vecd, lambda x: F.floor(x * 127).cast("long"))
     dot = F.aggregate(
@@ -234,9 +282,13 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("n_dims"),
-        F.sqrt(dot).alias("l2norm"),
-        F.aggregate(q8, F.lit(0).cast("long"), lambda a, x: a + x).alias("q8_sum"),
-        F.array_max(q8).alias("q8_max"),
+        F.when(valid, F.sqrt(dot)).alias("l2norm"),
+        F.when(
+            valid,
+            F.aggregate(q8, F.lit(0).cast("long"), lambda a, x: a + x),
+        ).alias("q8_sum"),
+        F.when(valid, F.array_max(q8)).alias("q8_max"),
+        valid.alias("is_valid"),
     )
 
 
@@ -251,6 +303,7 @@ edges AS (
 ),
 reach(id, root) AS (
   SELECT vec_id, vec_id FROM embeddings
+  WHERE {indexable_embedding_sql('embedding', _DIM)}
   UNION
   SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
 ),
@@ -277,7 +330,7 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_connected_components.py)."""
     from psx_data_pipeline_spark.operators.dedup import connected_components
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = _indexable(load_table(spark, "embeddings", sf_dir))
     pairs = lsh_bucketed_neighbors(
         emb, "embedding", "vec_id", dim=_DIM, bits=_BITS, threshold=_COS_T
     )
@@ -291,10 +344,11 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- int8 scalar quantization ------------------------------------------------
 
-EMB_QUANTIZE_ORACLE = """
-WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+EMB_QUANTIZE_ORACLE = f"""
+WITH wf AS (SELECT * FROM embeddings WHERE {_VALID_SQL}),
+x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
                   generate_subscripts(embedding, 1) AS dim
-           FROM embeddings),
+           FROM wf),
 r AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim),
 q AS (SELECT x.vec_id, x.dim, x.v, r.mn, r.mx,
         CASE WHEN r.mx - r.mn > 0
@@ -332,8 +386,11 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Float determinism: floats are promoted to double
     BEFORE the min/max, and every downstream expression uses the
     identical operand order in both engines, so doubles stay
-    bit-identical."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    bit-identical. Runs over the well-formed subset (valid_embedding
+    — zero vectors are fine here, the span>0 CASE handles them)."""
+    emb = load_table(spark, "embeddings", sf_dir).where(
+        valid_embedding("embedding", _DIM)
+    )
     x = emb.select(F.posexplode("embedding").alias("d0", "v")).select(
         (F.col("d0") + 1).alias("dim"), F.col("v").cast("double").alias("v")
     )

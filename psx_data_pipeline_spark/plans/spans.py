@@ -60,9 +60,11 @@ cov AS (
   FROM sh s JOIN dup USING (shingle),
        LATERAL (SELECT unnest(range(s.pos, s.pos + {_SPAN_K})) AS p2) v
 )
-SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_toks,
+SELECT d.doc_id, CAST(COALESCE(len(d.toks), 0) AS BIGINT) AS n_toks,
        CAST(count(cov.p2) AS BIGINT) AS dup_toks,
-       CAST(CAST(count(cov.p2) AS DOUBLE) / len(d.toks) AS DOUBLE) AS dup_frac
+       CASE WHEN COALESCE(len(d.toks), 0) = 0 THEN 0.0 ELSE
+         CAST(CAST(count(cov.p2) AS DOUBLE) / len(d.toks) AS DOUBLE)
+       END AS dup_frac
 FROM d LEFT JOIN cov USING (doc_id)
 GROUP BY d.doc_id, len(d.toks)
 """
@@ -135,10 +137,17 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("n_toks").cast("long").alias("n_toks"),
+            F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
             F.coalesce("dup_toks", F.lit(0)).cast("long").alias("dup_toks"),
-            (
-                F.coalesce("dup_toks", F.lit(0)).cast("double") / F.col("n_toks")
+            # zero-token (or NULL-text) docs: dup coverage is 0.0 by
+            # definition — the when() also keeps ANSI division-by-
+            # zero out of the plan (empty doc crashed the query;
+            # hostile-probe finding)
+            F.when(
+                F.coalesce("n_toks", F.lit(0)) == 0, F.lit(0.0)
+            ).otherwise(
+                F.coalesce("dup_toks", F.lit(0)).cast("double")
+                / F.col("n_toks")
             ).alias("dup_frac"),
         )
     )

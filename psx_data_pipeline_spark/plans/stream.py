@@ -28,11 +28,16 @@ from psx_data_pipeline_spark.streaming.jobs import (
 _HOUR_US = 3600 * 1_000_000
 _GAP_US = 30 * 60 * 1_000_000
 
+# window start must FLOOR-divide: DuckDB's integer // truncates
+# toward zero, which disagrees with Spark's window() on pre-epoch
+# (negative-µs) timestamps — ((x % H) + H) % H is the sign-safe
+# nonnegative residue (hostile-probe finding)
 STREAM_WINDOW_ORACLE = f"""
-SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS win_start_us,
+SELECT epoch_us(ts) - ((epoch_us(ts) % {_HOUR_US}) + {_HOUR_US}) % {_HOUR_US}
+         AS win_start_us,
        event_type, COUNT(*) AS n,
        CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_k
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -44,7 +49,8 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_SESSIONIZE_ORACLE = f"""
-WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+            WHERE ts IS NOT NULL),
 lagged AS (
   SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
   FROM ev
@@ -123,9 +129,13 @@ def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_click_attribution(spark, sf_dir)
 
 
+# epoch_us(ts) >= 0: Spark's INITIAL watermark is the epoch, so a
+# pre-epoch (corrupt-timestamp) event is "late" before the stream
+# even starts and is silently dropped — the contract states the
+# exclusion explicitly on both sides (hostile-probe finding)
 STREAM_DEDUP_ORACLE = """
 SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
-FROM events
+FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
 """
 
 

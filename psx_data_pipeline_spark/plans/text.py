@@ -111,7 +111,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any scale. The oracle keeps the equivalent cross-join/window
     SQL form."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = F.array_distinct(tokens("text"))
+    # NULL text → empty token set → zero hits → 'und' (the oracle's
+    # CASE already lands there because NULL > 0 is not true; without
+    # the coalesce Spark's when-chain returned NULL instead)
+    toks = F.array_distinct(
+        F.coalesce(tokens("text"), F.array().cast("array<string>"))
+    )
     hit_cols = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in ms])))
         for lang, ms in sorted(_LANG_MARKERS)
@@ -191,8 +196,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero), bigint arithmetic stays under 2^52."""
     docs = load_table_parallel(spark, "documents", sf_dir)
     hs = F.transform(tokens("text"), lambda t: md5_long(t) % HASH_P)
+    # NULL text folds like a zero-token doc: fp = the 0 seed (the
+    # oracle's list_prepend(0, ...) already behaves that way)
     fp = F.aggregate(
-        hs,
+        F.coalesce(hs, F.array().cast("array<bigint>")),
         F.lit(0).cast("long"),
         lambda acc, h: (acc * _B + h) % HASH_P,
     )
@@ -349,6 +356,7 @@ FROM documents,
      UNNEST(range(0,
        GREATEST(CAST(ceil((len(text) - {_OVERLAP}) / {_STRIDE}.0) AS BIGINT),
                 1))) AS t(i)
+WHERE text IS NOT NULL
 """
 
 
@@ -514,7 +522,8 @@ from psx_data_pipeline_spark.functions.textfns import word_shingles  # noqa: E40
 _SHINGLES3 = f"""
 CASE WHEN len({_TOKS}) >= 3 THEN
   [array_to_string(({_TOKS})[i:i+2], ' ') FOR i IN generate_series(1, len({_TOKS}) - 2)]
-ELSE [array_to_string({_TOKS}, ' ')] END
+WHEN len({_TOKS}) > 0 THEN [array_to_string({_TOKS}, ' ')]
+ELSE CAST([] AS VARCHAR[]) END
 """
 
 _BENCH_MOD = 10  # "benchmark" = doc_id % 10 == 7 (deterministic stand-in)
@@ -573,18 +582,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLES2 = f"""
 CASE WHEN len({_TOKS}) >= 2 THEN
   [array_to_string(({_TOKS})[i:i+1], ' ') FOR i IN generate_series(1, len({_TOKS}) - 1)]
-ELSE [array_to_string({_TOKS}, ' ')] END
+WHEN len({_TOKS}) > 0 THEN [array_to_string({_TOKS}, ' ')]
+ELSE CAST([] AS VARCHAR[]) END
 """
 
 DOC_REPETITION_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id,
-    len({_TOKS}) AS n_tokens,
-    1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE)
-        / CAST(len({_TOKS}) AS DOUBLE) AS dup_token_frac,
-    CAST(list_max(list_transform(list_distinct({_SHINGLES2}),
-           x -> len(list_filter({_SHINGLES2}, y -> y = x)))) AS DOUBLE)
-      / CAST(len({_SHINGLES2}) AS DOUBLE) AS top_bigram_frac
+    COALESCE(len({_TOKS}), 0) AS n_tokens,
+    CASE WHEN COALESCE(len({_TOKS}), 0) = 0 THEN 0.0 ELSE
+      1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+          / CAST(len({_TOKS}) AS DOUBLE) END AS dup_token_frac,
+    CASE WHEN COALESCE(len({_TOKS}), 0) = 0 THEN 0.0 ELSE
+      CAST(list_max(list_transform(list_distinct({_SHINGLES2}),
+             x -> len(list_filter({_SHINGLES2}, y -> y = x)))) AS DOUBLE)
+        / CAST(len({_SHINGLES2}) AS DOUBLE) END AS top_bigram_frac
   FROM documents
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, dup_token_frac,
@@ -610,7 +622,12 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, "documents", sf_dir)
     toks = tokens("text")
     bg = word_shingles("text", 2)
-    dup_frac = (
+    # zero-token (or NULL-text) docs: repetition is defined as 0.0 —
+    # the when() also keeps ANSI division-by-zero out of the plan
+    # (an empty doc crashed the query before; hostile-probe finding)
+    dup_frac = F.when(
+        F.coalesce(F.size(toks), F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(
         F.lit(1.0)
         - F.size(F.array_distinct(toks)).cast("double")
         / F.size(toks).cast("double")
@@ -632,10 +649,12 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     maxc = F.aggregate(F.array_sort(bg), zero, _step, lambda acc: acc["best"])
-    top_bg = maxc.cast("double") / F.size(bg).cast("double")
+    top_bg = F.when(
+        F.coalesce(F.size(bg), F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(maxc.cast("double") / F.size(bg).cast("double"))
     scored = docs.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
         dup_frac.alias("dup_token_frac"),
         top_bg.alias("top_bigram_frac"),
     )
@@ -658,6 +677,7 @@ WITH blocks AS (
   FROM documents,
        UNNEST(range(0,
          GREATEST(CAST(ceil(len({_TOKS}) / {_BLK}.0) AS BIGINT), 1))) AS t(i)
+  WHERE COALESCE(len({_TOKS}), 0) > 0
 ),
 counts AS (SELECT blk, count(*) AS c FROM blocks GROUP BY blk)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
@@ -689,7 +709,14 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array element (interpreted HOF, no CSE): O(tokens²) per doc, a
     # never-finishing straggler on a 300 k-token document (found by
     # the --giant-doc-tokens probe; same bug class as word_shingles)
-    base = docs.select("doc_id", tokens("text").alias("__t"))
+    # zero-token (or NULL-text) docs have no blocks and no defined
+    # dup fraction — drop them on BOTH sides (the oracle's WHERE
+    # twin); without this, Spark emitted an '' block for whitespace
+    # docs that DuckDB's NULL-blk join silently dropped
+    # (hostile-probe finding)
+    base = docs.select("doc_id", tokens("text").alias("__t")).where(
+        F.coalesce(F.size("__t"), F.lit(0)) > 0
+    )
     n_blocks = F.greatest(
         F.ceil(F.size("__t") / F.lit(float(_BLK))).cast("long"),
         F.lit(1).cast("long"),

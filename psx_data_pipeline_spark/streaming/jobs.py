@@ -108,7 +108,11 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     output keeps every window so a replay of a static directory is
     total and deterministic (the append-mode tail-window cutoff would
     make results depend on the final watermark position)."""
-    ev = events_stream(spark, sf_dir)
+    # time-windowed aggregation is defined only for timestamped
+    # events; Spark's watermark path drops NULL event times silently —
+    # state the filter explicitly so the oracle can state it too
+    # (hostile-probe finding)
+    ev = events_stream(spark, sf_dir).where(F.col("ts_ts").isNotNull())
     agg = (
         ev.withWatermark("ts_ts", "1 hour")
         .groupBy(F.window("ts_ts", "1 hour").alias("win"), "event_type")
@@ -131,7 +135,9 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-minute gap — the streaming twin of operators/sessions.sessionize
     (new session iff the gap from the previous event is >= 30 min;
     session end = last event + gap, half-open)."""
-    ev = events_stream(spark, sf_dir)
+    # NULL event times cannot be sessioned (same contract as the
+    # batch sessionize); the streaming engine would drop them anyway
+    ev = events_stream(spark, sf_dir).where(F.col("ts_ts").isNotNull())
     sess = (
         ev.withWatermark("ts_ts", "30 minutes")
         .groupBy("user_id", F.session_window("ts_ts", "30 minutes").alias("sw"))
@@ -149,7 +155,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _USER_STATE_OUT = "user_id LONG, n_events LONG, value_k LONG, max_event_id LONG"
-_USER_STATE = "n LONG, vk LONG, meid LONG"
+_USER_STATE = "n LONG, vk LONG, meid LONG, nv LONG"
 
 
 def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,15 +169,25 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
-        n, vk, meid = state.get if state.exists else (0, 0, 0)
+        n, vk, meid, nv = state.get if state.exists else (0, 0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            vk += int(((pdf["value"] * 1000) // 1).astype("int64").sum())
-            meid = max(meid, int(pdf["event_id"].max()))
-        state.update((n, vk, meid))
+            # SQL SUM semantics: NULL values are skipped, not NaN-
+            # poisoned (a NULL value crashed the int64 cast before;
+            # hostile-probe finding)
+            vals = pdf["value"].dropna()
+            if len(vals):
+                vk += int(((vals * 1000) // 1).astype("int64").sum())
+                nv += len(vals)
+            eids = pdf["event_id"].dropna()
+            if len(eids):
+                meid = max(meid, int(eids.max()))
+        state.update((n, vk, meid, nv))
+        # SUM over zero non-null inputs is NULL in SQL, not 0
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n],
-             "value_k": [vk], "max_event_id": [meid]}
+             "value_k": [vk if nv else None],
+             "max_event_id": [meid]}
         )
 
     ev = events_stream(spark, sf_dir)
@@ -196,7 +212,14 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     feed = events_stream(spark, sf_dir).unionByName(events_stream(spark, sf_dir))
     out = (
-        feed.withWatermark("ts_ts", "1 hour")
+        # watermark-bounded dedup needs an event time: NULL-ts rows
+        # are excluded by contract (they would be dropped by the
+        # watermark machinery anyway — silently), and so are
+        # pre-epoch timestamps, which sit below Spark's INITIAL
+        # watermark and would be dropped as late before the stream
+        # even starts
+        feed.where(F.col("ts_ts").isNotNull() & (F.col("ts_us") >= 0))
+        .withWatermark("ts_ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "ts_us")
     )

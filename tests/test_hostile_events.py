@@ -1,0 +1,133 @@
+"""Pin the degenerate-events/embeddings semantics the hostile probe
+established (tools/hostile_events_probe.py): NULL keys/timestamps/
+values, pre-epoch and far-future timestamps, malformed props JSON,
+and NULL / zero / NaN / Inf / huge embedding vectors must neither
+crash any operator nor silently diverge from the stated contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.operators.similarity import (
+    indexable_embedding,
+    valid_embedding,
+)
+
+_DIM = 4
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (1, [0.1, 0.2, -0.3, 0.4]),
+        (2, None),
+        (3, []),
+        (4, [0.0, 0.0, 0.0, 0.0]),
+        (5, [nan, 0.1, 0.1, 0.1]),
+        (6, [inf, 0.1, 0.1, 0.1]),
+        (7, [-inf, 0.1, 0.1, 0.1]),
+        (8, [1e30, 1e30, 1e30, 1e30]),
+        (9, [0.1, 0.2]),  # wrong dim
+        (10, [None, 0.1, 0.1, 0.1]),  # NULL component
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_validity_contract(vec_df):
+    got = {
+        r.vec_id: (r.v, r.ix)
+        for r in vec_df.select(
+            "vec_id",
+            valid_embedding("embedding", _DIM).alias("v"),
+            indexable_embedding("embedding", _DIM).alias("ix"),
+        ).collect()
+    }
+    assert got[1] == (True, True)
+    assert got[4] == (True, False)  # zero vector: valid, not indexable
+    for bad in (2, 3, 5, 6, 7, 8, 9, 10):
+        assert got[bad] == (False, False), bad
+
+
+def test_embedding_validity_sql_twin(vec_df):
+    """The DuckDB predicate must classify exactly like the Spark one."""
+    import duckdb
+
+    from psx_data_pipeline_spark.operators.similarity import (
+        indexable_embedding_sql,
+        valid_embedding_sql,
+    )
+
+    pdf = vec_df.toPandas()
+    con = duckdb.connect()
+    con.register("v", pdf)
+    sql = (
+        f"SELECT vec_id, {valid_embedding_sql('embedding', _DIM)} AS val,"
+        f" {indexable_embedding_sql('embedding', _DIM)} AS ix FROM v"
+    )
+    duck = {r[0]: (bool(r[1]), bool(r[2])) for r in con.execute(sql).fetchall()}
+    spark_side = {
+        r.vec_id: (r.v, r.ix)
+        for r in vec_df.select(
+            "vec_id",
+            valid_embedding("embedding", _DIM).alias("v"),
+            indexable_embedding("embedding", _DIM).alias("ix"),
+        ).collect()
+    }
+    assert duck == spark_side
+
+
+def test_cosine_family_survives_hostile_vectors(spark, vec_df, tmp_path):
+    """End to end: the gated queries run (no ANSI crash, no 0-division)
+    and only indexable vectors appear in their outputs."""
+    sf = str(tmp_path)
+    # pad the corpus so query/centroid mod subsets are non-trivial
+    import numpy as np
+
+    extra = [
+        (100 + i, [float(x) for x in np.sin(np.arange(_DIM) + i) * 0.3])
+        for i in range(40)
+    ]
+    base = spark.createDataFrame(extra, "vec_id long, embedding array<float>")
+    vec_df.unionByName(base).withColumn(
+        "label", F.lit(1)
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    from psx_data_pipeline_spark.operators.similarity import (
+        lsh_bucketed_neighbors,
+    )
+    from psx_data_pipeline_spark.plans.similarity import _indexable
+    from psx_data_pipeline_spark.sources.fixtures import load_table
+
+    emb = _indexable(load_table(spark, "embeddings", sf))
+    pairs = lsh_bucketed_neighbors(
+        emb, "embedding", "vec_id", dim=_DIM, bits=4, threshold=0.1
+    ).collect()
+    ids = {i for r in pairs for i in (r.id_a, r.id_b)}
+    assert ids.isdisjoint({2, 3, 4, 5, 6, 7, 8, 9, 10})
+    assert all(math.isfinite(r.cosine) for r in pairs)
+
+
+def test_user_totals_state_null_semantics():
+    """The applyInPandasWithState updater skips NULL values like SQL
+    SUM (NaN-poisoning crashed the int64 cast before) and emits NULL
+    for an all-NULL group."""
+    import pandas as pd
+
+    from psx_data_pipeline_spark.streaming.jobs import running_user_totals  # noqa: F401
+
+    # exercise the arithmetic the updater uses, worker-free
+    vals = pd.Series([1.5, None, 2.25], dtype="float64")
+    nn = vals.dropna()
+    assert int(((nn * 1000) // 1).astype("int64").sum()) == 1500 + 2250
+
+
+def test_window_floor_formula_matches_spark_on_negatives():
+    """win_start = x - ((x % H) + H) % H must floor (Spark window()),
+    not truncate (DuckDB //), for pre-epoch microseconds."""
+    H = 3600 * 1_000_000
+    for x in (-1, -1_000_000, -H, -H - 1, 0, 1, H, H + 1):
+        assert x - ((x % H) + H) % H == (x // H) * H  # python // floors

@@ -104,7 +104,10 @@ def test_bmp_truncated_pixels_and_wrong_bpp():
         decode_real(bytes(bad_bpp), "image")
 
 
-def test_non_image_modalities_stay_at_the_seam():
-    for modality in ("audio", "video"):
-        with pytest.raises(ValueError, match="codec"):
-            decode_real(b"anything", modality)
+def test_unsupported_modalities_stay_at_the_seam():
+    # video has no dependency-free container: still a raise-only seam
+    with pytest.raises(ValueError, match="codec"):
+        decode_real(b"anything", "video")
+    # audio decodes WAV now; non-WAV audio bytes still raise there
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_real(b"anything", "audio")

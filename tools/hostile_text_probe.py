@@ -1,0 +1,132 @@
+"""Hostile-text probe: re-run the full DuckDB oracle comparison on a
+corpus salted with adversarial documents — NULL text, empty text,
+whitespace-only (space / tab / newline / NBSP), single-character,
+one 10k-char single token, unicode (CJK, emoji, combining marks,
+zero-width joiners), and leading/trailing-whitespace rows.
+
+The driver fixtures are uniformly dense ASCII word soup, so every
+query family can be oracle-green while silently diverging from
+DuckDB on degenerate text (split/size/explode null semantics, `\\s`
+vs unicode whitespace classes, empty-array edge cases in shingles /
+chunking / packing). This probe puts the SAME query / SAME oracle
+SQL pair in front of text those fixtures never exercise: any
+MISMATCH or one-sided crash is a real latent bug.
+
+Usage:
+    python tools/hostile_text_probe.py             # all doc queries
+    python tools/hostile_text_probe.py --queries lang_id doc_chunks
+
+Skips queries that don't read documents.text (relational/events/
+embeddings families) — membership derives from each query's oracle
+SQL mentioning the documents table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+    ),
+)
+
+BASE = "/root/testdata/sf0.01"
+OUT = "/tmp/hostile_text_corpus"
+
+HOSTILE_TEXTS = [
+    None,
+    "",
+    " ",
+    "   \t  ",
+    "\n\n\n",
+    "  ",            # NBSP only — NOT \s in either engine?
+    "x",
+    "x " * 3,
+    "a" * 10_000,               # one giant token
+    ("tok " * 2000).strip(),    # many tokens, byte-heavy
+    "naïve café résumé",        # combining-capable accents
+    "数据 管理 系统 数据",      # CJK with spaces
+    "🚀 🚀 rocket 🚀",          # emoji tokens
+    "zero​width join",     # ZWSP inside a "word"
+    "  leading and trailing  ",
+    "UPPER lower MiXeD UPPER",
+    "dup dup dup dup dup",      # high self-repetition
+    "tab\tsep\ttok",
+    "cr\r\nlf mix",
+    "ends with space ",
+]
+
+
+def build_corpus() -> None:
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ):
+        dst = f"{OUT}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copy(f"{BASE}/{t}.parquet", dst)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW base AS SELECT * FROM read_parquet('{BASE}/documents.parquet')"
+    )
+    cols = [r[0] for r in con.execute("DESCRIBE base").fetchall()]
+    n, max_id = con.execute("SELECT count(*), max(doc_id) FROM base").fetchone()
+    # hostile rows clone a real row's metadata (source etc.) so only
+    # text and doc_id differ — the probe isolates text semantics
+    other = ", ".join(c for c in cols if c not in ("doc_id", "text"))
+    values = []
+    for i, txt in enumerate(HOSTILE_TEXTS):
+        lit = "NULL" if txt is None else "'" + txt.replace("'", "''") + "'"
+        values.append(
+            f"SELECT {max_id + 1 + i} AS doc_id, {lit} AS text, {other} "
+            f"FROM base WHERE doc_id = {i % n}"
+        )
+    con.execute(
+        f"COPY (SELECT {', '.join(cols)} FROM base "
+        f"UNION ALL BY NAME {' UNION ALL BY NAME '.join(values)}) "
+        f"TO '{OUT}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    build_corpus()
+    from oracle_check import compare
+
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from psx_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("hostile-probe")
+    names = args.queries or [
+        n for n, sql in ORACLE_SQL.items()
+        if "documents" in sql.lower()
+    ]
+    bad: dict[str, str] = {}
+    for name in names:
+        try:
+            ok, msg = compare(QUERIES[name](spark, OUT), ORACLE_SQL[name], OUT)
+        except Exception as exc:  # one-sided crash is also a finding
+            ok, msg = False, f"{type(exc).__name__}: {exc}"
+        print(f"{name}: {'ok' if ok else 'HOSTILE-DIVERGENCE ' + msg[:300]}")
+        if not ok:
+            bad[name] = msg[:300]
+    print(json.dumps({"n": len(names), "divergent": bad}))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
