@@ -26,10 +26,14 @@ from psx_data_pipeline_spark.sources.fixtures import load_table
 _NSYM = 25
 
 # Shared derivation: deterministic daily per-symbol series.
+# a trade without a date belongs to no daily bar — and the engines
+# would disagree on where a NULL date sorts in the windowed views
+# anyway (Spark NULLS FIRST, DuckDB NULLS LAST; hostile-probe finding)
 _SERIES_SQL = f"""
   SELECT o_orderkey AS trade_id, o_custkey % {_NSYM} AS symbol_id,
          CAST(o_orderdate AS DATE) AS trade_date, o_totalprice AS price
   FROM orders
+  WHERE o_orderdate IS NOT NULL
 """
 
 OHLC_SQL = f"""
@@ -47,7 +51,7 @@ OHLC_SQL = f"""
 
 def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
-    return o.select(
+    return o.where(F.col("o_orderdate").isNotNull()).select(
         F.col("o_orderkey").alias("trade_id"),
         (F.col("o_custkey") % _NSYM).alias("symbol_id"),
         F.col("o_orderdate").cast("date").alias("trade_date"),

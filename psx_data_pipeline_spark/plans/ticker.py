@@ -552,7 +552,11 @@ def q_symbol_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     c = load_table(spark, "customer", sf_dir)
-    raw = F.concat_ws(".", F.col("c_name"), F.col("c_mktsegment"))
+    # F.concat, NOT concat_ws: concat_ws SKIPS NULL arguments, so a
+    # NULL name row fabricated a symbol out of the segment alone —
+    # the oracle's `||` (and the reference's str formatting on a
+    # missing field) propagate NULL instead (hostile-probe finding)
+    raw = F.concat(F.col("c_name"), F.lit("."), F.col("c_mktsegment"))
     sym = normalize_symbol(raw)
     return (
         c.select("c_custkey", sym.alias("symbol"))
@@ -661,18 +665,25 @@ def q_sentinel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the symbol fallback, exactly as update_ticker_info.py:172 reads
     it)."""
     from psx_data_pipeline_spark.operators.ingest import (
-        parity_view,
+        SENTINEL_SECTOR,
+        SENTINEL_URL,
         sentinel_to_null,
     )
 
     norm = sentinel_to_null(_raw_sentinel(spark, sf_dir))
-    flags = norm.select(
+    # flags ride the SAME projection as the parity coalesces — the
+    # previous parity_view(norm).join(flags, "symbol") self-join
+    # silently dropped any NULL-keyed row (NULL never equi-joins;
+    # hostile-probe finding) and cost a shuffle besides
+    return norm.select(
         "symbol",
+        F.coalesce(F.col("name"), F.col("symbol")).alias("name"),
+        F.coalesce(F.col("sector"), F.lit(SENTINEL_SECTOR)).alias("sector"),
+        F.coalesce(F.col("url"), F.lit(SENTINEL_URL)).alias("url"),
         F.col("name").isNull().alias("name_missing"),
         F.col("sector").isNull().alias("sector_missing"),
         F.col("url").isNull().alias("url_missing"),
     )
-    return parity_view(norm).join(flags, "symbol")
 
 
 SCD1_SENTINEL_ORACLE = f"""

@@ -1,0 +1,72 @@
+"""Pin the degenerate-relational semantics the hostile probe
+established (tools/hostile_relational_probe.py): NULL keys, NULL
+dates, and NULL name/segment fields must not fabricate rows, drop
+keyed rows, or shift window frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_symbol_normalize_null_fields_propagate(spark, tmp_path):
+    """A customer with no name (or no segment) has no symbol —
+    concat_ws would silently fabricate one from the surviving field."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "Alpha Ltd", 0, 1.0, "BUILDING"),
+            (2, None, 0, 1.0, "BUILDING"),
+            (3, "Beta Inc", 0, 1.0, None),
+        ],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(f"{sf}/customer.parquet")
+    from psx_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["symbol_normalize"](spark, sf).collect()
+    assert {r.c_custkey for r in rows} == {1}
+
+
+def test_sentinel_parity_keeps_null_symbol_row(spark, tmp_path):
+    """The flags projection must not equi-join on symbol: a NULL-key
+    row silently vanished through the join before."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "Alpha", 0, 1.0, "BUILDING"),
+            (None, "NullKey", 0, 1.0, "BUILDING"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(f"{sf}/customer.parquet")
+    from psx_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["sentinel_parity"](spark, sf).collect()
+    assert len(rows) == 2
+    assert any(r.symbol is None for r in rows)
+
+
+def test_ohlc_series_excludes_null_dates(spark, tmp_path):
+    """A trade without a date belongs to no bar — otherwise the NULL
+    sorts NULLS FIRST into every early window frame."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, 1, "O", 10.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (2, 1, "O", 20.0, None, "1-URGENT"),
+            (3, 1, "O", 30.0, dt.datetime(2024, 1, 2), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{sf}/orders.parquet")
+    from psx_data_pipeline_spark.plans import QUERIES
+
+    ma = QUERIES["moving_avg"](spark, sf).collect()
+    assert [r.trade_date for r in ma] == [
+        dt.date(2024, 1, 1), dt.date(2024, 1, 2)]
+    # closes are 10 (day 1) and 30 (day 2): the NULL-date 20.0 trade
+    # contributes to no bar and no frame
+    assert [r.ma7 for r in ma] == [10.0, 20.0]

@@ -1,0 +1,148 @@
+"""Hostile relational probe: the third hostile-data probe, covering
+the TPC-H-ish tables (customer / orders / lineitem / part) that feed
+the relational, ticker-sync, SCD, and OHLC query families.
+
+Salts sf0.01 with adversarial rows — NULL keys (join/partition
+behavior), NULL dates (window ordering: Spark NULLS FIRST vs DuckDB
+NULLS LAST), NULL and negative prices/quantities (SUM/percentile
+null-skipping, sign-sensitive arithmetic), NULL group keys
+(segment/brand/status), pre-1900 and far-future dates, and NULL
+text fields feeding the symbol/name derivations — then re-runs the
+full DuckDB oracle comparison for every query whose oracle reads one
+of these tables. Any MISMATCH or one-sided crash is a real latent
+bug in either the Spark plan or the oracle SQL.
+
+Usage:
+    python tools/hostile_relational_probe.py
+    python tools/hostile_relational_probe.py --queries pricing_summary
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+    ),
+)
+
+BASE = "/root/testdata/sf0.01"
+OUT = "/tmp/hostile_relational_corpus"
+
+_SALTED = ("customer", "orders", "lineitem", "part")
+
+
+def _append(table: str, rows: list[dict]) -> None:
+    """Append hostile rows through pyarrow, preserving the fixture's
+    exact physical types (COPY-through-DuckDB normalizes timestamps)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{BASE}/{table}.parquet")
+    hostile = pa.Table.from_pylist(rows, schema=tbl.schema)
+    pq.write_table(
+        pa.concat_tables([tbl, hostile.cast(tbl.schema)]),
+        f"{OUT}/{table}.parquet",
+    )
+
+
+def build_corpus() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    for t in (
+        "region", "nation", "supplier", "events", "documents", "embeddings",
+    ):
+        dst = f"{OUT}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copy(f"{BASE}/{t}.parquet", dst)
+
+    _append("customer", [
+        # NULL name/segment/balance; NULL nationkey (drops from joins)
+        {"c_custkey": 900001, "c_name": None, "c_nationkey": 0,
+         "c_acctbal": 10.0, "c_mktsegment": "BUILDING"},
+        {"c_custkey": 900002, "c_name": "Hostile Corp", "c_nationkey": None,
+         "c_acctbal": 10.0, "c_mktsegment": "BUILDING"},
+        {"c_custkey": 900003, "c_name": "Null Segment", "c_nationkey": 1,
+         "c_acctbal": None, "c_mktsegment": None},
+        {"c_custkey": 900004, "c_name": "Negative Balance", "c_nationkey": 2,
+         "c_acctbal": -9999.99, "c_mktsegment": "AUTOMOBILE"},
+        {"c_custkey": None, "c_name": "Null Key Inc", "c_nationkey": 3,
+         "c_acctbal": 5.0, "c_mktsegment": "MACHINERY"},
+    ])
+    _append("orders", [
+        {"o_orderkey": 900001, "o_custkey": None, "o_orderstatus": "O",
+         "o_totalprice": 100.0,
+         "o_orderdate": dt.datetime(2024, 1, 10), "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 900002, "o_custkey": 1, "o_orderstatus": None,
+         "o_totalprice": 100.0,
+         "o_orderdate": dt.datetime(2024, 1, 11), "o_orderpriority": None},
+        {"o_orderkey": 900003, "o_custkey": 1, "o_orderstatus": "F",
+         "o_totalprice": None,
+         "o_orderdate": None, "o_orderpriority": "2-HIGH"},
+        {"o_orderkey": 900004, "o_custkey": 2, "o_orderstatus": "F",
+         "o_totalprice": -500.0,
+         "o_orderdate": dt.datetime(1899, 12, 31), "o_orderpriority": "3-MEDIUM"},
+        {"o_orderkey": 900005, "o_custkey": 2, "o_orderstatus": "O",
+         "o_totalprice": 0.0,
+         "o_orderdate": dt.datetime(2099, 6, 1), "o_orderpriority": "4-LOW"},
+    ])
+    _append("lineitem", [
+        {"l_orderkey": 900001, "l_partkey": 1, "l_suppkey": 1,
+         "l_linenumber": 1, "l_quantity": None, "l_extendedprice": 10.0,
+         "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+         "l_linestatus": "O", "l_shipdate": dt.datetime(2024, 1, 12)},
+        {"l_orderkey": 900001, "l_partkey": 1, "l_suppkey": 1,
+         "l_linenumber": 2, "l_quantity": -5.0, "l_extendedprice": -50.0,
+         "l_discount": 1.0, "l_tax": 0.5, "l_returnflag": None,
+         "l_linestatus": None, "l_shipdate": None},
+        {"l_orderkey": 900002, "l_partkey": None, "l_suppkey": None,
+         "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": None,
+         "l_discount": None, "l_tax": None, "l_returnflag": "R",
+         "l_linestatus": "F", "l_shipdate": dt.datetime(1899, 12, 31)},
+    ])
+    _append("part", [
+        {"p_partkey": 900001, "p_name": None, "p_brand": None,
+         "p_type": None, "p_size": None, "p_retailprice": None},
+        {"p_partkey": 900002, "p_name": "hostile part", "p_brand": "Brand#H",
+         "p_type": "HOSTILE", "p_size": -1, "p_retailprice": -1.0},
+    ])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    build_corpus()
+    from oracle_check import compare
+
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from psx_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("hostile-relational-probe")
+    names = args.queries or [
+        n for n, sql in ORACLE_SQL.items()
+        if any(t in sql.lower() for t in _SALTED)
+    ]
+    bad: dict[str, str] = {}
+    for name in names:
+        try:
+            ok, msg = compare(QUERIES[name](spark, OUT), ORACLE_SQL[name], OUT)
+        except Exception as exc:  # one-sided crash is also a finding
+            ok, msg = False, f"{type(exc).__name__}: {exc}"
+        print(f"{name}: {'ok' if ok else 'HOSTILE-DIVERGENCE ' + msg[:300]}")
+        if not ok:
+            bad[name] = msg[:300]
+    print(json.dumps({"n": len(names), "divergent": bad}))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
