@@ -39,10 +39,12 @@ def sentinel_to_null(df: DataFrame, symbol_col: str = "symbol") -> DataFrame:
 def parity_view(df: DataFrame, symbol_col: str = "symbol") -> DataFrame:
     """Reference-parity projection: NULLs re-materialize as the
     reference's sentinels (name falls back to the symbol,
-    scrape_tickers.py:101-102)."""
-    return df.select(
-        F.col(symbol_col),
-        F.coalesce(F.col("name"), F.col(symbol_col)).alias("name"),
-        F.coalesce(F.col("sector"), F.lit(SENTINEL_SECTOR)).alias("sector"),
-        F.coalesce(F.col("url"), F.lit(SENTINEL_URL)).alias("url"),
-    )
+    scrape_tickers.py:101-102). Columns beyond the normalized trio
+    pass through untouched, so callers can carry flags derived from
+    the pre-coalesce NULLs in the SAME projection (joining them back
+    on the symbol would silently drop NULL-keyed rows)."""
+    return df.withColumns({
+        "name": F.coalesce(F.col("name"), F.col(symbol_col)),
+        "sector": F.coalesce(F.col("sector"), F.lit(SENTINEL_SECTOR)),
+        "url": F.coalesce(F.col("url"), F.lit(SENTINEL_URL)),
+    })

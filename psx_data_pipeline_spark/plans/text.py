@@ -1341,3 +1341,75 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("double") / F.count(F.lit(1))
         ).alias("dsir_milli"),
     )
+
+
+# --- training-shard assignment + balance manifest ----------------------------
+
+_N_SHARDS = 16
+
+SHARD_MANIFEST_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id,
+         {md5_long_sql("CAST(doc_id AS VARCHAR)")} % {_N_SHARDS} AS shard_id,
+         CAST(COALESCE(len({_TOKS}), 0) AS BIGINT) AS n_tokens
+  FROM documents
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM sized)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens,
+       CAST(abs(sum(n_tokens) * {_N_SHARDS} - tot.corpus_tokens) * 1000
+            // tot.corpus_tokens AS BIGINT) AS dev_permille
+FROM sized CROSS JOIN tot
+GROUP BY shard_id, tot.corpus_tokens
+"""
+
+
+@query("shard_manifest", SHARD_MANIFEST_ORACLE)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharding of the corpus into {_N_SHARDS}
+    training shards + the balance-audit manifest a shard writer
+    publishes: per shard, doc count, token total, largest doc, and
+    the deviation from the ideal per-shard token share in exact
+    integer permille (|shard·N − corpus| · 1000 div corpus — no
+    float division, so both engines agree bit-for-bit).
+
+    Scale shape: hash sharding is the ONLY assignment that needs no
+    global coordination — a size-sorted serpentine (LPT) assignment
+    would be a single-partition global rank at 100 TB. The manifest
+    is what makes hash sharding safe to ship: it MEASURES the
+    achieved balance (law of large numbers keeps dev_permille small
+    once shards hold thousands of docs) instead of assuming it. One
+    map-side-combinable groupBy on shard_id; the corpus total rides
+    back as one broadcast row."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    sized = docs.select(
+        "doc_id",
+        (md5_long(F.col("doc_id").cast("string")) % _N_SHARDS).alias(
+            "shard_id"
+        ),
+        F.coalesce(F.size(tokens("text")), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = sized.agg(
+        F.sum("n_tokens").cast("long").alias("corpus_tokens")
+    )
+    return (
+        sized.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            "n_docs", "total_tokens", "max_doc_tokens",
+            F.expr(
+                f"abs(total_tokens * {_N_SHARDS} - corpus_tokens) * 1000"
+                " div corpus_tokens"
+            ).cast("long").alias("dev_permille"),
+        )
+    )

@@ -665,8 +665,7 @@ def q_sentinel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the symbol fallback, exactly as update_ticker_info.py:172 reads
     it)."""
     from psx_data_pipeline_spark.operators.ingest import (
-        SENTINEL_SECTOR,
-        SENTINEL_URL,
+        parity_view,
         sentinel_to_null,
     )
 
@@ -675,14 +674,14 @@ def q_sentinel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previous parity_view(norm).join(flags, "symbol") self-join
     # silently dropped any NULL-keyed row (NULL never equi-joins;
     # hostile-probe finding) and cost a shuffle besides
-    return norm.select(
-        "symbol",
-        F.coalesce(F.col("name"), F.col("symbol")).alias("name"),
-        F.coalesce(F.col("sector"), F.lit(SENTINEL_SECTOR)).alias("sector"),
-        F.coalesce(F.col("url"), F.lit(SENTINEL_URL)).alias("url"),
-        F.col("name").isNull().alias("name_missing"),
-        F.col("sector").isNull().alias("sector_missing"),
-        F.col("url").isNull().alias("url_missing"),
+    flagged = norm.withColumns({
+        "name_missing": F.col("name").isNull(),
+        "sector_missing": F.col("sector").isNull(),
+        "url_missing": F.col("url").isNull(),
+    })
+    return parity_view(flagged).select(
+        "symbol", "name", "sector", "url",
+        "name_missing", "sector_missing", "url_missing",
     )
 
 

@@ -37,6 +37,7 @@ BOUNDED_BROADCAST_OK = {
     "heavy_shingles",  # single-row corpus total rides as a broadcast
     "dsir_weights",  # single-row corpus totals ride as a broadcast
     "embedding_quantize",  # one broadcast row of per-dim ranges
+    "shard_manifest",  # single-row corpus-token total rides as a broadcast
 }
 
 
