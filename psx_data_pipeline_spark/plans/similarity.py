@@ -451,3 +451,62 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums["wq"].alias("q_checksum"),
         sums["err"].alias("err_micro_sum"),
     )
+
+
+# --- ANN index quality evaluation (recall@k vs brute force) -------------------
+
+ANN_RECALL_ORACLE = f"""
+WITH brute AS ({COSINE_TOPK_ORACLE}),
+approx AS ({IVF_TOPK_ORACLE}),
+hits AS (
+  SELECT b.query_id,
+         CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM brute b
+  LEFT JOIN approx a
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT query_id, n_hits,
+       CAST(n_hits * 1000 // {_K} AS BIGINT) AS recall_milli
+FROM hits
+"""
+
+
+@query("ann_recall", ANN_RECALL_ORACLE)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_K} of the IVF index against the brute-force ground
+    truth, per query — the acceptance metric every production ANN
+    deployment runs before swapping an index in (and re-runs after
+    retraining). recall_milli is integer permille (n_hits·1000 div
+    k), exact in both engines.
+
+    Plan shape: the two sides are the existing cosine_topk / ivf_topk
+    plans (both top-k bounded: ≤ |queries|·k rows each), joined on
+    (query_id, neighbor_id) — a join between two tiny ranked sets, so
+    the evaluation itself costs nothing beyond the index runs it
+    measures. Grading is per query (min/avg over queries is a trivial
+    rollup downstream); a LEFT join from the ground truth keeps
+    recall defined even for queries the index returns nothing for."""
+    brute = q_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = q_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        brute.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("long").alias("n_hits"))
+        .select(
+            "query_id", "n_hits",
+            F.expr(f"n_hits * 1000 div {_K}").cast("long").alias(
+                "recall_milli"
+            ),
+        )
+    )

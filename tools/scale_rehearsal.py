@@ -54,6 +54,7 @@ FAMILIES = {
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
         "embedding_stats", "embedding_dedup", "embedding_quantize",
+        "ann_recall",
     ],
     "events": [
         "sessionize_events", "detect_gaps", "asof_join_clicks",
