@@ -17,6 +17,9 @@ FLOAT_AGG_QUERIES = [
     "pricing_summary", "update_stats", "ohlc_daily", "moving_avg",
     "ngram_jaccard_pairs", "cosine_topk", "price_percentiles",
     "source_temperature_weights", "word_pmi", "brand_revenue_share",
+    # round-5 additions with float/quantized aggregates
+    "bm25_scores", "audio_decode", "embedding_stats", "ann_recall",
+    "shard_manifest",
 ]
 
 
