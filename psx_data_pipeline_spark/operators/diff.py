@@ -20,6 +20,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# detect_renames' per-call old/new side caches, session-bounded (each
+# entry is a churn residual — kilobytes). Tracked so the bench's
+# memo-clearing hook can unpersist them; see detect_renames body.
+_SIDE_CACHE: list[DataFrame] = []
+
+
+def clear_rename_side_caches() -> None:
+    for df in _SIDE_CACHE:
+        df.unpersist()
+    _SIDE_CACHE.clear()
+
 
 def snapshot_diff(current: DataFrame, previous: DataFrame, key: str) -> DataFrame:
     """Classify keys into ADDED / DELETED / COMMON in one full-outer join.
@@ -101,6 +112,12 @@ def detect_renames(
     new = added.select(
         F.col(key).alias("new_key"), F.lower(F.col(name)).alias("new_name")
     ).cache()
+    # registered so clear_rename_side_caches (called by the bench via
+    # plans.clear_session_memos) can drop them: Spark's cache manager
+    # matches by analyzed plan, so without the unpersist a re-measured
+    # run rebuilding the identical old/new plans would silently reuse
+    # the first run's materialized partitions and under-report cost
+    _SIDE_CACHE.extend((old, new))
 
     def keyed_tokens(df: DataFrame, side: str) -> DataFrame:
         toks = F.filter(

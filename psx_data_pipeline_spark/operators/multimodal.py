@@ -168,6 +168,8 @@ def _decode_wav(b: bytes) -> dict:
         idx += 8 + size + (size & 1)  # chunks are 2-byte aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:  # struct.error would escape the ValueError seam
+        raise ValueError("truncated fmt chunk")
     audio_format, channels, rate = struct.unpack_from("<HHI", fmt, 0)
     (bits,) = struct.unpack_from("<H", fmt, 14)
     if audio_format != 1 or bits != 16 or channels != 1:

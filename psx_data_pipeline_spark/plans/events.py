@@ -376,15 +376,18 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- JSON property extraction ------------------------------------------------
 
-# jk mirrors Spark's lax from_json: malformed / empty / non-object /
-# missing-key / null-valued props all extract as NULL instead of
-# erroring (DuckDB's bare ->> raises on malformed JSON — the ORACLE
-# side crashed on an empty-string props; hostile-probe finding)
+# jk mirrors Spark's TYPED from_json('k BIGINT') exactly: only a JSON
+# integer extracts (json_type BIGINT/UBIGINT); quoted numbers
+# ('{"k":"12"}'), doubles (7.0/7.5), booleans, JSON null, missing
+# keys, non-objects, and malformed/empty props are all NULL — a bare
+# TRY_CAST of ->> would coerce '"12"' to 12 where Spark's strict
+# typed parse yields NULL (verified on both engines; review finding)
 EVENT_PROPS_JSON_ORACLE = """
 WITH ev AS (
   SELECT event_type,
-         TRY_CAST((CASE WHEN json_valid(props) THEN props END)->>'k'
-                  AS BIGINT) AS jk
+         CASE WHEN json_valid(props)
+                   AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+              THEN CAST(props->>'k' AS BIGINT) END AS jk
   FROM events
 )
 SELECT event_type,

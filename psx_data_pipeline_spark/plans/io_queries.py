@@ -204,7 +204,9 @@ WITH cur AS (
 SELECT CAST(symbol_id AS VARCHAR) AS symbol, name, sector,
        CASE WHEN symbol_id % 2 = 0
             THEN CAST(length(name) AS BIGINT) END AS quality,
-       CAST(symbol_id % 2 = 0 AS BOOLEAN) AS has_quality
+       (CASE WHEN symbol_id % 2 = 0
+             THEN CAST(length(name) AS BIGINT) END) IS NOT NULL
+         AS has_quality
 FROM cur
 """
 

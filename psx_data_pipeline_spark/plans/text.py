@@ -1208,22 +1208,24 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer (the unigram_logprob trick), so the per-doc sum is exact
     BIGINT arithmetic — order-independent across any partitioning —
     and the final normalization is one int/int double division.
-    Shape: (doc,token) count [map-side combinable], join with the
-    per-doc token total (row count of `documents` scale, AQE picks
-    the strategy), per-doc sum. Everything is keyed by doc_id or
-    (doc_id, tok) — no global state, no skew hazard beyond a single
-    pathological document, which stays one key's work."""
+    Shape: (doc,token) count [map-side combinable], then the per-doc
+    token total is a window SUM over the SAME doc_id partitioning the
+    final rollup needs (the oracle's `n` CTE states the same
+    derivation) — deriving n_toks from a second scan of `documents`
+    plus a join re-tokenized the whole corpus for a number the
+    histogram already contains (review finding). Everything is keyed
+    by doc_id or (doc_id, tok) — no global state, no skew hazard
+    beyond a single pathological document, which stays one key's
+    work."""
     docs = load_table_parallel(spark, "documents", sf_dir)
-    d = docs.select("doc_id", tokens("text").alias("toks")).select(
-        "doc_id", F.size("toks").cast("long").alias("n_toks"), "toks"
-    )
     per = (
-        d.select("doc_id", F.explode("toks").alias("tok"))
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    w_doc = Window.partitionBy("doc_id")
     s = (
-        per.join(d.select("doc_id", "n_toks"), "doc_id")
+        per.withColumn("n_toks", F.sum("c").over(w_doc).cast("long"))
         .groupBy("doc_id", "n_toks")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_distinct"),

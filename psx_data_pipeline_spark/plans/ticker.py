@@ -261,12 +261,20 @@ def clear_session_memos() -> None:
     Unpersist matters as much as the dict clear — Spark's cache
     manager matches by analyzed plan, so a rebuilt identical plan
     would silently reuse the old materialized partitions."""
+    from psx_data_pipeline_spark.operators.diff import (
+        clear_rename_side_caches,
+    )
+
     for _, _, _, resid in _RESIDUAL_CACHE.values():
         resid.unpersist()
     _RESIDUAL_CACHE.clear()
     for df in _SYNC_CHANGE_CACHE.values():
         df.unpersist()
     _SYNC_CHANGE_CACHE.clear()
+    # detect_renames' internal old/new caches would otherwise be
+    # silently re-served to the rebuilt identical plans of a
+    # re-measured run (cache matching is by analyzed plan)
+    clear_rename_side_caches()
 
 
 # The materialized change table, one per (application, sf_dir). The

@@ -155,12 +155,13 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _USER_STATE_OUT = "user_id LONG, n_events LONG, value_k LONG, max_event_id LONG"
-_USER_STATE = "n LONG, vk LONG, meid LONG, nv LONG"
+_USER_STATE = "n LONG, vk LONG, meid LONG, nv LONG, ne LONG"
 
 
 def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via `applyInPandasWithState`: per-user
-    running totals carried in a 3-field state struct.
+    running totals carried in a 5-field state struct (totals + the
+    non-null input counters that keep SUM/MAX SQL-null-correct).
 
     Arrow-batched per group; state is O(1) per user. Each micro-batch
     emits the user's current totals ('update' mode) — over a static
@@ -169,7 +170,9 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
-        n, vk, meid, nv = state.get if state.exists else (0, 0, 0, 0)
+        n, vk, meid, nv, ne = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
         for pdf in pdfs:
             n += len(pdf)
             # SQL SUM semantics: NULL values are skipped, not NaN-
@@ -182,12 +185,13 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             eids = pdf["event_id"].dropna()
             if len(eids):
                 meid = max(meid, int(eids.max()))
-        state.update((n, vk, meid, nv))
-        # SUM over zero non-null inputs is NULL in SQL, not 0
+                ne += len(eids)
+        state.update((n, vk, meid, nv, ne))
+        # SUM/MAX over zero non-null inputs is NULL in SQL, not 0
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n],
              "value_k": [vk if nv else None],
-             "max_event_id": [meid]}
+             "max_event_id": [meid if ne else None]}
         )
 
     ev = events_stream(spark, sf_dir)

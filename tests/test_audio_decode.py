@@ -94,6 +94,19 @@ def test_truncated_data_chunk_raises():
         decode_real(wav[:-3], "audio")
 
 
+def test_short_fmt_chunk_raises_valueerror_not_struct_error():
+    # a 14-byte fmt chunk passes the chunk walk but must fail at the
+    # ValueError seam, not escape as struct.error
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)[:14]
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="truncated fmt"):
+        decode_real(wav, "audio")
+
+
 def test_stereo_rejected():
     wav = bytearray(encode_wav(8000, [1, 2]))
     fmt_off = wav.index(b"fmt ") + 8

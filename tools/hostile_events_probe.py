@@ -83,6 +83,9 @@ def build_corpus() -> None:
         ev(6, base_ts, 1, "click", 1.0, "[1,2,3]"),
         ev(7, base_ts, 1, "click", 1.0, '{"k": null}'),
         ev(8, base_ts, 1, "click", 1.0, '{"other": 5}'),
+        ev(15, base_ts, 1, "click", 1.0, '{"k": "12"}'),   # quoted number
+        ev(16, base_ts, 1, "click", 1.0, '{"k": 7.5}'),    # non-integer
+        ev(17, base_ts, 1, "click", 1.0, '{"k": true}'),   # boolean
         ev(9, None, 2, "view", 2.0, '{"k": 4}'),
         ev(10, dt.datetime(1969, 12, 31, 23, 59, 59), 2, "view", 2.0, '{"k": 5}'),
         ev(11, dt.datetime(2099, 1, 1), 2, "view", 2.0, '{"k": 6}'),

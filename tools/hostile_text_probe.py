@@ -82,14 +82,18 @@ def build_corpus() -> None:
     cols = [r[0] for r in con.execute("DESCRIBE base").fetchall()]
     n, max_id = con.execute("SELECT count(*), max(doc_id) FROM base").fetchone()
     # hostile rows clone a real row's metadata (source etc.) so only
-    # text and doc_id differ — the probe isolates text semantics
+    # text and doc_id differ — the probe isolates text semantics.
+    # Clone rows are picked by ORDINAL, not doc_id equality: a fixture
+    # with non-contiguous ids would otherwise silently drop hostile
+    # rows and the probe would false-green (review finding)
     other = ", ".join(c for c in cols if c not in ("doc_id", "text"))
     values = []
     for i, txt in enumerate(HOSTILE_TEXTS):
         lit = "NULL" if txt is None else "'" + txt.replace("'", "''") + "'"
         values.append(
             f"SELECT {max_id + 1 + i} AS doc_id, {lit} AS text, {other} "
-            f"FROM base WHERE doc_id = {i % n}"
+            f"FROM (SELECT *, row_number() OVER (ORDER BY doc_id) AS __rn"
+            f" FROM base) WHERE __rn = {i % n + 1}"
         )
     con.execute(
         f"COPY (SELECT {', '.join(cols)} FROM base "
