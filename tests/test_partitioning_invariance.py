@@ -34,3 +34,24 @@ def test_result_invariant_to_shuffle_partitioning(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b  # exact equality, including every float bit
+
+
+AQE_QUERIES = ["pricing_summary", "ngram_jaccard_pairs", "bm25_scores",
+               "minhash_lsh_pairs", "shard_manifest"]
+
+
+@pytest.mark.parametrize("name", AQE_QUERIES)
+def test_result_invariant_to_aqe(spark, name):
+    """AQE re-plans (coalesced partitions, demoted broadcasts, skew
+    splits) must never change result VALUES — same exact-arithmetic
+    guarantee as the shuffle-partition sweep, exercised against the
+    other big runtime re-planner."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        a = sorted(map(tuple, QUERIES[name](spark, SF).collect()))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        b = sorted(map(tuple, QUERIES[name](spark, SF).collect()))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert a == b  # exact equality, including every float bit
