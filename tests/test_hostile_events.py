@@ -117,8 +117,6 @@ def test_user_totals_state_null_semantics():
     for an all-NULL group."""
     import pandas as pd
 
-    from psx_data_pipeline_spark.streaming.jobs import running_user_totals  # noqa: F401
-
     # exercise the arithmetic the updater uses, worker-free
     vals = pd.Series([1.5, None, 2.25], dtype="float64")
     nn = vals.dropna()

@@ -108,3 +108,26 @@ def test_unreadable_file_falls_back_to_static_set(tmp_path):
     static_name = "pricing_summary"
     assert static_name in entry.DRIVER_VERIFIED_PRIOR
     assert _order(tmp_path, [static_name, "new_q"]) == ["new_q", static_name]
+
+
+def test_rehearsal_families_cover_every_registered_query():
+    """tools/scale_rehearsal.py's curated family lists must track the
+    registry exactly — a query missing from every family silently
+    escapes the 10x/30x sweeps the scale claims rest on."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools"),
+    )
+    from scale_rehearsal import FAMILIES
+
+    from psx_data_pipeline_spark.plans import QUERIES
+
+    in_families = {q for qs in FAMILIES.values() for q in qs}
+    assert in_families == set(QUERIES), (
+        sorted(set(QUERIES) - in_families),
+        sorted(in_families - set(QUERIES)),
+    )

@@ -6,7 +6,7 @@ contain, then re-runs the full DuckDB oracle comparison for every
 query whose oracle reads `events` or `embeddings`:
 
 events — NULL user_id, NULL event_type, NULL value, NULL props,
-  malformed / empty / non-object props JSON, duplicate event_ids,
+  malformed / empty / non-object / mistyped props JSON,
   NULL ts, pre-epoch ts, far-future ts, two events on the same
   microsecond for one user (ordering ties);
 embeddings — NULL embedding, empty list, all-zero vector (zero norm:
@@ -24,45 +24,27 @@ Usage:
 
 from __future__ import annotations
 
-import argparse
-import json
 import os
-import shutil
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(
-    0,
-    os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
-    ),
-)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASE = "/root/testdata/sf0.01"
+from hostile_common import BASE, copy_untouched, run_probe  # noqa: E402
+
 OUT = "/tmp/hostile_events_corpus"
 
 
 def build_corpus() -> None:
-    import duckdb
-
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(OUT, exist_ok=True)
-    for t in (
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "documents",
-    ):
-        dst = f"{OUT}/{t}.parquet"
-        if not os.path.exists(dst):
-            shutil.copy(f"{BASE}/{t}.parquet", dst)
+    copy_untouched(OUT, salted=("events", "embeddings"))
 
     # events: preserve the fixture's exact physical timestamp type by
     # appending through pyarrow (DuckDB COPY normalizes timestamps —
     # same ts_us-seam reasoning as scale_rehearsal.build_corpus)
     tbl = pq.read_table(f"{BASE}/events.parquet")
     max_id = max(tbl.column("event_id").to_pylist())
-    ts_type = tbl.schema.field("ts").type
     base_ts = tbl.column("ts")[0].as_py()
 
     def ev(i, ts, user, etype, value, props):
@@ -123,36 +105,13 @@ def build_corpus() -> None:
         pa.concat_tables([etbl, ehost.cast(etbl.schema)]),
         f"{OUT}/embeddings.parquet",
     )
-    duckdb.connect().close()
 
 
 def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--queries", nargs="*", default=None)
-    args = ap.parse_args()
-
-    build_corpus()
-    from oracle_check import compare
-
-    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
-    from psx_data_pipeline_spark.session import get_spark
-
-    spark = get_spark("hostile-events-probe")
-    names = args.queries or [
-        n for n, sql in ORACLE_SQL.items()
-        if "events" in sql.lower() or "embeddings" in sql.lower()
-    ]
-    bad: dict[str, str] = {}
-    for name in names:
-        try:
-            ok, msg = compare(QUERIES[name](spark, OUT), ORACLE_SQL[name], OUT)
-        except Exception as exc:  # one-sided crash is also a finding
-            ok, msg = False, f"{type(exc).__name__}: {exc}"
-        print(f"{name}: {'ok' if ok else 'HOSTILE-DIVERGENCE ' + msg[:300]}")
-        if not ok:
-            bad[name] = msg[:300]
-    print(json.dumps({"n": len(names), "divergent": bad}))
-    return 1 if bad else 0
+    return run_probe(
+        build_corpus, OUT,
+        lambda sql: "events" in sql.lower() or "embeddings" in sql.lower(),
+    )
 
 
 if __name__ == "__main__":

@@ -19,22 +19,14 @@ Usage:
 
 from __future__ import annotations
 
-import argparse
 import datetime as dt
-import json
 import os
-import shutil
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(
-    0,
-    os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
-    ),
-)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASE = "/root/testdata/sf0.01"
+from hostile_common import BASE, copy_untouched, run_probe  # noqa: E402
+
 OUT = "/tmp/hostile_relational_corpus"
 
 _SALTED = ("customer", "orders", "lineitem", "part")
@@ -55,13 +47,7 @@ def _append(table: str, rows: list[dict]) -> None:
 
 
 def build_corpus() -> None:
-    os.makedirs(OUT, exist_ok=True)
-    for t in (
-        "region", "nation", "supplier", "events", "documents", "embeddings",
-    ):
-        dst = f"{OUT}/{t}.parquet"
-        if not os.path.exists(dst):
-            shutil.copy(f"{BASE}/{t}.parquet", dst)
+    copy_untouched(OUT, salted=_SALTED)
 
     _append("customer", [
         # NULL name/segment/balance; NULL nationkey (drops from joins)
@@ -116,32 +102,10 @@ def build_corpus() -> None:
 
 
 def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--queries", nargs="*", default=None)
-    args = ap.parse_args()
-
-    build_corpus()
-    from oracle_check import compare
-
-    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
-    from psx_data_pipeline_spark.session import get_spark
-
-    spark = get_spark("hostile-relational-probe")
-    names = args.queries or [
-        n for n, sql in ORACLE_SQL.items()
-        if any(t in sql.lower() for t in _SALTED)
-    ]
-    bad: dict[str, str] = {}
-    for name in names:
-        try:
-            ok, msg = compare(QUERIES[name](spark, OUT), ORACLE_SQL[name], OUT)
-        except Exception as exc:  # one-sided crash is also a finding
-            ok, msg = False, f"{type(exc).__name__}: {exc}"
-        print(f"{name}: {'ok' if ok else 'HOSTILE-DIVERGENCE ' + msg[:300]}")
-        if not ok:
-            bad[name] = msg[:300]
-    print(json.dumps({"n": len(names), "divergent": bad}))
-    return 1 if bad else 0
+    return run_probe(
+        build_corpus, OUT,
+        lambda sql: any(t in sql.lower() for t in _SALTED),
+    )
 
 
 if __name__ == "__main__":
