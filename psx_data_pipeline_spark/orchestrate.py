@@ -106,13 +106,23 @@ def full_run_stages(
     """
     from psx_data_pipeline_spark.plans.registry import QUERIES
 
-    def _write(name: str, sub: str) -> int:
+    def _write(name: str, sub: str, coalesce: int | None = None) -> int:
         df = QUERIES[name](spark, sf_dir)
+        if coalesce:  # churn-bounded outputs: avoid 32 kilobyte files
+            df = df.coalesce(coalesce)
         df.write.mode("overwrite").parquet(f"{out_dir}/{sub}")
-        return df.count()
+        # row count from the written footers (metadata-only) — a
+        # df.count() here would re-execute the whole stage DAG
+        return spark.read.parquet(f"{out_dir}/{sub}").count()
 
     return [
-        Stage("sync", lambda: _write("change_log_format", "change_log"), ABORT),
+        # the change log is the day's adds/deletes/renames — tiny at
+        # ANY corpus scale, so one output file is the right layout
+        Stage(
+            "sync",
+            lambda: _write("change_log_format", "change_log", coalesce=1),
+            ABORT,
+        ),
         Stage("update", lambda: _write("scd1_merge", "universe"), CONTINUE),
         Stage("append", lambda: _write("append_cutoff", "daily_append"), CONTINUE),
     ]
