@@ -74,22 +74,35 @@ _EMB_BOUND = 100.0
 
 def valid_embedding(vec: Column | str, dim: int, bound: float = _EMB_BOUND) -> Column:
     """Non-NULL, exactly ``dim`` components, all non-NULL, finite,
-    and bounded. The explicit x IS NULL arm matters: a NULL component
-    makes the NaN/bound lambdas return NULL, and the two engines
-    disagree on NULL lambda results (Spark EXISTS → NULL → row
-    filtered; DuckDB list_filter → element dropped → row KEPT)."""
+    and bounded.
+
+    Expressed with JVM-native collection ops, not higher-order
+    lambdas — an EXISTS(λ) gate costs ~dim interpreted invocations
+    per row on the 100 TB scan. array_compact counts NULL components
+    (the engines disagree on NULL lambda results, so NULLs must be
+    matched structurally); Spark orders NaN above every value, so a
+    NaN anywhere surfaces as array_max (pinned by
+    tests/test_hostile_events.py and the hostile probe); +Inf trips
+    the max bound, -Inf the min bound."""
     v = F.col(vec) if isinstance(vec, str) else vec
     return (
         v.isNotNull()
         & (F.size(v) == dim)
-        & ~F.exists(v, lambda x: x.isNull() | x.isNaN() | (F.abs(x) > bound))
+        & (F.size(F.array_compact(v)) == dim)
+        & ~F.isnan(F.array_max(v))
+        & (F.array_max(v) <= bound)
+        & (F.array_min(v) >= -bound)
     )
 
 
 def indexable_embedding(vec: Column | str, dim: int, bound: float = _EMB_BOUND) -> Column:
-    """valid_embedding AND nonzero — cosine needs norm > 0."""
+    """valid_embedding AND nonzero — cosine needs norm > 0. For a
+    valid (finite) vector, some component is nonzero iff the max is
+    positive or the min is negative — no per-element lambda."""
     v = F.col(vec) if isinstance(vec, str) else vec
-    return valid_embedding(v, dim, bound) & F.exists(v, lambda x: x != 0.0)
+    return valid_embedding(v, dim, bound) & (
+        (F.array_max(v) != 0.0) | (F.array_min(v) != 0.0)
+    )
 
 
 def valid_embedding_sql(e: str, dim: int, bound: float = _EMB_BOUND) -> str:
