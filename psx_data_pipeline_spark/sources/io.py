@@ -47,8 +47,16 @@ def read_tickers_csv(spark: SparkSession, path: str) -> DataFrame:
 
 def write_tickers_csv(df: DataFrame, path: str) -> None:
     """K1: overwrite CSV sink with the reference's 3-column
-    projection — the url drop is a view at the sink, not a schema."""
-    df.select(*CSV_COLUMNS).write.mode("overwrite").option("header", True).csv(path)
+    projection — the url drop is a view at the sink, not a schema.
+
+    coalesce(1): the ticker universe is domain-bounded (thousands of
+    listed companies at ANY corpus scale), so one file is the right
+    layout — the session's 32 shuffle partitions otherwise fan a
+    kilobyte table into 32 files per run. The at-scale sink is
+    write_partitioned_parquet, which stays parallel."""
+    df.select(*CSV_COLUMNS).coalesce(1).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
 
 
 def read_snapshot_json(spark: SparkSession, path: str) -> DataFrame:
@@ -60,7 +68,10 @@ def write_snapshot_json(df: DataFrame, base_path: str, snapshot_date: str) -> st
     """K2: dated JSON snapshot — one ``snapshot_date=...`` directory
     per run; returns the written path."""
     path = f"{base_path}/snapshot_date={snapshot_date}"
-    df.select([f.name for f in TICKER_JSON_SCHEMA]).write.mode("overwrite").json(path)
+    # coalesce(1): universe-bounded table (see write_tickers_csv)
+    df.select([f.name for f in TICKER_JSON_SCHEMA]).coalesce(1).write.mode(
+        "overwrite"
+    ).json(path)
     return path
 
 
@@ -78,8 +89,12 @@ def append_change_log(df: DataFrame, path: str) -> None:
     ``mode("append")`` parquet — each sync run adds files, never
     rewrites history; the presentation `+/-/*` line is a stored
     column (the `change_log_format` view), the typed columns stay
-    queryable."""
-    df.select([f.name for f in CHANGE_LOG_SCHEMA]).write.mode("append").parquet(path)
+    queryable. coalesce(1): one file per run — the log is the day's
+    churn, and an append-only sink otherwise ACCUMULATES 32 kilobyte
+    files per run forever (the small-files problem compounding)."""
+    df.select([f.name for f in CHANGE_LOG_SCHEMA]).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
 
 
 def read_change_log(spark: SparkSession, path: str) -> DataFrame:
