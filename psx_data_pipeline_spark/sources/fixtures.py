@@ -86,13 +86,21 @@ def load_table_parallel(
 
     The fixture tables arrive as ONE parquet file — a single input
     split — so any expensive per-row expression (shingling, hashing)
-    would otherwise run on one core. On a cluster reading many files
-    this repartition is a no-op to correctness and simply re-spreads
-    skewed input splits before CPU-heavy map work.
+    would otherwise run on one core. The keyless spread is GATED on
+    the scan actually being under-parallel: on a cluster reading
+    many files the scan already yields >= defaultParallelism splits
+    and a blanket round-robin repartition would be a full-data
+    exchange bought for nothing. The keyed form always repartitions —
+    it pre-aligns the data with a following groupBy/join on ``key``,
+    replacing that operator's exchange rather than adding one.
     """
     df = load_table(spark, name, sf_dir)
     par = spark.sparkContext.defaultParallelism
-    return df.repartition(par, key) if key else df.repartition(par)
+    if key:
+        return df.repartition(par, key)
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
