@@ -77,6 +77,9 @@ def load_events(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     return ev.withColumn("ts_us", ts_us_expr(ev))
 
 
+_SCAN_PAR_MEMO: dict = {}  # (table, sf_dir, par) -> scan already parallel?
+
+
 def load_table_parallel(
     spark: SparkSession, name: str, sf_dir: str | None = None, key: str | None = None
 ) -> DataFrame:
@@ -98,7 +101,13 @@ def load_table_parallel(
     par = spark.sparkContext.defaultParallelism
     if key:
         return df.repartition(par, key)
-    if df.rdd.getNumPartitions() >= par:
+    # the gate probe (.rdd.getNumPartitions()) compiles a physical
+    # plan — ~0.1 s per call, so the verdict is memoized per table
+    # path (the file layout does not change mid-session)
+    memo_key = (name, sf_dir, par)
+    if memo_key not in _SCAN_PAR_MEMO:
+        _SCAN_PAR_MEMO[memo_key] = df.rdd.getNumPartitions() >= par
+    if _SCAN_PAR_MEMO[memo_key]:
         return df
     return df.repartition(par)
 
