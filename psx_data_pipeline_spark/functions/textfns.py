@@ -33,6 +33,14 @@ VALID_SYMBOL_SQL = "(length({0}) > 1 AND NOT contains(upper({0}), 'SELECT'))"
 
 # --- tokenization / counting ------------------------------------------------
 
+# The ONE whitespace class for every tokenize seam, stated explicitly
+# because the engines' \s disagree: Java's includes vertical tab
+# (\x0B), RE2/DuckDB's does not — found by the tokenizer-seam
+# property test the moment it generated '\x0b'. The class is Java's
+# (it matches Python str.split(), the reference's tokenizer).
+WS_RE = "[ \\t\\n\\f\\r\\x0B]+"
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of a text column (empty strings dropped)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -41,10 +49,12 @@ def tokens(col: Column | str) -> Column:
     # engines — DuckDB's trim strips unicode spaces (NBSP), Spark's
     # only ASCII space, so trimming made NBSP-edged text tokenize
     # differently (found by tools/hostile_text_probe.py)
-    return F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    return F.filter(F.split(c, WS_RE), lambda w: w != "")
 
 
-TOKENS_SQL = "list_filter(str_split_regex({0}, '\\s+'), w -> w <> '')"
+TOKENS_SQL = (
+    "list_filter(str_split_regex({0}, '" + WS_RE + "'), w -> w <> '')"
+)
 
 
 def token_count(col: Column | str) -> Column:

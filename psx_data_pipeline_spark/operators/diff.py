@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from psx_data_pipeline_spark.functions.textfns import WS_RE
+
 # detect_renames' per-call old/new side caches, session-bounded (each
 # entry is a churn residual — kilobytes). Tracked so the bench's
 # memo-clearing hook can unpersist them; see detect_renames body.
@@ -121,7 +123,7 @@ def detect_renames(
 
     def keyed_tokens(df: DataFrame, side: str) -> DataFrame:
         toks = F.filter(
-            F.split(F.col(f"{side}_name"), r"\s+"),
+            F.split(F.col(f"{side}_name"), WS_RE),
             lambda w: F.length(w) > min_token_len,
         )
         return df.select(f"{side}_key", f"{side}_name", F.explode(toks).alias("tok"))
@@ -268,7 +270,7 @@ def detect_renames(
         tok_src = old.select(
             "old_key", "old_name",
             F.explode(F.array_distinct(F.filter(
-                F.split(F.col("old_name"), r"\s+"),
+                F.split(F.col("old_name"), WS_RE),
                 lambda w: F.length(w) > min_token_len,
             ))).alias("tok"),
         )
@@ -358,7 +360,7 @@ def detect_renames(
     ).contains(F.col("new_name"))
     token_hit = (F.length("old_name") > 10) & (F.length("new_name") > 10)
     old_toks = F.filter(
-        F.split(F.col("old_name"), r"\s+"), lambda w: F.length(w) > min_token_len
+        F.split(F.col("old_name"), WS_RE), lambda w: F.length(w) > min_token_len
     )
     if parity:
         # reference: count old tokens appearing anywhere in new_name
@@ -368,7 +370,7 @@ def detect_renames(
             F.array_intersect(
                 old_toks,
                 F.filter(
-                    F.split(F.col("new_name"), r"\s+"),
+                    F.split(F.col("new_name"), WS_RE),
                     lambda w: F.length(w) > min_token_len,
                 ),
             )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from psx_data_pipeline_spark.functions.textfns import WS_RE
 from psx_data_pipeline_spark.operators.diff import detect_renames, snapshot_diff
 from psx_data_pipeline_spark.operators.merge import scd1_merge
 from psx_data_pipeline_spark.operators.sessions import latest_per_key
@@ -107,8 +108,8 @@ cand AS (
   SELECT d.symbol_id AS old_key, lower(d.name) AS old_name,
          a.symbol_id AS new_key, lower(a.name) AS new_name,
          len(list_intersect(
-           list_filter(str_split_regex(lower(d.name), '\\s+'), w -> len(w) > 3),
-           list_filter(str_split_regex(lower(a.name), '\\s+'), w -> len(w) > 3)
+           list_filter(str_split_regex(lower(d.name), '{WS_RE}'), w -> len(w) > 3),
+           list_filter(str_split_regex(lower(a.name), '{WS_RE}'), w -> len(w) > 3)
          )) AS shared,
          (contains(lower(a.name), lower(d.name))
           OR contains(lower(d.name), lower(a.name))) AS has_contain
@@ -206,7 +207,7 @@ cand AS (
   SELECT d.symbol_id AS old_key, lower(d.name) AS old_name,
          a.symbol_id AS new_key, lower(a.name) AS new_name,
          len(list_filter(
-           list_filter(str_split_regex(lower(d.name), '\\s+'), w -> len(w) > 3),
+           list_filter(str_split_regex(lower(d.name), '{WS_RE}'), w -> len(w) > 3),
            w -> contains(lower(a.name), w)
          )) AS shared,
          (contains(lower(a.name), lower(d.name))

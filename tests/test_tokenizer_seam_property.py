@@ -55,3 +55,43 @@ def test_tokens_match_duckdb_on_arbitrary_unicode(spark, texts):
     }
     con.close()
     assert got_spark == got_duck
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_TEXT, min_size=1, max_size=20))
+def test_word_shingles_match_duckdb_on_arbitrary_unicode(spark, texts):
+    """The shingle seam's ['']-fallback asymmetry paired every empty
+    doc as a jaccard-1.0 near-dup — pin word_shingles against its
+    DuckDB CASE twin generatively too."""
+    import pyarrow as pa
+
+    from psx_data_pipeline_spark.functions.textfns import word_shingles
+    from psx_data_pipeline_spark.plans.dedup import _SHINGLES
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got_spark = {
+        r.i: r.sh
+        for r in df.select(
+            "i", word_shingles("text", 3).alias("sh")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pa.table(
+            {"i": [i for i, _ in rows], "text": [t for _, t in rows]}
+        ),
+    )
+    got_duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {_SHINGLES} FROM documents"
+        ).fetchall()
+    }
+    con.close()
+    assert got_spark == got_duck

@@ -53,6 +53,7 @@ HOSTILE_TEXTS = [
     "tab\tsep\ttok",
     "cr\r\nlf mix",
     "ends with space ",
+    "vt\x0bsep",  # vertical tab: Java \s includes it, RE2's doesn't
 ]
 
 
