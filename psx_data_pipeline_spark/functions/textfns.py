@@ -13,22 +13,47 @@ from pyspark.sql import functions as F
 # --- reference-parity scalar ops ------------------------------------------
 
 
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+
+
 def normalize_symbol(col: Column | str) -> Column:
-    """strip → upper → drop '.suffix' (reference scripts/utils.py:168-184)."""
+    """strip → upper → drop '.suffix' (reference scripts/utils.py:168-184).
+
+    Upcasing is ASCII-only via translate(): exchange symbols are
+    ASCII by domain, and the engines' unicode upper() disagree on
+    multi-char case folds (Spark 'ß'→'SS'/'ﬁ'→'FI', DuckDB
+    'ß'→'ẞ'/'ﬁ' unchanged — found by the seam property test), so
+    the full-unicode form cannot be oracle-exact. Non-ASCII passes
+    through unchanged on both sides."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.upper(F.split(F.trim(c), r"\.").getItem(0))
+    return F.translate(F.split(F.trim(c), r"\.").getItem(0), _LOWER, _UPPER)
 
 
-NORMALIZE_SYMBOL_SQL = "upper(str_split(trim({0}), '.')[1])"
+# trim({0}, ' '): DuckDB's one-arg trim strips unicode spaces (NBSP)
+# where Spark's F.trim strips only ASCII space — the explicit
+# character set makes the twins agree (seam property test + probe)
+NORMALIZE_SYMBOL_SQL = (
+    f"translate(str_split(trim({{0}}, ' '), '.')[1], '{_LOWER}', '{_UPPER}')"
+)
 
 
 def valid_symbol(col: Column | str) -> Column:
-    """Reference row filter (scrape_tickers.py:304): len>1, no 'SELECT'."""
+    """Reference row filter (scrape_tickers.py:304): len>1, no 'SELECT'.
+
+    ASCII-only upcase for the match (see normalize_symbol — the
+    engines' unicode upper() disagree on multi-char folds, e.g.
+    Spark upcases 'ßelect' to 'SSELECT')."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.length(c) > 1) & ~F.upper(c).contains("SELECT")
+    return (F.length(c) > 1) & ~F.translate(c, _LOWER, _UPPER).contains(
+        "SELECT"
+    )
 
 
-VALID_SYMBOL_SQL = "(length({0}) > 1 AND NOT contains(upper({0}), 'SELECT'))"
+VALID_SYMBOL_SQL = (
+    "(length({0}) > 1 AND NOT contains("
+    f"translate({{0}}, '{_LOWER}', '{_UPPER}'), 'SELECT'))"
+)
 
 
 # --- tokenization / counting ------------------------------------------------

@@ -538,15 +538,23 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- scalar-function pack (F1/F2/F9/F10) ---------------------------------------
 
-SYMBOL_NORMALIZE_ORACLE = """
+# built from the shared SQL twins (NORMALIZE_SYMBOL_SQL /
+# VALID_SYMBOL_SQL) so engine-divergence fixes to the scalar seam
+# (explicit trim charset, ASCII-only upcase) apply here automatically
+from psx_data_pipeline_spark.functions.textfns import (  # noqa: E402
+    NORMALIZE_SYMBOL_SQL,
+    VALID_SYMBOL_SQL,
+)
+
+_RAW_SYM = "c_name || '.' || c_mktsegment"
+_SYM = NORMALIZE_SYMBOL_SQL.format(_RAW_SYM)
+
+SYMBOL_NORMALIZE_ORACLE = f"""
 SELECT c_custkey,
-  upper(trim(str_split(c_name || '.' || c_mktsegment, '.')[1])) AS symbol,
-  'https://dps.psx.com.pk/company/'
-    || upper(trim(str_split(c_name || '.' || c_mktsegment, '.')[1])) AS url
+  {_SYM} AS symbol,
+  'https://dps.psx.com.pk/company/' || {_SYM} AS url
 FROM customer
-WHERE length(upper(trim(str_split(c_name || '.' || c_mktsegment, '.')[1]))) > 1
-  AND NOT contains(upper(trim(str_split(c_name || '.' || c_mktsegment, '.')[1])),
-                   'SELECT')
+WHERE {VALID_SYMBOL_SQL.format(_SYM)}
 """
 
 

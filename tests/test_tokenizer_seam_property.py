@@ -95,3 +95,40 @@ def test_word_shingles_match_duckdb_on_arbitrary_unicode(spark, texts):
     }
     con.close()
     assert got_spark == got_duck
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_TEXT, min_size=1, max_size=20))
+def test_normalize_symbol_matches_duckdb_on_arbitrary_unicode(spark, texts):
+    """The F1 symbol normalizer's Spark/DuckDB twins must agree on
+    arbitrary text (trim semantics are the known engine trap)."""
+    import pyarrow as pa
+
+    from psx_data_pipeline_spark.functions.textfns import (
+        NORMALIZE_SYMBOL_SQL,
+        normalize_symbol,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got_spark = {
+        r.i: r.s
+        for r in df.select("i", normalize_symbol("t").alias("s")).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "v",
+        pa.table({"i": [i for i, _ in rows], "t": [t for _, t in rows]}),
+    )
+    got_duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {NORMALIZE_SYMBOL_SQL.format('t')} FROM v"
+        ).fetchall()
+    }
+    con.close()
+    assert got_spark == got_duck
