@@ -1,0 +1,129 @@
+"""Generative oracle fuzz: hypothesis builds a documents table of
+ARBITRARY unicode text, and the full Spark-query-vs-DuckDB-oracle
+comparison must hold — the generative generalization of the curated
+hostile-text probe (which only tests the adversarial cases someone
+thought of). The seam property tests pin tokenize/shingle/normalize
+in isolation; this pins whole query pipelines end to end.
+
+Queries chosen to cover distinct expression machinery over raw text:
+the \\G-regex chunker (substr/length semantics), the rolling-hash
+fold (md5-over-utf8 + bigint arithmetic), quality ratios (regex
+char classes + int/int division), and an exploded-token aggregate.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+BASE = "/root/testdata/sf0.001"
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "embeddings")
+
+QUERIES_UNDER_FUZZ = (
+    "doc_chunks", "doc_fingerprint", "text_quality", "word_freq",
+)
+
+_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80
+)
+
+_counter = [0]
+
+
+@pytest.fixture(scope="module")
+def fuzz_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("oracle_fuzz")
+    return str(root)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_TEXT, min_size=1, max_size=15))
+def test_text_queries_match_oracle_on_arbitrary_unicode(
+    spark, fuzz_root, texts
+):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    _counter[0] += 1
+    sf = os.path.join(fuzz_root, f"ex{_counter[0]}")
+    os.makedirs(sf, exist_ok=True)
+    for t in TABLES:  # hardlinks: per-example dir for pennies
+        dst = f"{sf}/{t}.parquet"
+        if not os.path.exists(dst):
+            try:
+                os.link(f"{BASE}/{t}.parquet", dst)
+            except OSError:
+                shutil.copy(f"{BASE}/{t}.parquet", dst)
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+        }),
+        f"{sf}/documents.parquet",
+    )
+    for name in QUERIES_UNDER_FUZZ:
+        ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
+        assert ok, f"{name} diverged on {texts!r}: {msg}"
+
+
+_F32 = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, width=32
+)
+_VEC = st.lists(_F32, min_size=64, max_size=64)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_VEC, min_size=2, max_size=10))
+def test_embedding_queries_match_oracle_on_arbitrary_vectors(
+    spark, fuzz_root, vecs
+):
+    """Arbitrary in-bound float32 vectors (±0.0, subnormals, exact
+    boundary values) through the quantized-integer pipelines — the
+    float-edge generalization of the curated NaN/Inf hostile rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    _counter[0] += 1
+    sf = os.path.join(fuzz_root, f"ev{_counter[0]}")
+    os.makedirs(sf, exist_ok=True)
+    for t in TABLES + ("documents",):
+        if t == "embeddings":
+            continue
+        dst = f"{sf}/{t}.parquet"
+        if not os.path.exists(dst):
+            try:
+                os.link(f"{BASE}/{t}.parquet", dst)
+            except OSError:
+                shutil.copy(f"{BASE}/{t}.parquet", dst)
+    pq.write_table(
+        pa.table({
+            "vec_id": list(range(len(vecs))),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": [1] * len(vecs),
+        }),
+        f"{sf}/embeddings.parquet",
+    )
+    for name in ("embedding_stats", "embedding_quantize"):
+        ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
+        assert ok, f"{name} diverged: {msg}"
