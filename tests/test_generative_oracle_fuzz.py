@@ -127,3 +127,70 @@ def test_embedding_queries_match_oracle_on_arbitrary_vectors(
     for name in ("embedding_stats", "embedding_quantize"):
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged: {msg}"
+
+
+import datetime as dt
+
+_TS = st.one_of(
+    st.none(),
+    st.datetimes(
+        min_value=dt.datetime(1969, 1, 1),
+        max_value=dt.datetime(2100, 1, 1),
+    ),
+)
+_EV = st.tuples(
+    _TS,
+    st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # user
+    st.sampled_from(["click", "view", "purchase", None]),
+    st.one_of(st.none(), st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False)),
+    st.one_of(st.none(), _TEXT),  # props: arbitrary, mostly non-JSON
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_EV, min_size=1, max_size=12))
+def test_event_queries_match_oracle_on_arbitrary_events(
+    spark, fuzz_root, evs
+):
+    """Arbitrary timestamps (NULL / pre-epoch / far-future /
+    microsecond ties), NULL keys, float values, and arbitrary props
+    strings through the event pipelines — the generative twin of the
+    hostile events probe."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    _counter[0] += 1
+    sf = os.path.join(fuzz_root, f"en{_counter[0]}")
+    os.makedirs(sf, exist_ok=True)
+    for t in TABLES + ("documents",):
+        if t == "events":
+            continue
+        dst = f"{sf}/{t}.parquet"
+        if not os.path.exists(dst):
+            try:
+                os.link(f"{BASE}/{t}.parquet", dst)
+            except OSError:
+                shutil.copy(f"{BASE}/{t}.parquet", dst)
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(len(evs)), type=pa.int64()),
+            "ts": pa.array([e[0] for e in evs], type=pa.timestamp("us")),
+            "user_id": pa.array([e[1] for e in evs], type=pa.int64()),
+            "event_type": pa.array([e[2] for e in evs], type=pa.string()),
+            "value": pa.array([e[3] for e in evs], type=pa.float64()),
+            "props": pa.array([e[4] for e in evs], type=pa.string()),
+        }),
+        f"{sf}/events.parquet",
+    )
+    for name in ("sessionize_events", "event_props_json",
+                 "event_type_pivot", "skew_salted_counts"):
+        ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
+        assert ok, f"{name} diverged on {evs!r}: {msg}"
