@@ -28,12 +28,20 @@ _NSYM = 25
 # Shared derivation: deterministic daily per-symbol series.
 # a trade without a date belongs to no daily bar — and the engines
 # would disagree on where a NULL date sorts in the windowed views
-# anyway (Spark NULLS FIRST, DuckDB NULLS LAST; hostile-probe finding)
+# anyway (Spark NULLS FIRST, DuckDB NULLS LAST; hostile-probe
+# finding). A trade without a PRICE is equally malformed: it would
+# make open/close diverge (DuckDB's arg_min skips NULL values,
+# Spark's min_by returns them — generative-fuzz finding). price
+# + 0.0 canonicalizes the sign of zero: -0.0 and 0.0 are IEEE-equal,
+# so min/max/percentile may surface either sign depending on engine
+# tie behavior — visible to the value hash (fuzz finding); adding
+# +0.0 is a bit-exact no-op for every other value.
 _SERIES_SQL = f"""
   SELECT o_orderkey AS trade_id, o_custkey % {_NSYM} AS symbol_id,
-         CAST(o_orderdate AS DATE) AS trade_date, o_totalprice AS price
+         CAST(o_orderdate AS DATE) AS trade_date,
+         o_totalprice + 0.0 AS price
   FROM orders
-  WHERE o_orderdate IS NOT NULL
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
 """
 
 OHLC_SQL = f"""
@@ -51,11 +59,14 @@ OHLC_SQL = f"""
 
 def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
-    return o.where(F.col("o_orderdate").isNotNull()).select(
+    return o.where(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    ).select(
         F.col("o_orderkey").alias("trade_id"),
         (F.col("o_custkey") % _NSYM).alias("symbol_id"),
         F.col("o_orderdate").cast("date").alias("trade_date"),
-        F.col("o_totalprice").alias("price"),
+        (F.col("o_totalprice") + F.lit(0.0)).alias("price"),
     )
 
 
@@ -84,9 +95,10 @@ def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 DAILY_RETURNS_ORACLE = f"""
 WITH ohlc AS ({OHLC_SQL})
 SELECT symbol_id, trade_date, close,
-       close / lag(close) OVER (
-         PARTITION BY symbol_id ORDER BY trade_date) - 1 AS ret
+       CASE WHEN lag(close) OVER w = 0 THEN NULL
+            ELSE close / lag(close) OVER w - 1 END AS ret
 FROM ohlc
+WINDOW w AS (PARTITION BY symbol_id ORDER BY trade_date)
 """
 
 
@@ -96,9 +108,14 @@ def q_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference README.md:62-71). Division of identical doubles is
     bit-deterministic; the first bar of each symbol yields NULL."""
     w = Window.partitionBy("symbol_id").orderBy("trade_date")
+    prev = F.lag("close").over(w)
+    # a zero previous close has no defined return — and under ANSI
+    # the bare division crashes the job (generative-fuzz finding)
     return _ohlc(spark, sf_dir).select(
         "symbol_id", "trade_date", "close",
-        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+        F.when(prev == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("close") / prev - 1)
+        .alias("ret"),
     )
 
 

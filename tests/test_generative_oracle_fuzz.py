@@ -194,3 +194,67 @@ def test_event_queries_match_oracle_on_arbitrary_events(
                  "event_type_pivot", "skew_salted_counts"):
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged on {evs!r}: {msg}"
+
+
+_ORD = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=5)),  # cust
+    st.sampled_from(["O", "F", "P", None]),
+    st.one_of(st.none(), st.sampled_from([0.0, -0.0]), st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False)),  # price
+    st.one_of(st.none(), st.datetimes(
+        min_value=dt.datetime(1995, 1, 1),
+        max_value=dt.datetime(1995, 1, 20),
+    )),  # tight range → same-day collisions exercise OHLC aggregation
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_ORD, min_size=1, max_size=15))
+def test_ohlc_queries_match_oracle_on_arbitrary_orders(
+    spark, fuzz_root, ords
+):
+    """Arbitrary orders (NULL/zero/negative prices, NULL keys/dates,
+    same-day collisions) through the OHLC window pipelines — zero
+    closes against lag-division, decimal window sums, percentile
+    ranks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    _counter[0] += 1
+    sf = os.path.join(fuzz_root, f"or{_counter[0]}")
+    os.makedirs(sf, exist_ok=True)
+    for t in TABLES + ("documents",):
+        if t == "orders":
+            continue
+        dst = f"{sf}/{t}.parquet"
+        if not os.path.exists(dst):
+            try:
+                os.link(f"{BASE}/{t}.parquet", dst)
+            except OSError:
+                shutil.copy(f"{BASE}/{t}.parquet", dst)
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array(range(len(ords)), type=pa.int64()),
+            "o_custkey": pa.array([o[0] for o in ords], type=pa.int64()),
+            "o_orderstatus": pa.array(
+                [o[1] for o in ords], type=pa.string()),
+            "o_totalprice": pa.array(
+                [o[2] for o in ords], type=pa.float64()),
+            "o_orderdate": pa.array(
+                [o[3] for o in ords], type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(
+                ["1-URGENT"] * len(ords), type=pa.string()),
+        }),
+        f"{sf}/orders.parquet",
+    )
+    for name in ("ohlc_daily", "daily_returns", "moving_avg",
+                 "topk_by_volume", "price_percentiles"):
+        ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
+        assert ok, f"{name} diverged on {ords!r}: {msg}"
