@@ -258,3 +258,58 @@ def test_ohlc_queries_match_oracle_on_arbitrary_orders(
                  "topk_by_volume", "price_percentiles"):
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged on {ords!r}: {msg}"
+
+
+_NAME = st.one_of(st.none(), st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_NAME, min_size=1, max_size=25))
+def test_ticker_sync_matches_oracle_on_arbitrary_names(
+    spark, fuzz_root, names
+):
+    """Arbitrary unicode customer names through the diff + fuzzy
+    rename machinery (gram blocking, containment, token overlap,
+    deterministic 1:1 assignment) — the operator with the most
+    string machinery gets the generative treatment too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    _counter[0] += 1
+    sf = os.path.join(fuzz_root, f"cu{_counter[0]}")
+    os.makedirs(sf, exist_ok=True)
+    for t in TABLES + ("documents",):
+        if t == "customer":
+            continue
+        dst = f"{sf}/{t}.parquet"
+        if not os.path.exists(dst):
+            try:
+                os.link(f"{BASE}/{t}.parquet", dst)
+            except OSError:
+                shutil.copy(f"{BASE}/{t}.parquet", dst)
+    n = len(names)
+    pq.write_table(
+        pa.table({
+            "c_custkey": pa.array(range(1, n + 1), type=pa.int64()),
+            "c_name": pa.array(names, type=pa.string()),
+            "c_nationkey": pa.array([i % 5 for i in range(n)],
+                                    type=pa.int32()),
+            "c_acctbal": pa.array([float(i) for i in range(n)],
+                                  type=pa.float64()),
+            "c_mktsegment": pa.array(
+                ["BUILDING", "MACHINERY"][:1] * n, type=pa.string()),
+        }),
+        f"{sf}/customer.parquet",
+    )
+    for name in ("snapshot_diff", "rename_detection",
+                 "rename_detection_parity", "symbol_normalize"):
+        ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
+        assert ok, f"{name} diverged on {names!r}: {msg}"
