@@ -313,3 +313,77 @@ def test_ticker_sync_matches_oracle_on_arbitrary_names(
                  "rename_detection_parity", "symbol_normalize"):
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged on {names!r}: {msg}"
+
+
+_PRICE = st.one_of(
+    st.none(), st.sampled_from([0.0, -0.0]),
+    st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+)
+_LI = st.tuples(
+    st.sampled_from(["N", "R", "A", None]),   # returnflag
+    st.sampled_from(["O", "F", None]),        # linestatus
+    _PRICE, _PRICE,                           # quantity, extendedprice
+    st.one_of(st.none(), st.floats(
+        min_value=-1.0, max_value=2.0, allow_nan=False)),  # discount
+    st.one_of(st.none(), st.floats(
+        min_value=-1.0, max_value=2.0, allow_nan=False)),  # tax
+    st.one_of(st.none(), st.datetimes(
+        min_value=dt.datetime(1995, 1, 1),
+        max_value=dt.datetime(2000, 1, 1))),  # shipdate
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_LI, min_size=1, max_size=15))
+def test_pricing_summary_matches_oracle_on_arbitrary_lineitems(
+    spark, fuzz_root, lis
+):
+    """Arbitrary lineitems (NULL flags/values, ±0.0, negative and
+    out-of-domain discounts/taxes, NULL/boundary shipdates) through
+    the flagship 8-aggregate decimal-quantized pipeline."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    _counter[0] += 1
+    sf = os.path.join(fuzz_root, f"li{_counter[0]}")
+    os.makedirs(sf, exist_ok=True)
+    for t in TABLES + ("documents",):
+        if t == "lineitem":
+            continue
+        dst = f"{sf}/{t}.parquet"
+        if not os.path.exists(dst):
+            try:
+                os.link(f"{BASE}/{t}.parquet", dst)
+            except OSError:
+                shutil.copy(f"{BASE}/{t}.parquet", dst)
+    n = len(lis)
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array(range(n), type=pa.int64()),
+            "l_partkey": pa.array([1] * n, type=pa.int64()),
+            "l_suppkey": pa.array([1] * n, type=pa.int64()),
+            "l_linenumber": pa.array([1] * n, type=pa.int32()),
+            "l_quantity": pa.array([x[2] for x in lis], type=pa.float64()),
+            "l_extendedprice": pa.array(
+                [x[3] for x in lis], type=pa.float64()),
+            "l_discount": pa.array([x[4] for x in lis], type=pa.float64()),
+            "l_tax": pa.array([x[5] for x in lis], type=pa.float64()),
+            "l_returnflag": pa.array([x[0] for x in lis], type=pa.string()),
+            "l_linestatus": pa.array([x[1] for x in lis], type=pa.string()),
+            "l_shipdate": pa.array(
+                [x[6] for x in lis], type=pa.timestamp("us")),
+        }),
+        f"{sf}/lineitem.parquet",
+    )
+    ok, msg = compare(
+        QUERIES["pricing_summary"](spark, sf),
+        ORACLE_SQL["pricing_summary"], sf,
+    )
+    assert ok, f"pricing_summary diverged on {lis!r}: {msg}"
