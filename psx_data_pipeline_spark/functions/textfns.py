@@ -62,7 +62,11 @@ VALID_SYMBOL_SQL = (
 # because the engines' \s disagree: Java's includes vertical tab
 # (\x0B), RE2/DuckDB's does not — found by the tokenizer-seam
 # property test the moment it generated '\x0b'. The class is Java's
-# (it matches Python str.split(), the reference's tokenizer).
+# \s (ASCII-only). Python str.split() — the reference's tokenizer —
+# additionally splits on Unicode whitespace (\x1c-\x1f, \x85, NBSP,
+# …); that Unicode tail is intentionally out of scope here: cross-
+# ENGINE parity (Spark vs DuckDB) is what the oracle pins, and it is
+# property-tested on arbitrary unicode in the tokenizer-seam fuzz.
 WS_RE = "[ \\t\\n\\f\\r\\x0B]+"
 
 

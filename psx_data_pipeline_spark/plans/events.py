@@ -381,13 +381,17 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ('{"k":"12"}'), doubles (7.0/7.5), booleans, JSON null, missing
 # keys, non-objects, and malformed/empty props are all NULL — a bare
 # TRY_CAST of ->> would coerce '"12"' to 12 where Spark's strict
-# typed parse yields NULL (verified on both engines; review finding)
+# typed parse yields NULL (verified on both engines; review finding).
+# The inner cast must still be TRY_CAST: DuckDB tags EVERY
+# non-negative JSON integer UBIGINT, so a value > 2^63-1 passes the
+# type gate and a plain CAST raises where Spark's from_json returns
+# NULL (review finding, round 5)
 EVENT_PROPS_JSON_ORACLE = """
 WITH ev AS (
   SELECT event_type,
          CASE WHEN json_valid(props)
                    AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
-              THEN CAST(props->>'k' AS BIGINT) END AS jk
+              THEN TRY_CAST(props->>'k' AS BIGINT) END AS jk
   FROM events
 )
 SELECT event_type,

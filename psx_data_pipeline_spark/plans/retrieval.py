@@ -7,12 +7,22 @@ scoring a training-data search/decontamination index actually runs.
 Determinism across engines: idf goes through the floor(1000·ln(·))
 milli-integer trick (same convention as tfidf/unigram_logprob), and
 the BM25 tf-saturation factor — tf / (tf + k1·(1 − b + b·dl/avgdl))
-with k1 = 1.2, b = 0.75 — is cleared of floats entirely by
-multiplying numerator and denominator by 100·L (L = corpus token
-count, avgdl = L/N): it becomes 100·tf·L / (100·tf·L + 30·L +
-90·dl·N), an exact integer rational, so score_milli =
-(idf_milli · 100·tf·L) div (…) is integer arithmetic both engines
-floor identically.
+with k1 = 1.2, b = 0.75 — is cleared of floats by quantizing avgdl
+to exact integer milli-units A = (1000·L) div N and multiplying
+numerator and denominator by 10·A: sat = 10·tf·A / (10·tf·A + 3·A +
+9000·dl), an exact integer rational both engines floor identically.
+
+Int64-overflow posture (review finding, round 5): the earlier form
+multiplied through by the CORPUS token count L, so idf_milli·100·tf·L
+left int64 once L approached ~1e12/tf — i.e. the plan would crash
+under ANSI arithmetic at exactly the 100 TB scale it advertises. The
+A-form's magnitudes are corpus-size-INDEPENDENT: with sat computed as
+1000 − ceil(1000·r/den) (r = 3·A + 9000·dl, den = 10·tf·A + r, an
+identity — no approximation), the largest intermediate is
+10·tf·A = 1e4·tf·avgdl, inside int64 for tf·avgdl ≤ 9.2e14 (e.g.
+avgdl 10⁴ tokens → tf up to ~9e10; any real document), at ANY corpus
+size. score_milli = (idf_milli · sat_permille) div 1000 then caps at
+idf_milli ≤ 1000·ln(2(N+1)) ≈ 3e4 even at a trillion documents.
 """
 
 from __future__ import annotations
@@ -35,7 +45,10 @@ BM25_ORACLE = f"""
 WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 n AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(len(toks)) AS BIGINT) AS l
+         CAST(COALESCE(sum(len(toks)), 0) AS BIGINT) AS l,
+         CAST(CASE WHEN count(*) = 0 THEN 0
+              ELSE (1000 * COALESCE(sum(len(toks)), 0)) // count(*)
+              END AS BIGINT) AS a
   FROM d
 ),
 dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
@@ -51,14 +64,18 @@ df AS (
   FROM toks WHERE term IN ({_TERMS_SQL}) GROUP BY term
 ),
 scored AS (
-  SELECT tf.term, tf.doc_id, tf.tf,
-    CAST(
-      (CAST(floor(1000 * ln(
-         CAST(2 * (n.n + 1) AS DOUBLE) / (2 * df.df + 1))) AS BIGINT)
-       * (100 * tf.tf * n.l))
-      // (100 * tf.tf * n.l + 30 * n.l + 90 * dl.dl * n.n)
-    AS BIGINT) AS score_milli
-  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+  SELECT term, doc_id, tf,
+    CAST((idf_milli * (1000 - (1000 * r + den - 1) // den)) // 1000
+         AS BIGINT) AS score_milli
+  FROM (
+    SELECT tf.term, tf.doc_id, tf.tf,
+      CAST(floor(1000 * ln(
+        CAST(2 * (n.n + 1) AS DOUBLE) / (2 * df.df + 1))) AS BIGINT
+      ) AS idf_milli,
+      3 * n.a + 9000 * dl.dl AS r,
+      10 * tf.tf * n.a + 3 * n.a + 9000 * dl.dl AS den
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+  )
 )
 SELECT term, doc_id, tf, score_milli, CAST(rk AS INT) AS rk FROM (
   SELECT *, row_number() OVER (
@@ -93,7 +110,12 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_row = d.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
     ).first()  # scalar job: two corpus constants, inlined as literals
-    n_docs, total_l = int(n_row["n"]), int(n_row["l"])
+    n_docs = int(n_row["n"])
+    total_l = int(n_row["l"]) if n_row["l"] is not None else 0
+    # avgdl in exact integer milli-units — the ONLY corpus-scale
+    # quantity the score arithmetic sees (see module docstring for
+    # the int64 bound this buys); Python // floors like DuckDB //
+    avgdl_milli = (1000 * total_l) // n_docs if n_docs else 0
 
     tf = (
         # explode-then-filter stays inside one whole-stage-codegen
@@ -118,10 +140,16 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
     ).withColumn(
         "score_milli",
+        # sat_permille = floor(1000·10·tf·A / den) computed as
+        # 1000 − ceil(1000·r/den) (exact identity, num = den − r) so
+        # the largest intermediate is den = 10·tf·A + r, not 1000×it
         F.expr(
-            f"(idf_milli * (100 * tf * {total_l}L)) div "
-            f"(100 * tf * {total_l}L + 30 * {total_l}L"
-            f" + 90 * dl * {n_docs}L)"
+            f"(idf_milli * (1000 - "
+            f"((1000 * (3 * {avgdl_milli}L + 9000 * dl)"
+            f"  + (10 * tf * {avgdl_milli}L + 3 * {avgdl_milli}L"
+            f"     + 9000 * dl) - 1)"
+            f" div (10 * tf * {avgdl_milli}L + 3 * {avgdl_milli}L"
+            f"      + 9000 * dl)))) div 1000"
         ).cast("long"),
     )
     return (

@@ -1361,8 +1361,9 @@ SELECT CAST(shard_id AS BIGINT) AS shard_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens,
-       CAST(abs(sum(n_tokens) * {_N_SHARDS} - tot.corpus_tokens) * 1000
-            // tot.corpus_tokens AS BIGINT) AS dev_permille
+       CAST(CASE WHEN tot.corpus_tokens = 0 THEN 0
+            ELSE abs(sum(n_tokens) * {_N_SHARDS} - tot.corpus_tokens) * 1000
+                 // tot.corpus_tokens END AS BIGINT) AS dev_permille
 FROM sized CROSS JOIN tot
 GROUP BY shard_id, tot.corpus_tokens
 """
@@ -1409,9 +1410,14 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("shard_id").cast("long").alias("shard_id"),
             "n_docs", "total_tokens", "max_doc_tokens",
+            # zero-guarded: an all-empty/NULL-text corpus has
+            # corpus_tokens = 0 and the bare div crashes under ANSI
+            # (review finding, round 5) — deviation from an empty
+            # ideal is defined as 0
             F.expr(
+                "CASE WHEN corpus_tokens = 0 THEN 0 ELSE "
                 f"abs(total_tokens * {_N_SHARDS} - corpus_tokens) * 1000"
-                " div corpus_tokens"
+                " div corpus_tokens END"
             ).cast("long").alias("dev_permille"),
         )
     )

@@ -184,7 +184,12 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nv += len(vals)
             eids = pdf["event_id"].dropna()
             if len(eids):
-                meid = max(meid, int(eids.max()))
+                # ne==0 means meid still holds the 0 sentinel — seed
+                # it from the data instead of max()ing against it, or
+                # an all-negative event_id stream would report the
+                # sentinel as its maximum (review finding, round 5)
+                m = int(eids.max())
+                meid = m if ne == 0 else max(meid, m)
                 ne += len(eids)
         state.update((n, vk, meid, nv, ne))
         # SUM/MAX over zero non-null inputs is NULL in SQL, not 0
