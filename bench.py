@@ -84,13 +84,16 @@ def main() -> int:
     # and the MINIMUM is recorded: min-of-N measures the plan's cost,
     # not the pauses, and stays honest for one-shot costs because a
     # query's first run is always one of the candidates. Memoized
-    # pipeline stages (ticker_sync) get their session memos AND the
-    # backing Spark cache entries dropped first, so their second run
-    # re-executes the whole DAG with warm codegen — the same
-    # treatment as every other query, instead of measuring the memo.
+    # pipeline stages (ticker_sync, the two ANN index builds) get
+    # their session memos AND the backing Spark cache entries dropped
+    # first, so their second run re-executes the whole DAG with warm
+    # codegen — the same treatment as every other query, instead of
+    # measuring the memo. Consumer views of a memo (change_log_format,
+    # ann_recall) deliberately measure WARM: the plan cost belongs to
+    # the owning stage, which bench runs first in registration order.
     from psx_data_pipeline_spark.plans import clear_session_memos
 
-    _MEMOIZED = {"ticker_sync_changes"}
+    _MEMOIZED = {"ticker_sync_changes", "cosine_topk", "ivf_topk"}
     for name, t in list(timings.items()):
         if t > 2.0:
             try:

@@ -276,6 +276,13 @@ def clear_session_memos() -> None:
     # silently re-served to the rebuilt identical plans of a
     # re-measured run (cache matching is by analyzed plan)
     clear_rename_side_caches()
+    # the memoized ANN top-k result tables (plans/similarity) — same
+    # benchmark-honesty contract as the sync-change memo above
+    from psx_data_pipeline_spark.plans.similarity import _TOPK_CACHE
+
+    for df in _TOPK_CACHE.values():
+        df.unpersist()
+    _TOPK_CACHE.clear()
 
 
 # The materialized change table, one per (application, sf_dir). The

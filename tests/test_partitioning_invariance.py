@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pytest
 
-from psx_data_pipeline_spark.plans import QUERIES
+from psx_data_pipeline_spark.plans import QUERIES, clear_session_memos
 
 SF = "/root/testdata/sf0.001"
 
@@ -27,9 +27,14 @@ FLOAT_AGG_QUERIES = [
 def test_result_invariant_to_shuffle_partitioning(spark, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # memoized queries (ticker_sync, ANN top-k) must re-execute
+        # under the second layout, not serve the first run's cache —
+        # without this the test is vacuous for them
         spark.conf.set("spark.sql.shuffle.partitions", "3")
+        clear_session_memos()
         a = sorted(map(tuple, QUERIES[name](spark, SF).collect()))
         spark.conf.set("spark.sql.shuffle.partitions", "17")
+        clear_session_memos()
         b = sorted(map(tuple, QUERIES[name](spark, SF).collect()))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -49,8 +54,10 @@ def test_result_invariant_to_aqe(spark, name):
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        clear_session_memos()
         a = sorted(map(tuple, QUERIES[name](spark, SF).collect()))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        clear_session_memos()
         b = sorted(map(tuple, QUERIES[name](spark, SF).collect()))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
