@@ -94,8 +94,12 @@ def main() -> int:
     from psx_data_pipeline_spark.plans import clear_session_memos
 
     _MEMOIZED = {"ticker_sync_changes", "cosine_topk", "ivf_topk"}
+    # >1.0 s (not 2.0): the committed-floor regression guard
+    # (tests/test_bench_regression.py) holds every >1 s query to
+    # 1.5x, so every number it judges must be min-of-two — single
+    # runs at 1-2 s swing +-50% and would flap the guard
     for name, t in list(timings.items()):
-        if t > 2.0:
+        if t > 1.0:
             try:
                 if name in _MEMOIZED:
                     clear_session_memos()

@@ -464,6 +464,26 @@ def connected_components(
     changed-row count. Rounds needed = graph diameter (near-dup
     clusters are shallow). localCheckpoint truncates the growing
     lineage so round N doesn't replay rounds 1..N-1.
+
+    Only EDGE-TOUCHED nodes iterate: a node with no edge can never
+    change its label, so carrying the whole corpus through every
+    round's shuffle + checkpoint (as this operator originally did)
+    buys nothing and scales the per-round cost with the CORPUS
+    instead of with the near-dup graph — at 100 TB that is the
+    difference between shuffling ~billions of singleton labels per
+    round and shuffling the (orders-of-magnitude smaller) edge
+    endpoint set. Singletons rejoin once at the end via a left join
+    that AQE broadcasts (the converged label table is graph-bounded).
+    The endpoint label table needs no separate build: the FIRST
+    propagation round is fused into it (after round one, every
+    endpoint's label is exactly min(id, min neighbor id) — one
+    groupBy over the persisted edge list), so the loop starts at
+    round two and a diameter-d graph costs d iterations, not d+1.
+
+    Precondition: edge endpoints are drawn from ``nodes`` (every
+    caller derives both from the same frame). A stray endpoint would
+    propagate its id as a candidate label before the final join
+    discards it.
     Returns (id, comp).
     """
     bi = edges.select(
@@ -473,9 +493,15 @@ def connected_components(
             F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
         )
     ).persist()
-    lbl = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).localCheckpoint()
+    all_ids = nodes.select(F.col(id_col).alias("id"))
+    lbl = (
+        bi.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("__mnd"))
+        .select(
+            "id", F.least(F.col("id"), F.col("__mnd")).alias("comp")
+        )
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nb = (
             bi.join(lbl.withColumnRenamed("id", "src"), "src")
@@ -511,7 +537,12 @@ def connected_components(
             "max_iter (rounds needed = graph diameter)"
         )
     bi.unpersist()
-    return lbl
+    # singletons (no edges) were never iterated — they are their own
+    # component; the converged lbl table is graph-bounded, so AQE
+    # broadcasts this join against the full corpus
+    return all_ids.join(lbl, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("comp")
+    )
 
 
 def connected_components_star(

@@ -79,3 +79,38 @@ def test_no_query_slowed_3x_vs_last_round():
         f"queries slowed >{RATIO}x vs {src} (prior_sec, current_sec): "
         f"{regressions}"
     )
+
+
+# --- committed floor guard ---------------------------------------------------
+
+# BENCH_FLOOR.json is the COMMITTED per-query floor: the min of the
+# round-4/round-5 driver-recorded timings (min-of-two measured runs on
+# both sides), ratcheted deliberately when a faster verified round
+# lands. The 3x guard above catches catastrophes vs the latest round;
+# this one catches slow drift — the +18% uniform creep between rounds
+# 4 and 5 sat inside the noise band of any single-round comparison but
+# is exactly what a fixed floor surfaces.
+FLOOR_RATIO = 1.5
+
+
+def test_no_query_slowed_1_5x_vs_committed_floor():
+    full_path = os.path.join(HERE, "BENCH_FULL.json")
+    floor_path = os.path.join(HERE, "BENCH_FLOOR.json")
+    if not os.path.exists(full_path):
+        pytest.skip("no local bench run yet (BENCH_FULL.json missing)")
+    full = json.load(open(full_path))
+    floor = json.load(open(floor_path))
+    assert full.get("sf") == floor.get("sf"), (
+        "bench ran at a different scale factor than the committed "
+        "floor — rerun `python bench.py` at the default sf0.1"
+    )
+    current, base = full["queries"], floor["queries"]
+    regressions = {
+        name: (base[name], t)
+        for name, t in current.items()
+        if name in base and t > FLOOR_SEC and t > FLOOR_RATIO * base[name]
+    }
+    assert not regressions, (
+        f"queries slowed >{FLOOR_RATIO}x vs the committed floor "
+        f"(floor_sec, current_sec): {regressions}"
+    )
