@@ -265,7 +265,25 @@ IMAGE_DECODE_SCHEMA = T.StructType([
     T.StructField("height", T.LongType(), True),
     T.StructField("channels", T.LongType(), True),
     T.StructField("pixel_digest", T.StringType(), True),
+    T.StructField("error", T.StringType(), True),
 ])
+
+
+def _contained(decode, payload, modality: str) -> tuple[dict, str | None]:
+    """Per-row error containment at the codec seam: a malformed,
+    truncated, lying, or NULL payload yields ({}, error-string)
+    instead of crashing the task — one hostile blob in a 100 TB
+    corpus must cost one row, not the stage. Generalizes the
+    reference's per-row try/except around company-detail parsing
+    (psx_data_automation/scrape_tickers.py:337-345, SURVEY §2 X2).
+    The error string is a deterministic pure function of the payload
+    (exception type + message), so re-runs and the oracle agree."""
+    try:
+        if payload is None:
+            return {}, "ValueError: null payload"
+        return decode(bytes(payload), modality), None
+    except Exception as exc:  # noqa: BLE001 — the seam's contract
+        return {}, f"{type(exc).__name__}: {exc}"
 
 
 def synth_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -307,20 +325,22 @@ def decode_images(
         for pdf in it:
             out = {k.name: [] for k in IMAGE_DECODE_SCHEMA}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                d = decode_real(bytes(payload), "image")
+                d, err = _contained(decode_real, payload, "image")
                 out["doc_id"].append(int(doc_id))
-                out["format"].append(d["format"])
-                out["width"].append(d["width"])
-                out["height"].append(d["height"])
-                out["channels"].append(d["channels"])
-                out["pixel_digest"].append(d["pixel_digest"])
+                out["format"].append(d.get("format"))
+                out["width"].append(d.get("width"))
+                out["height"].append(d.get("height"))
+                out["channels"].append(d.get("channels"))
+                out["pixel_digest"].append(d.get("pixel_digest"))
+                out["error"].append(err)
             yield pd.DataFrame({
                 "doc_id": pd.array(out["doc_id"], dtype="int64"),
                 "format": pd.array(out["format"], dtype="object"),
-                "width": pd.array(out["width"], dtype="int64"),
-                "height": pd.array(out["height"], dtype="int64"),
-                "channels": pd.array(out["channels"], dtype="int64"),
+                "width": pd.array(out["width"], dtype="Int64"),
+                "height": pd.array(out["height"], dtype="Int64"),
+                "channels": pd.array(out["channels"], dtype="Int64"),
                 "pixel_digest": pd.array(out["pixel_digest"], dtype="object"),
+                "error": pd.array(out["error"], dtype="object"),
             })
 
     return df.mapInPandas(batches, IMAGE_DECODE_SCHEMA)
@@ -333,6 +353,7 @@ AUDIO_DECODE_SCHEMA = T.StructType([
     T.StructField("duration_ms", T.LongType(), True),
     T.StructField("rms", T.DoubleType(), True),
     T.StructField("zero_crossings", T.LongType(), True),
+    T.StructField("error", T.StringType(), True),
 ])
 
 _WAV_RATE = 8000  # fixture sample rate
@@ -379,22 +400,26 @@ def decode_audio(
         for pdf in it:
             out = {k.name: [] for k in AUDIO_DECODE_SCHEMA}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                d = decode_real(bytes(payload), "audio")
+                d, err = _contained(decode_real, payload, "audio")
                 out["doc_id"].append(int(doc_id))
                 for k in (
                     "sample_rate", "n_samples", "duration_ms", "rms",
                     "zero_crossings",
                 ):
-                    out[k].append(d[k])
+                    out[k].append(d.get(k))
+                out["error"].append(err)
             yield pd.DataFrame({
                 "doc_id": pd.array(out["doc_id"], dtype="int64"),
-                "sample_rate": pd.array(out["sample_rate"], dtype="int64"),
-                "n_samples": pd.array(out["n_samples"], dtype="int64"),
-                "duration_ms": pd.array(out["duration_ms"], dtype="int64"),
-                "rms": pd.array(out["rms"], dtype="float64"),
+                "sample_rate": pd.array(out["sample_rate"], dtype="Int64"),
+                "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+                "duration_ms": pd.array(out["duration_ms"], dtype="Int64"),
+                # nullable Float64, not float64: a contained-error
+                # row's rms must arrive as SQL NULL, not NaN
+                "rms": pd.array(out["rms"], dtype="Float64"),
                 "zero_crossings": pd.array(
-                    out["zero_crossings"], dtype="int64"
+                    out["zero_crossings"], dtype="Int64"
                 ),
+                "error": pd.array(out["error"], dtype="object"),
             })
 
     return df.mapInPandas(batches, AUDIO_DECODE_SCHEMA)

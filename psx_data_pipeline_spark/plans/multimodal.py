@@ -85,7 +85,8 @@ SELECT doc_id,
   CAST(3 AS BIGINT) AS channels,
   md5(repeat(chr(CAST(65 + doc_id % 26 AS INT)),
              CAST((4 + doc_id % 13) * (3 + doc_id % 7) * 3 AS INT)))
-    AS pixel_digest
+    AS pixel_digest,
+  CAST(NULL AS VARCHAR) AS error
 FROM documents
 """
 
@@ -95,7 +96,10 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image decode end-to-end: synthesize one BMP/PPM container
     per document (opaque binary column), then decode_real parses
     headers, strips row padding, and digests the pixels — all inside
-    Arrow-batched mapInPandas (operators/multimodal.decode_images)."""
+    Arrow-batched mapInPandas (operators/multimodal.decode_images).
+    Malformed payloads are contained per row into the ``error``
+    column (NULL on the well-formed fixtures here; pinned on
+    hypothesis-mutated payloads by tests/test_generative_codec_fuzz)."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
     return decode_images(synth_image_payloads(docs))
 
@@ -115,7 +119,8 @@ SELECT doc_id,
   CAST((400 + doc_id % 800) // 8 AS BIGINT) AS duration_ms,
   CAST(1000 + (doc_id % 20) * 997 AS DOUBLE) AS rms,
   CAST((400 + doc_id % 800 - 1) // (2 + doc_id % 9) AS BIGINT)
-    AS zero_crossings
+    AS zero_crossings,
+  CAST(NULL AS VARCHAR) AS error
 FROM documents
 """
 
@@ -127,6 +132,8 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     walks the chunk list and computes sample-level features (RMS,
     zero crossings) — all inside Arrow-batched mapInPandas
     (operators/multimodal.decode_audio). The audio twin of
-    image_decode, closing the audio leg of the codec seam."""
+    image_decode, closing the audio leg of the codec seam. Malformed
+    payloads are contained per row into the ``error`` column (NULL on
+    the well-formed fixtures here)."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
     return decode_audio(synth_audio_payloads(docs))
