@@ -11,8 +11,8 @@ Three operators:
 * ``heavy_shingles`` — corpus-wide frequent-phrase mining: every
   K-token shingle whose count exceeds n/PHI of all shingle
   occurrences (boilerplate detection — license headers, navigation
-  chrome, template text). Exact answer via per-partition Misra-Gries
-  candidate pruning + a restricted exact recount.
+  chrome, template text). Exact answer via heavy-bucket candidate
+  pruning + a restricted exact recount.
 * ``source_overlap`` — the cross-SOURCE contamination matrix: for
   every source pair, the count of distinct shingles both publish
   (which crawl sources republish each other's content).
@@ -22,11 +22,12 @@ strings corpus-wide. ``dup_span_fraction`` first aggregates on the
 64-bit xxhash of the shingle (8-byte keys, map-side combined) to find
 candidate cross-doc hashes, then verifies the (rare) candidates on
 the true string — false positives from hash collisions die in the
-verify step, so the result is exact. ``heavy_shingles`` runs a
-Misra-Gries sketch per partition (bounded memory, one pass, no
-shuffle) whose union provably contains every global heavy hitter;
-only the candidate set — at most PHI entries per partition — is
-shuffled and recounted exactly.
+verify step, so the result is exact. ``heavy_shingles`` counts
+xxhash64 BUCKETS of the shingle stream first (a bounded-width,
+map-side-combinable aggregate — its exchange is constant-size at any
+corpus); the < PHI buckets over threshold provably contain every
+global heavy hitter, and only shingles in those buckets are
+recounted exactly.
 """
 
 from __future__ import annotations
@@ -175,44 +176,15 @@ HAVING count(*) * {_HH_PHI} > tot.n
 """
 
 
-def mg_summary(batches, phi: int):
-    """Misra-Gries summary over an iterable of per-batch exact count
-    dicts, built by MERGING (Agarwal et al., "Mergeable Summaries"):
-    add the batch's counts, and when the table exceeds phi-1
-    counters, subtract the phi-th largest count from all and drop the
-    non-positives. Each trim removes ≥ phi·thr total weight, so the
-    summary's undercount is ≤ n/phi — any item with stream count
-    > n/phi survives. Property-tested against the exact counts for
-    arbitrary batchings in tests/test_mg_summary.py.
-    """
-    from collections import Counter
-
-    acc: Counter = Counter()
-    cap = phi - 1
-    for counts in batches:
-        acc.update(counts)
-        if len(acc) > cap:
-            thr = sorted(acc.values(), reverse=True)[cap]
-            acc = Counter(
-                {k: v - thr for k, v in acc.items() if v > thr}
-            )
-    return acc
-
-
-def _mg_candidates(it):
-    """Arrow adapter for mg_summary: per-batch value_counts run
-    vectorized (C speed — no per-item Python loop); the survivor set
-    of the partition's summary is the candidate output. A global
-    heavy hitter (count > N/PHI) must exceed n_p/PHI in at least one
-    partition (pigeonhole), so the union of per-partition survivors
-    is a superset of the exact answer; the recount pass makes it
-    exact."""
-    import pandas as pd
-
-    acc = mg_summary(
-        (pdf["shingle"].value_counts().to_dict() for pdf in it), _HH_PHI
-    )
-    yield pd.DataFrame({"shingle": list(acc)})
+# Heavy-bucket prefilter width. Shingles hash into _HH_W buckets;
+# buckets whose TOTAL count exceeds n/PHI number < PHI (they partition
+# n), and a heavy shingle's bucket count >= its own count, so heavy
+# buckets are a guaranteed-recall candidate filter. The exact recount
+# then touches only shingles in heavy buckets — an expected
+# PHI·V/_HH_W fraction of the vocabulary V (~V/100 at these
+# constants); raise _HH_W as V grows (the bucket-count shuffle is
+# _HH_W rows of two longs regardless of corpus size).
+_HH_W = 1 << 20
 
 
 @query("heavy_shingles", HEAVY_SHINGLES_ORACLE)
@@ -220,37 +192,48 @@ def q_heavy_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent {_HH_K}-gram phrases above the n/{_HH_PHI} support
     threshold — boilerplate/template detection for corpus curation.
 
-    Two-pass exact heavy hitters: per-partition Misra-Gries (Arrow
-    batches, bounded memory, zero shuffle) yields a candidate
-    superset ≤ PHI rows per partition; the corpus is then recounted
-    ONLY for candidates (broadcast semi-join — the big side never
-    shuffles raw strings; map-side partial aggregation compresses to
-    the candidate vocabulary before the exchange). The MG sketch's
-    content depends on partitioning, but the recount + threshold make
-    the final rows partitioning-independent — byte-identical to the
-    oracle's direct GROUP BY.
+    Two-pass exact heavy hitters, ALL native expressions (an earlier
+    version ran a per-partition Misra-Gries sketch in mapInPandas —
+    correct, but the only Python worker round-trip outside the codec
+    seam): pass one counts xxhash64 BUCKETS of the shingle stream
+    (map-side combinable; the exchange is ≤ {_HH_W} rows of two longs
+    at ANY corpus size, and per-task state is bounded by the bucket
+    space, the same bounded-memory contract the MG sketch gave); the
+    < PHI buckets exceeding the threshold ride back as one broadcast.
+    Pass two exact-counts ONLY shingles falling in heavy buckets —
+    count(shingle) <= count(bucket(shingle)) makes the filter
+    guaranteed-recall, and the recount + threshold make the output
+    exact and partitioning-independent — byte-identical to the
+    oracle's direct GROUP BY. Raw shingle strings are never shuffled
+    corpus-wide: the recount's map-side combine compresses to the
+    candidate vocabulary before its exchange.
     """
     docs = load_table_parallel(spark, "documents", sf_dir)
     sh = docs.where(F.size(tokens("text")) >= _HH_K).select(
         F.explode(word_shingles("text", _HH_K)).alias("shingle")
-    )
-    cand = sh.mapInPandas(_mg_candidates, "shingle string").distinct()
-    counts = (
-        sh.join(F.broadcast(cand), "shingle", "left_semi")
-        .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    # total shingle count needs no explode: Σ max(len-K+1, 0) is a
-    # scan-side aggregate over documents — one narrow pass
-    tot = docs.agg(
+    ).withColumn("bucket", F.expr(f"pmod(xxhash64(shingle), {_HH_W})"))
+    bcnt = sh.groupBy("bucket").agg(F.count(F.lit(1)).alias("bcnt"))
+    # total shingle count once, reused by the bucket filter AND the
+    # final threshold/freq projection
+    tot_row = docs.agg(
         F.sum(
             F.greatest(
                 F.size(tokens("text")) - (_HH_K - 1), F.lit(0)
             ).cast("long")
         ).alias("n")
     )
+    heavy_b = (
+        bcnt.crossJoin(F.broadcast(tot_row))
+        .where(F.col("bcnt") * _HH_PHI > F.col("n"))
+        .select("bucket")
+    )
+    counts = (
+        sh.join(F.broadcast(heavy_b), "bucket", "left_semi")
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     return (
-        counts.crossJoin(F.broadcast(tot))
+        counts.crossJoin(F.broadcast(tot_row))
         .where(F.col("cnt") * _HH_PHI > F.col("n"))
         .select(
             "shingle",
