@@ -26,6 +26,12 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
 
 QUERIES_UNDER_FUZZ = (
     "doc_chunks", "doc_fingerprint", "text_quality", "word_freq",
+    # round-6 additions: the corpus-scalar seams hardened this round
+    # (shard_manifest's zero-corpus guard, BM25's avgdl-milli
+    # arithmetic) and the two shingle pipelines whose candidate
+    # machinery changed (heavy-bucket prefilter, span coverage)
+    "shard_manifest", "bm25_scores", "heavy_shingles",
+    "dup_span_fraction",
 )
 
 _TEXT = st.text(
@@ -138,13 +144,31 @@ _TS = st.one_of(
         max_value=dt.datetime(2100, 1, 1),
     ),
 )
+# props: arbitrary strings AND structured JSON objects whose 'k'
+# spans the integer-extraction seam — quoted numbers, doubles,
+# booleans, null, AND integers beyond ±2^63 (DuckDB tags every
+# non-negative JSON integer UBIGINT, so > int64-max passes the type
+# gate and only TRY_CAST keeps the oracle from crashing where
+# Spark's from_json nulls out — the round-5 review finding)
+_JSON_K = st.one_of(
+    st.integers(min_value=-(2**70), max_value=2**70),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.booleans(),
+    st.none(),
+    st.integers(min_value=0, max_value=99).map(str),  # quoted number
+)
+_PROPS = st.one_of(
+    st.none(),
+    _TEXT,
+    _JSON_K.map(lambda v: __import__("json").dumps({"k": v})),
+)
 _EV = st.tuples(
     _TS,
     st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # user
     st.sampled_from(["click", "view", "purchase", None]),
     st.one_of(st.none(), st.floats(
         min_value=-1e6, max_value=1e6, allow_nan=False)),
-    st.one_of(st.none(), _TEXT),  # props: arbitrary, mostly non-JSON
+    _PROPS,
 )
 
 

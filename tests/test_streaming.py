@@ -88,3 +88,37 @@ def test_streaming_sync_change_log_two_runs(spark, tmp_path):
     ]
     final = sorted(r["symbol"] for r in spark.read.parquet(universe).collect())
     assert final == ["ENGRO", "HBL"]
+
+
+def test_user_totals_all_negative_event_ids(spark, tmp_path):
+    """max_event_id must be the true (negative) maximum, not the 0
+    state sentinel — the round-5 review finding: seeding the running
+    max with 0 silently reported 0 for any user whose event_ids are
+    all negative (and SUM/MAX-over-empty must still be NULL)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from psx_data_pipeline_spark.streaming.jobs import running_user_totals
+
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([-5, -9, -2, None], type=pa.int64()),
+            "ts": pa.array([ts] * 4, type=pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2, 3], type=pa.int64()),
+            "event_type": pa.array(["click"] * 4, type=pa.string()),
+            "value": pa.array([1.0, 2.0, None, None], type=pa.float64()),
+            "props": pa.array([None] * 4, type=pa.string()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    rows = {
+        r["user_id"]: r
+        for r in running_user_totals(spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["max_event_id"] == -5      # max(-5, -9), not 0
+    assert rows[2]["max_event_id"] == -2
+    assert rows[2]["value_k"] is None         # SUM over no non-nulls
+    assert rows[3]["max_event_id"] is None    # MAX over no non-nulls

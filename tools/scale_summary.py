@@ -1,0 +1,165 @@
+"""One-page scale posture: per query, the mechanical facts a 100 TB
+review needs — shuffle (Exchange) count and broadcast count read from
+the actual physical plan, the family's state-bound argument, and the
+measured 1×/10× walls — generated, not hand-maintained.
+
+    python tools/scale_summary.py --tenx /tmp/rehearsal10_r6.json
+
+Writes SCALE_SUMMARY.md (referenced from README). The long-form
+evidence (probe findings, per-round sweeps, drift analyses) stays in
+SCALE.md; this is the index a reviewer reads first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Family-level state-bound arguments: why per-executor state and
+# shuffle volume stay bounded as the corpus grows. Keyed by the
+# rehearsal tool's family map so every query resolves to exactly one.
+STATE_BOUNDS = {
+    "dedup": "candidates ∝ near-dups via banding/blocking/collapse; never all-pairs",
+    "text": "corpus scalars ride as one broadcast row; aggs map-side combinable",
+    "ann": "bounded broadcasts (query set / centroids / ranges); bucket- or cell-local joins",
+    "events": "per-(user, bin) keys; range join ≤2-bin explode; no global sorts",
+    "multimodal": "narrow Arrow batches; payloads stay on executors; per-row error containment",
+    "scrape": "universe-bounded snapshots; coalesce ladder is per-row",
+    "relational": "partial aggregation + broadcast dims; windows keyed per entity",
+    "ticker": "diff/rename tables churn-bounded (day's changes, not the snapshot)",
+    "streamjobs": "watermark-bounded state; batch_id-idempotent sinks",
+    "io": "sinks coalesced to universe-bounded files; dyn-partition overwrite",
+}
+
+_STREAM_PREFIX = "stream_"
+
+
+def _plan_counts(df) -> tuple[int, int, bool]:
+    """Count exchanges as UNIQUE stripped plan lines: cached subtrees
+    (InMemoryRelation) re-print their whole child plan at every
+    reference, so raw substring counts explode combinatorially
+    (ticker_sync's printed tree is 1.7 MB with 299 nested reprints);
+    expression ids keep genuinely distinct exchanges on distinct
+    lines, so the unique-line count is the number of distinct
+    exchange operators across the plan including one-time cached
+    materializations."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    def uniq(pat: str) -> int:
+        return len({
+            ln.lstrip(" :+-*|(") for ln in plan.splitlines() if pat in ln
+        })
+
+    n_exch = (
+        uniq("Exchange hashpartitioning")
+        + uniq("Exchange rangepartitioning")
+        + uniq("Exchange SinglePartition")
+    )
+    n_bcast = uniq("BroadcastExchange")
+    py = bool(re.search(
+        r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas",
+        plan,
+    ))
+    return n_exch, n_bcast, py
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--tenx", default=None,
+                    help="JSON from a 10x scale_rehearsal run")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_SUMMARY.md"))
+    args = ap.parse_args()
+
+    from psx_data_pipeline_spark.plans import QUERIES, clear_session_memos
+    from psx_data_pipeline_spark.session import get_spark
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scale_rehearsal import FAMILIES
+
+    family_of = {q: fam for fam, qs in FAMILIES.items() for q in qs}
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench = json.load(open(os.path.join(here, "BENCH_FULL.json")))
+    onex = bench["queries"]
+    tenx = {}
+    if args.tenx and os.path.exists(args.tenx):
+        tenx = json.load(open(args.tenx)).get("queries", {})
+
+    spark = get_spark("scale_summary")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    for name in QUERIES:
+        fam = family_of.get(name, "?")
+        t1 = onex.get(name)
+        t10 = tenx.get(name)
+        if name.startswith(_STREAM_PREFIX):
+            shuffles, bcasts, py = "—", "—", "—"
+            note = "streaming (micro-batch plan; watermark state)"
+        else:
+            try:
+                clear_session_memos()  # count the true first-run plan
+                df = QUERIES[name](spark, args.sf_dir)
+                n_exch, n_bcast, has_py = _plan_counts(df)
+                shuffles, bcasts = str(n_exch), str(n_bcast)
+                py = "yes" if has_py else ""
+                note = ""
+            except Exception as exc:  # noqa: BLE001 — audit keeps going
+                shuffles, bcasts, py = "?", "?", "?"
+                note = f"plan build failed: {type(exc).__name__}"
+        growth = (
+            f"{t10 / t1:.1f}×" if t1 and t10 else ""
+        )
+        rows.append((name, fam, shuffles, bcasts, py,
+                     f"{t1:.2f}" if t1 is not None else "",
+                     f"{t10:.1f}" if t10 is not None else "",
+                     growth, note))
+
+    lines = [
+        "# SCALE_SUMMARY — the one-page 100 TB posture",
+        "",
+        "Generated by `python tools/scale_summary.py` (do not edit by",
+        "hand). Shuffle/broadcast counts are read from each query's",
+        "actual physical plan at sf0.001 (plan shape is data-size",
+        "independent); 1× is the sf0.1 bench wall (BENCH_FULL.json),",
+        "10× the adversarial duplicated-corpus rehearsal. `py` marks a",
+        "deliberate Arrow `mapInPandas` stage (codec seam only).",
+        "Shuffle counts are of the true first-run plan (session memos",
+        "cleared), unique-operator deduped across cached-subtree",
+        "reprints. Growth well under 10× = sub-linear. Entries above",
+        "10× are either OUTPUT-bound under the corpus's 10×",
+        "content/timestamp duplication (a binned range join's pair",
+        "count is quadratic in per-bin density — the output itself",
+        "grows ~100×; near-dup pair expansion likewise) or sub-second",
+        "1× baselines where scheduling noise dominates the ratio —",
+        "the per-round rehearsals in SCALE.md track these",
+        "case-by-case. Per-family state-bound arguments follow the",
+        "table; long-form evidence lives in SCALE.md.",
+        "",
+        "| query | family | shuffles | broadcasts | py | 1× s | 10× s | growth | note |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append("| " + " | ".join(str(x) for x in r) + " |")
+    lines += ["", "## State bounds (per family)", ""]
+    for fam in sorted(STATE_BOUNDS):
+        lines.append(f"- **{fam}** — {STATE_BOUNDS[fam]}")
+    lines.append("")
+
+    with open(args.out, "w") as fh:
+        fh.write("\n".join(lines))
+    n_miss = sum(1 for r in rows if r[8])
+    print(f"wrote {args.out}: {len(rows)} queries, {n_miss} notes")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
