@@ -1540,3 +1540,197 @@ def q_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_tokens", "empty_registers",
         est.cast("long").alias("est_distinct"),
     )
+
+
+# --- HLL set operations: cross-source vocabulary overlap ----------------------
+
+# Register-wise merge is the property that makes HLL the sketch of
+# choice for DISTRIBUTED distinct counting: min(m_A[b], m_B[b]) is
+# exactly the register table of A ∪ B, so union cardinality needs no
+# re-scan — and |A ∩ B| = |A| + |B| − |A ∪ B| by inclusion-exclusion.
+
+_HLL_EST_DUCK = f"""
+CAST(CASE WHEN e{{0}} <= {_HLL_SMALL} AND v{{0}} > 0
+     THEN ({_HLL_K} * CAST(floor(1000 * ln(
+            CAST({_HLL_K} AS DOUBLE) / v{{0}})) AS BIGINT) + 500) // 1000
+     ELSE e{{0}} END AS BIGINT)
+"""
+
+VOCAB_OVERLAP_ORACLE = f"""
+WITH d AS (SELECT source, {_TOKS} AS toks FROM documents),
+t AS (SELECT source, unnest(toks) AS tok FROM d),
+hv AS (
+  SELECT source,
+         {md5_long_sql('tok')} % {_HLL_K} AS b,
+         ({md5_long_sql('tok')} // {_HLL_K}) % {_HLL_VMOD} AS v
+  FROM t
+),
+regs AS (SELECT source, b, min(v) AS m FROM hv GROUP BY source, b),
+zs AS (
+  SELECT source,
+         CAST({_HLL_K} - count(*) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN m <= 0 THEN 1
+                  ELSE CAST(1 AS BIGINT)
+                       << length(to_base(CAST(m AS BIGINT), 2)) END)
+              + {_HLL_Z_EMPTY} * ({_HLL_K} - count(*)) AS BIGINT) AS z
+  FROM regs GROUP BY source
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM zs a JOIN zs b ON a.source < b.source
+),
+uregs AS (
+  SELECT p.source_a, p.source_b, r.b, min(r.m) AS m
+  FROM pairs p JOIN regs r ON r.source IN (p.source_a, p.source_b)
+  GROUP BY p.source_a, p.source_b, r.b
+),
+uz AS (
+  SELECT source_a, source_b,
+         CAST({_HLL_K} - count(*) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN m <= 0 THEN 1
+                  ELSE CAST(1 AS BIGINT)
+                       << length(to_base(CAST(m AS BIGINT), 2)) END)
+              + {_HLL_Z_EMPTY} * ({_HLL_K} - count(*)) AS BIGINT) AS z
+  FROM uregs GROUP BY source_a, source_b
+),
+es AS (
+  SELECT source,
+         {_HLL_EST_DUCK.format('')} AS est
+  FROM (SELECT source, v1 AS v,
+               (({_HLL_E0_NUM} // z) * {_HLL_ALPHA_MICRO}) // 1000000 AS e
+        FROM zs)
+),
+eu AS (
+  SELECT source_a, source_b,
+         {_HLL_EST_DUCK.format('')} AS est_union
+  FROM (SELECT source_a, source_b, v1 AS v,
+               (({_HLL_E0_NUM} // z) * {_HLL_ALPHA_MICRO}) // 1000000 AS e
+        FROM uz)
+)
+SELECT u.source_a, u.source_b, u.est_union,
+       CAST(greatest(0, ea.est + eb.est - u.est_union) AS BIGINT)
+         AS est_intersect,
+       CAST(CASE WHEN u.est_union = 0 THEN 0
+            ELSE greatest(0, ea.est + eb.est - u.est_union) * 1000
+                 // u.est_union END AS BIGINT) AS jaccard_milli
+FROM eu u
+JOIN es ea ON ea.source = u.source_a
+JOIN es eb ON eb.source = u.source_b
+"""
+
+
+def _hll_z_agg(*keys):
+    """(v1, z) aggregation over a register table grouped by ``keys`` —
+    the shared reduction of vocab_sketch / vocab_overlap_sketch."""
+    return [
+        (F.lit(_HLL_K) - F.count(F.lit(1))).cast("long").alias("v1"),
+        (
+            F.sum(
+                F.expr(
+                    "CASE WHEN m <= 0 THEN 1 ELSE "
+                    "shiftleft(CAST(1 AS BIGINT), length(bin(m))) END"
+                )
+            )
+            + F.lit(_HLL_Z_EMPTY) * (F.lit(_HLL_K) - F.count(F.lit(1)))
+        ).cast("long").alias("z"),
+    ]
+
+
+def _hll_est_col() -> "F.Column":
+    """est column from (z, v1) — alpha-scaled harmonic mean with the
+    small-range linear-counting branch (identical formula to the
+    DuckDB twin; see vocab_sketch)."""
+    e = F.expr(
+        f"(({_HLL_E0_NUM}L div z) * {_HLL_ALPHA_MICRO}L) div 1000000L"
+    )
+    return F.when(
+        (e <= _HLL_SMALL) & (F.col("v1") > 0),
+        F.expr(
+            f"({_HLL_K} * CAST(floor(1000 * ln("
+            f"CAST({_HLL_K} AS DOUBLE) / v1)) AS BIGINT) + 500) div 1000"
+        ),
+    ).otherwise(e).cast("long")
+
+
+@query("vocab_overlap_sketch", VOCAB_OVERLAP_ORACLE)
+def q_vocab_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap from HLL register merges — the
+    SKETCH twin of source_overlap (exact distinct-shingle pair
+    counts): per source pair, estimated union and intersection
+    cardinality of the token vocabularies plus the milli-Jaccard,
+    from register-wise min-merges alone. At 100 TB the corpus is
+    scanned ONCE (the same ≤ {_HLL_K}-registers-per-source reduction
+    as vocab_sketch); every pairwise union then costs a merge of two
+    256-row register vectors — no re-scan per pair, the property
+    that makes HLL the standard distributed-distinct sketch.
+    |A ∩ B| = |A| + |B| − |A ∪ B| (inclusion-exclusion, clamped at
+    0 since sketch noise can push it negative).
+
+    Plan shape: the pair × register expansion is an EQUI-join (pairs
+    exploded to (pair, source) rows, joined on source) — never a
+    nested-loop IN-join — and is bounded by |pairs| · {_HLL_K} rows
+    of longs. All arithmetic is the integer-exact HLL formula shared
+    with vocab_sketch."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    regs = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .withColumn("h", md5_long(F.col("tok")))
+        .select(
+            "source",
+            F.expr(f"h % {_HLL_K}").alias("b"),
+            F.expr(f"(h div {_HLL_K}) % {_HLL_VMOD}").alias("v"),
+        )
+        .groupBy("source", "b")
+        .agg(F.min("v").alias("m"))
+    )
+    # registers are tiny (<= 256 rows/source) but feed three
+    # consumers (per-source estimates, the pair list, the union
+    # merge) — cache so the token scan runs once
+    regs = regs.cache()
+    es = (
+        regs.groupBy("source").agg(*_hll_z_agg())
+        .select("source", _hll_est_col().alias("est"))
+    )
+    srcs = regs.select("source").where(F.col("source").isNotNull()).distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            srcs.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    # equi-join shape: each pair contributes its two member sources
+    p2 = pairs.select(
+        "source_a", "source_b",
+        F.explode(F.array("source_a", "source_b")).alias("source"),
+    )
+    uregs = (
+        p2.join(regs, "source")
+        .groupBy("source_a", "source_b", "b")
+        .agg(F.min("m").alias("m"))
+    )
+    eu = (
+        uregs.groupBy("source_a", "source_b").agg(*_hll_z_agg())
+        .select("source_a", "source_b", _hll_est_col().alias("est_union"))
+    )
+    ea = es.select(F.col("source").alias("source_a"), F.col("est").alias("ea"))
+    eb = es.select(F.col("source").alias("source_b"), F.col("est").alias("eb"))
+    inter = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("ea") + F.col("eb") - F.col("est_union"),
+    )
+    return (
+        eu.join(F.broadcast(ea), "source_a")
+        .join(F.broadcast(eb), "source_b")
+        .select(
+            "source_a", "source_b", "est_union",
+            inter.alias("est_intersect"),
+            F.when(F.col("est_union") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "greatest(CAST(0 AS BIGINT), ea + eb - est_union)"
+                    " * 1000 div est_union"
+                )
+            ).cast("long").alias("jaccard_milli"),
+        )
+    )

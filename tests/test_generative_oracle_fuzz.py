@@ -31,7 +31,7 @@ QUERIES_UNDER_FUZZ = (
     # arithmetic) and the two shingle pipelines whose candidate
     # machinery changed (heavy-bucket prefilter, span coverage)
     "shard_manifest", "bm25_scores", "heavy_shingles",
-    "dup_span_fraction",
+    "dup_span_fraction", "vocab_sketch", "vocab_overlap_sketch",
 )
 
 _TEXT = st.text(

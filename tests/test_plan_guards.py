@@ -39,6 +39,11 @@ BOUNDED_BROADCAST_OK = {
     "embedding_quantize",  # one broadcast row of per-dim ranges
     "shard_manifest",  # single-row corpus-token total rides as a broadcast
     "ann_recall",  # composes cosine_topk's bounded broadcast baseline
+    # source-PAIR generation joins the distinct source list against
+    # itself on a < b: the nested side is bounded metadata (the
+    # source catalogue), never corpus rows — register merges
+    # downstream are equi-joins
+    "vocab_overlap_sketch",
 }
 
 

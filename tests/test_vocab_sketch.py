@@ -68,3 +68,29 @@ def test_register_rows_are_bounded(spark):
     for r in rows:
         assert 0 <= r["empty_registers"] <= 256
         assert r["est_distinct"] >= 0
+
+
+def test_overlap_estimates_track_exact_set_relations(spark):
+    from itertools import combinations
+
+    est = {
+        (r["source_a"], r["source_b"]): r
+        for r in QUERIES["vocab_overlap_sketch"](spark, SF).collect()
+    }
+    toks = (
+        load_table(spark, "documents", SF)
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+        .collect()
+    )
+    vocab: dict = {}
+    for r in toks:
+        vocab.setdefault(r["source"], set()).add(r["tok"])
+    srcs = sorted(s for s in vocab if s is not None)
+    assert set(est) == set(combinations(srcs, 2))
+    for (a, b), r in est.items():
+        u, i = len(vocab[a] | vocab[b]), len(vocab[a] & vocab[b])
+        assert abs(r["est_union"] - u) <= max(5, 0.2 * u)
+        # intersection inherits BOTH sketches' noise — wide tolerance,
+        # but it must track the true overlap's magnitude
+        assert abs(r["est_intersect"] - i) <= max(10, 0.35 * u)

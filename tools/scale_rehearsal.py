@@ -49,7 +49,7 @@ FAMILIES = {
         "source_temperature_weights", "domain_cap", "unigram_logprob",
         "dup_span_fraction", "heavy_shingles", "token_entropy",
         "dsir_weights", "source_overlap", "bm25_scores",
-        "shard_manifest", "vocab_sketch",
+        "shard_manifest", "vocab_sketch", "vocab_overlap_sketch",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
