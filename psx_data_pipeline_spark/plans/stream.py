@@ -275,3 +275,18 @@ def q_stream_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decode-on-ingest): same oracle as the batch query — the
     streaming engine must produce value-identical decode output."""
     return streaming_image_decode(spark, sf_dir)
+
+
+# --- streaming vocabulary sketch ---------------------------------------------
+
+from psx_data_pipeline_spark.plans.text import VOCAB_SKETCH_ORACLE  # noqa: E402
+from psx_data_pipeline_spark.streaming.jobs import streaming_vocab_sketch  # noqa: E402
+
+
+@query("stream_vocab_sketch", VOCAB_SKETCH_ORACLE)
+def q_stream_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL vocabulary sketch under the streaming runtime: state =
+    the per-source register array (O(k) forever, the mergeable-
+    summary property); same oracle as the batch query — the stream's
+    final update must equal the batch sketch bit-for-bit."""
+    return streaming_vocab_sketch(spark, sf_dir)

@@ -435,3 +435,112 @@ def streaming_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_images(synth_image_payloads(raw.select("doc_id")))
     table = run_to_memory(decoded, "append", "img_decode")
     return spark.table(table)
+
+
+_HLL_STATE = "nt LONG, regs ARRAY<LONG>"
+_HLL_OUT = "source STRING, n_tokens LONG, v1 LONG, z LONG"
+
+
+def _hll_merge(nt: int, regs: list, pdfs) -> tuple[int, list]:
+    """Merge micro-batch (b, v) rows into the register state —
+    register-wise min, the mergeable-summary property. Pure (returns
+    new state), so arbitrary batchings are property-testable: ANY
+    split of the same rows must converge to the same registers
+    (tests/test_vocab_sketch.py)."""
+    from psx_data_pipeline_spark.plans.text import _HLL_VMOD  # noqa: PLC0415
+
+    regs = list(regs)
+    for pdf in pdfs:
+        nt += len(pdf)
+        for b, v in pdf.groupby("b")["v"].min().items():
+            iv = int(v)
+            if iv < regs[int(b)]:
+                regs[int(b)] = iv
+    return nt, regs
+
+
+def _hll_reduce(regs: list) -> tuple[int, int]:
+    """(empty-register count, dyadic harmonic-mean numerator) from a
+    register array — integer-exact twin of the batch query's z
+    aggregation (plans/text._hll_z_agg); VMOD is the empty sentinel."""
+    from psx_data_pipeline_spark.plans.text import (  # noqa: PLC0415
+        _HLL_VMOD,
+        _HLL_Z_EMPTY,
+    )
+
+    v1 = sum(1 for m in regs if m >= _HLL_VMOD)
+    z = sum(
+        0 if m >= _HLL_VMOD else (1 if m <= 0 else 1 << m.bit_length())
+        for m in regs
+    ) + _HLL_Z_EMPTY * v1
+    return v1, z
+
+
+def streaming_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL vocabulary sketch as a custom STATEFUL streaming
+    operator (plans/text.q_vocab_sketch is the batch twin): per
+    source, the state is the 256-register array itself — the
+    mergeable-summary property means ingesting a micro-batch is just
+    register-wise min with the batch's registers, so state is O(k)
+    per source FOREVER, independent of how many tokens stream
+    through. Tokenize/hash/bucket run as native expressions BEFORE
+    the stateful stage (the Python worker only merges integer mins,
+    Arrow-batched), and the estimate is computed JVM-side from the
+    emitted (z, v1) with the exact integer formula the batch query
+    and the DuckDB oracle share — no Python float seam.
+
+    Over a static single-file replay the final update equals the
+    batch sketch exactly, which is what the shared oracle pins."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from psx_data_pipeline_spark.functions.hashing import md5_long
+    from psx_data_pipeline_spark.functions.textfns import tokens
+    from psx_data_pipeline_spark.plans.text import (
+        _HLL_K,
+        _HLL_VMOD,
+        _hll_est_col,
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            nt, regs = state.get
+            regs = list(regs)
+        else:
+            nt, regs = 0, [_HLL_VMOD] * _HLL_K  # VMOD = empty sentinel
+        nt, regs = _hll_merge(nt, regs, pdfs)
+        state.update((nt, regs))
+        v1, z = _hll_reduce(regs)
+        yield pd.DataFrame({
+            "source": [key[0]], "n_tokens": [nt], "v1": [v1], "z": [z],
+        })
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    hv = (
+        raw.select("source", F.explode(tokens("text")).alias("tok"))
+        .withColumn("h", md5_long(F.col("tok")))
+        .select(
+            "source",
+            F.expr(f"h % {_HLL_K}").alias("b"),
+            F.expr(f"(h div {_HLL_K}) % {_HLL_VMOD}").alias("v"),
+        )
+    )
+    out = hv.groupBy("source").applyInPandasWithState(
+        update, _HLL_OUT, _HLL_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+    with _pinned_state_shuffle(spark):
+        table = run_to_memory(out, "update", "vocab_sketch")
+    return (
+        spark.table(table)
+        .withColumnRenamed("v1", "empty_registers")
+        .withColumn("v1", F.col("empty_registers"))
+        .select(
+            "source", "n_tokens", "empty_registers",
+            _hll_est_col().alias("est_distinct"),
+        )
+    )

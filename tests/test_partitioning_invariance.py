@@ -20,6 +20,9 @@ FLOAT_AGG_QUERIES = [
     # round-5 additions with float/quantized aggregates
     "bm25_scores", "audio_decode", "embedding_stats", "ann_recall",
     "shard_manifest",
+    # round-6 sketches: registers are min-aggregates, the estimate a
+    # pure integer formula — any layout must reproduce them exactly
+    "vocab_sketch", "vocab_overlap_sketch",
 ]
 
 

@@ -94,3 +94,54 @@ def test_overlap_estimates_track_exact_set_relations(spark):
         # intersection inherits BOTH sketches' noise — wide tolerance,
         # but it must track the true overlap's magnitude
         assert abs(r["est_intersect"] - i) <= max(10, 0.35 * u)
+
+
+def test_streaming_register_merge_is_batching_invariant():
+    """ANY split of the same token stream into micro-batches must
+    converge to identical registers (the mergeable-summary property
+    the streaming sketch's correctness rests on)."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from psx_data_pipeline_spark.plans.text import _HLL_K, _HLL_VMOD
+    from psx_data_pipeline_spark.streaming.jobs import (
+        _hll_merge,
+        _hll_reduce,
+    )
+
+    @st.composite
+    def batched(draw):
+        rows = draw(st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=_HLL_K - 1),
+                st.integers(min_value=0, max_value=_HLL_VMOD - 1),
+            ),
+            max_size=120,
+        ))
+        cuts = sorted(draw(st.lists(
+            st.integers(min_value=0, max_value=len(rows)), max_size=5
+        )))
+        bounds = [0, *cuts, len(rows)]
+        return rows, [rows[a:b] for a, b in zip(bounds, bounds[1:])]
+
+    def pdf(rows):
+        return pd.DataFrame({
+            "b": [r[0] for r in rows], "v": [r[1] for r in rows],
+        })
+
+    @settings(max_examples=80, deadline=None)
+    @given(batched())
+    def check(case):
+        rows, batches = case
+        one_nt, one_regs = _hll_merge(
+            0, [_HLL_VMOD] * _HLL_K, [pdf(rows)] if rows else []
+        )
+        nt, regs = 0, [_HLL_VMOD] * _HLL_K
+        for b in batches:
+            if b:
+                nt, regs = _hll_merge(nt, regs, [pdf(b)])
+        assert (nt, regs) == (one_nt, one_regs)
+        assert _hll_reduce(regs) == _hll_reduce(one_regs)
+
+    check()

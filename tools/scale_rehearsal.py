@@ -88,6 +88,7 @@ FAMILIES = {
     ],
     "streamjobs": [
         "stream_incremental_ingest", "stream_sync_change_log",
+        "stream_vocab_sketch",
     ],
     "io": [
         "csv_sink_roundtrip", "json_snapshot_latest",
