@@ -32,6 +32,8 @@ QUERIES_UNDER_FUZZ = (
     # machinery changed (heavy-bucket prefilter, span coverage)
     "shard_manifest", "bm25_scores", "heavy_shingles",
     "dup_span_fraction", "vocab_sketch", "vocab_overlap_sketch",
+    # fake-decode multimodal paths consume the same documents table
+    "multimodal_features", "frame_sample",
 )
 
 _TEXT = st.text(
