@@ -22,6 +22,7 @@ from psx_data_pipeline_spark.plans import multimodal  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import spans  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import retrieval  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import io_queries  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import distrib  # noqa: F401,E402
 
 # Benchmark hook: drops plan-layer memos (and their Spark cache
 # entries) so a memoized query's re-run measures the plan, not the

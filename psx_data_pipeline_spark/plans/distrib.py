@@ -1,0 +1,445 @@
+"""Distribution analytics over the ``documents`` corpus — the sketch /
+quantile / sampling / drift operators a training-data pipeline runs to
+AUDIT a 100 TB corpus without corpus-sized shuffles.
+
+Four operators, all integer-exact cross-engine (DuckDB oracle in the
+same file, repo determinism conventions from plans/registry.py):
+
+* ``count_min_hitters`` — a Count-Min sketch (Cormode & Muthukrishnan
+  2005) of token frequencies, audited against the exact counts of the
+  top tokens: the sketch is a fixed d×w = 4×1024 integer grid that
+  map-side combines, so the only vocabulary-wide exchange left is the
+  candidate recount the audit itself requires.
+* ``group_quantiles`` — EXACT per-source length percentiles via the
+  distinct-value-cume trick: pre-aggregate to (source, value) counts,
+  then a window over the ≤|domain| distinct rows — never a per-row
+  sort of the corpus.
+* ``stratified_sample`` — deterministic proportional-allocation
+  sampling (the corpus_sample Bernoulli gate's exact-count sibling):
+  hash-ranked row_number per stratum against a broadcast quota table.
+* ``ks_drift`` — per-source two-sample Kolmogorov–Smirnov distance vs
+  the rest of the corpus on a fixed 64-bin length grid; the bin grid
+  bounds the state at |sources|·64 rows regardless of corpus size.
+
+Generalizes the reference's update_statistics audit
+(/root/reference/psx_data_automation/scrape_tickers.py:503-533 —
+counts per category after a sync) to distribution-level audits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.functions.hashing import (
+    HASH_P,
+    md5_long,
+    md5_long_sql,
+    minhash_perms,
+)
+from psx_data_pipeline_spark.functions.textfns import TOKENS_SQL, tokens
+from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.sources.fixtures import load_table_parallel
+
+_TOKS = TOKENS_SQL.format("text")
+
+# --- Count-Min sketch heavy hitters ------------------------------------------
+
+_CM_D = 4          # sketch depth (independent hash rows)
+_CM_W = 1024       # sketch width (cells per row)
+_CM_TOP = 20       # audited candidate set: exact top-k tokens
+_CM_PERMS = minhash_perms(_CM_D)  # deterministic (i, a, b) rows
+
+_CM_PERMS_SQL = "(VALUES " + ", ".join(
+    f"({i}, {a}, {b})" for i, a, b in _CM_PERMS
+) + ") AS perms(i, a, b)"
+
+COUNT_MIN_ORACLE = f"""
+WITH occ AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+),
+h AS (
+  SELECT tok, {md5_long_sql('tok')} % {HASH_P} AS hp FROM occ
+),
+cells AS (
+  SELECT i, ((a * hp + b) % {HASH_P}) % {_CM_W} AS cell,
+         count(*) AS cnt
+  FROM h, {_CM_PERMS_SQL}
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT tok, count(*) AS exact_c, max(hp) AS hp
+  FROM h GROUP BY tok
+  ORDER BY exact_c DESC, tok LIMIT {_CM_TOP}
+),
+probe AS (
+  SELECT t.tok, t.exact_c, p.i,
+         ((p.a * t.hp + p.b) % {HASH_P}) % {_CM_W} AS cell
+  FROM top t, {_CM_PERMS_SQL.replace('AS perms(', 'AS p(')}
+)
+SELECT tok, CAST(exact_c AS BIGINT) AS exact_c,
+       CAST(min(cnt) AS BIGINT) AS cm_est,
+       CAST(min(cnt) - exact_c AS BIGINT) AS over_err
+FROM probe JOIN cells USING (i, cell)
+GROUP BY tok, exact_c
+"""
+
+
+@query("count_min_hitters", COUNT_MIN_ORACLE)
+def q_count_min_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of corpus token frequencies, audited against
+    the exact counts of the top-{_CM_TOP} tokens.
+
+    The sketch is the scale object: d×w = {_CM_D}×{_CM_W} integer
+    cells built by a map-side-combinable groupBy — every map task
+    emits at most {_CM_D * _CM_W} rows no matter how many tokens it
+    scanned, so the sketch's exchange is CONSTANT in corpus size
+    (same shape as the HLL registers in vocab_sketch). CM guarantees
+    est ≥ exact and est ≤ exact + εN w.h.p. (ε = e/w); the query
+    PROVES both sides for the audited set by reporting
+    ``over_err = cm_est − exact_c`` (non-negativity is pinned in
+    tests/test_distrib.py).
+
+    The candidate recount (exact top-{_CM_TOP}) is the one
+    vocabulary-wide shuffle, and it exists only because the audit
+    needs ground truth; a pure 100 TB heavy-hitter pass would take
+    candidates from the per-partition Misra-Gries sketch
+    (plans/spans.py heavy_shingles) and probe the CM grid with them.
+    Hashes are the md5-affine family (functions/hashing.py) so the
+    DuckDB oracle reproduces every cell bit-for-bit."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    occ = docs.select(F.explode(tokens("text")).alias("tok")).select(
+        "tok", (md5_long(F.col("tok")) % HASH_P).alias("hp")
+    )
+    # d rows per occurrence via a literal struct-array explode — pure
+    # projection, no join, stays inside whole-stage codegen
+    cell_arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            ((F.lit(a) * F.col("hp") + F.lit(b)) % HASH_P % _CM_W).alias("cell"),
+        )
+        for i, a, b in _CM_PERMS
+    ])
+    cells = (
+        occ.select(F.explode(cell_arr).alias("x"))
+        .select("x.i", "x.cell")
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_c"), F.max("hp").alias("hp"))
+        .orderBy(F.desc("exact_c"), "tok")
+        .limit(_CM_TOP)
+    )
+    probe = top.select(
+        "tok", "exact_c", F.explode(cell_arr).alias("x")
+    ).select("tok", "exact_c", "x.i", "x.cell")
+    return (
+        probe.join(F.broadcast(cells), ["i", "cell"])
+        .groupBy("tok", "exact_c")
+        .agg(F.min("cnt").alias("cm_est"))
+        .select(
+            "tok",
+            F.col("exact_c").cast("long").alias("exact_c"),
+            F.col("cm_est").cast("long").alias("cm_est"),
+            (F.col("cm_est") - F.col("exact_c")).cast("long").alias("over_err"),
+        )
+    )
+
+
+# --- exact per-group quantiles -----------------------------------------------
+
+# percentile q over a group of n values = the lowest value whose
+# cumulative count reaches ceil(q*n/100) — a total, integer-only
+# definition both engines evaluate identically (no interpolation).
+_QS = (50, 90, 99)
+
+
+def _q_case(q: int, engine: str) -> str:
+    div = "//" if engine == "duck" else "div"
+    return (
+        f"min(CASE WHEN cum >= ({q} * n + 99) {div} 100 THEN v END)"
+    )
+
+
+GROUP_QUANTILES_ORACLE = f"""
+WITH vc AS (
+  SELECT source, n_chars AS v, count(*) AS c
+  FROM documents WHERE n_chars IS NOT NULL
+  GROUP BY 1, 2
+),
+cw AS (
+  SELECT source, v,
+         sum(c) OVER (PARTITION BY source ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY source) AS n
+  FROM vc
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST({_q_case(50, 'duck')} AS BIGINT) AS p50,
+       CAST({_q_case(90, 'duck')} AS BIGINT) AS p90,
+       CAST({_q_case(99, 'duck')} AS BIGINT) AS p99
+FROM cw GROUP BY source
+"""
+
+
+@query("group_quantiles", GROUP_QUANTILES_ORACLE)
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source length percentiles (p50/p90/p99 of n_chars).
+
+    Scale shape: the naive exact quantile sorts every row of the
+    group; this plan first collapses to (source, value) COUNTS — a
+    map-side-combinable groupBy bounded by |sources|·|value domain|,
+    not by corpus rows — and runs the cumulative window over those
+    distinct rows only. A 100 TB corpus with a ~10^6-value length
+    domain windows over ≤10^6 rows per source. The percentile
+    definition (lowest value whose cume reaches ceil(q·n/100)) is
+    integer-only, so there is no interpolation to diverge across
+    engines; NULL lengths are excluded from the frame on both sides."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    vc = (
+        docs.filter(F.col("n_chars").isNotNull())
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cw = vc.select(
+        "source", "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return cw.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.expr(_q_case(50, "spark")).cast("long").alias("p50"),
+        F.expr(_q_case(90, "spark")).cast("long").alias("p90"),
+        F.expr(_q_case(99, "spark")).cast("long").alias("p99"),
+    )
+
+
+# --- deterministic stratified sampling ---------------------------------------
+
+_STRAT_TOTAL = 200  # target sample size across all strata
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         {md5_long_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents WHERE doc_id IS NOT NULL
+),
+counts AS (
+  SELECT source, count(*) AS n_s FROM base GROUP BY source
+),
+quotas AS (
+  SELECT source, n_s,
+         greatest(1, ({_STRAT_TOTAL} * n_s)
+                     // (SELECT sum(n_s) FROM counts)) AS quota
+  FROM counts
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY h, doc_id) AS rk
+  FROM base
+)
+SELECT r.doc_id, r.source,
+       CAST(r.rk AS BIGINT) AS rk, CAST(q.quota AS BIGINT) AS quota
+FROM ranked r JOIN quotas q USING (source)
+WHERE r.rk <= q.quota
+"""
+
+
+@query("stratified_sample", STRATIFIED_SAMPLE_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional-allocation stratified sample: each
+    source contributes max(1, floor(T·n_s/N)) documents, chosen by
+    md5-hash rank so both engines (and any re-run) pick the same
+    rows — the exact-count sibling of corpus_sample's Bernoulli gate.
+
+    Scale shape: the quota table is |sources| rows and broadcasts;
+    the per-stratum rank is a window whose ``rk <= quota`` consumer
+    lets Spark apply the WindowGroupLimit rewrite (top-quota per
+    group pushed below the full sort) — no corpus-wide global sort,
+    one exchange on the stratum key. Rows with NULL doc_id are
+    excluded from the frame on both sides (no cross-engine NULL
+    ordering to disagree on)."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    base = docs.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id", "source",
+        md5_long(F.col("doc_id").cast("string")).alias("h"),
+    )
+    counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(F.sum("n_s").alias("n_tot"))
+    quotas = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.greatest(
+                F.lit(1), F.expr(f"({_STRAT_TOTAL} * n_s) div n_tot")
+            ).alias("quota"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")
+    )
+    # quota <= _STRAT_TOTAL always (n_s <= N), so this literal bound
+    # is a no-op semantically — but a LITERAL rank filter directly
+    # over the window is what lets Spark's WindowGroupLimit rewrite
+    # prune each stratum to its top rows below the sort, where the
+    # data-dependent rk <= quota filter alone cannot
+    return (
+        base.withColumn("rk", rk)
+        .filter(F.col("rk") <= F.lit(_STRAT_TOTAL))
+        .join(F.broadcast(quotas), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(
+            "doc_id", "source",
+            F.col("rk").cast("long").alias("rk"),
+            F.col("quota").cast("long").alias("quota"),
+        )
+    )
+
+
+# --- binned Kolmogorov-Smirnov drift -----------------------------------------
+
+# fixed 64-bin grid over n_chars: bin = min(63, n_chars div 16).
+# The grid is the scale lever — per-source state is 64 rows no matter
+# the corpus size; cdfs are quantized to per-mille integers (±1 pm
+# quantization, documented) so the statistic is pure int arithmetic.
+_KS_BINS = 64
+_KS_W = 16
+
+KS_DRIFT_ORACLE = f"""
+WITH bc AS (
+  SELECT source, least({_KS_BINS - 1}, n_chars // {_KS_W}) AS bin,
+         count(*) AS c
+  FROM documents WHERE n_chars IS NOT NULL
+  GROUP BY 1, 2
+),
+dense AS (
+  SELECT sg.source, sg.bin, coalesce(bc.c, 0) AS c0
+  FROM (SELECT s.source, g.bin
+        FROM (SELECT DISTINCT source FROM bc) s,
+             (SELECT unnest(generate_series(0, {_KS_BINS - 1})) AS bin) g) sg
+  LEFT JOIN bc USING (source, bin)
+),
+cum AS (
+  SELECT source, bin,
+         sum(c0) OVER (PARTITION BY source ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+         sum(c0) OVER (PARTITION BY source) AS n_s,
+         sum(c0) OVER (ORDER BY bin
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum,
+         sum(c0) OVER () AS n_tot
+  FROM dense
+),
+pm AS (
+  SELECT source, n_s,
+         (1000 * cum_s) // n_s AS pm_s,
+         CASE WHEN n_tot - n_s = 0 THEN (1000 * cum_s) // n_s
+              ELSE (1000 * (gcum - cum_s)) // (n_tot - n_s) END AS pm_r
+  FROM cum
+)
+SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+       CAST(max(abs(pm_s - pm_r)) AS BIGINT) AS ks_permille
+FROM pm GROUP BY source
+"""
+
+
+@query("ks_drift", KS_DRIFT_ORACLE)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample Kolmogorov-Smirnov distance between the
+    source's document-length distribution and the REST of the corpus,
+    on a fixed {_KS_BINS}-bin grid — the drift audit a pipeline runs
+    when a new crawl snapshot lands (did source X's length profile
+    shift?).
+
+    Scale shape: raw lengths collapse to (source, bin) counts first
+    (map-side combinable, ≤ |sources|·{_KS_BINS} rows survive), the
+    dense grid is a literal sequence explode (projection, no join),
+    and every window runs over a bounded grid — corpus size never
+    appears in any post-aggregation cardinality. The pooled cume is
+    computed once on its own {_KS_BINS}-row grid and joined back
+    broadcast, so no corpus-sized window ever collapses to one
+    partition. Cdfs are per-mille
+    integer floors (±1 pm quantization — exact cross-engine by
+    construction, and 1000·cum stays under 2^63 until ~10^16 docs);
+    sources whose complement is empty (single-source corpus) define
+    drift as 0."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    bc = (
+        docs.filter(F.col("n_chars").isNotNull())
+        .groupBy(
+            "source",
+            F.least(
+                F.lit(_KS_BINS - 1), F.expr(f"n_chars div {_KS_W}")
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dense = (
+        bc.select("source").distinct()
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(_KS_BINS - 1))).alias("bin"),
+        )
+        .join(bc, ["source", "bin"], "left")
+        .select("source", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c0"))
+    )
+    # the global cume lives on its own 64-row grid (one tiny
+    # unpartitioned window over exactly _KS_BINS rows) and joins back
+    # broadcast — the per-(source, bin) plan never sees an
+    # all-rows-to-one-partition window
+    gbins = bc.groupBy("bin").agg(F.sum("c").alias("gc"))
+    w_g = (
+        Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_g_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gdense = (
+        spark.range(1)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(_KS_BINS - 1))).alias("bin")
+        )
+        .join(gbins, "bin", "left")
+        .select("bin", F.coalesce(F.col("gc"), F.lit(0)).alias("g0"))
+        .select(
+            "bin",
+            F.sum("g0").over(w_g).alias("gcum"),
+            F.sum("g0").over(w_g_all).alias("n_tot"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("source").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_src = Window.partitionBy("source")
+    cum = (
+        dense.select(
+            "source", "bin",
+            F.sum("c0").over(w_cum).alias("cum_s"),
+            F.sum("c0").over(w_src).alias("n_s"),
+        )
+        .join(F.broadcast(gdense), "bin")
+    )
+    pm = cum.select(
+        "source", "n_s",
+        F.expr("(1000 * cum_s) div n_s").alias("pm_s"),
+        F.expr(
+            "CASE WHEN n_tot - n_s = 0 THEN (1000 * cum_s) div n_s "
+            "ELSE (1000 * (gcum - cum_s)) div (n_tot - n_s) END"
+        ).alias("pm_r"),
+    )
+    return pm.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_docs"),
+        F.max(F.abs(F.col("pm_s") - F.col("pm_r")))
+        .cast("long")
+        .alias("ks_permille"),
+    )

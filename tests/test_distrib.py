@@ -1,0 +1,97 @@
+"""Property pins for the distribution-analytics family
+(plans/distrib.py): the Count-Min guarantee (est >= exact, bounded
+overestimate), exact-quantile ordering and membership, stratified
+sample allocation arithmetic, and the KS statistic's range and
+self-vs-pool sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.functions.textfns import tokens
+from psx_data_pipeline_spark.plans import QUERIES
+from psx_data_pipeline_spark.plans.distrib import (
+    _CM_TOP,
+    _CM_W,
+    _STRAT_TOTAL,
+)
+from psx_data_pipeline_spark.sources.fixtures import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_count_min_never_underestimates(spark):
+    rows = QUERIES["count_min_hitters"](spark, SF).collect()
+    assert len(rows) == _CM_TOP
+    n_total = (
+        load_table(spark, "documents", SF)
+        .select(F.explode(tokens("text")).alias("tok"))
+        .count()
+    )
+    for r in rows:
+        # CM lower bound is exact (min over d counters >= true count);
+        # upper bound e*N/w holds w.h.p. — assert the deterministic
+        # side strictly and the probabilistic side loosely (3x slack)
+        assert r["over_err"] >= 0, r
+        assert r["cm_est"] >= r["exact_c"], r
+        assert r["over_err"] <= 3 * (3 * n_total) // _CM_W, r
+
+
+def test_group_quantiles_ordered_and_member(spark):
+    qrows = QUERIES["group_quantiles"](spark, SF).collect()
+    docs = load_table(spark, "documents", SF)
+    vals = {
+        src: sorted(
+            r["n_chars"]
+            for r in docs.filter(F.col("source") == src)
+            .select("n_chars").collect()
+            if r["n_chars"] is not None
+        )
+        for src in {r["source"] for r in qrows}
+    }
+    for r in qrows:
+        vs = vals[r["source"]]
+        assert r["n_docs"] == len(vs)
+        assert r["p50"] <= r["p90"] <= r["p99"]
+        # each percentile is an actual member at the exact ceil rank
+        for q, p in ((50, r["p50"]), (90, r["p90"]), (99, r["p99"])):
+            rank = -(-q * len(vs) // 100)  # ceil
+            assert p == vs[rank - 1], (r["source"], q, p, vs[rank - 1])
+
+
+def test_stratified_sample_allocation(spark):
+    rows = QUERIES["stratified_sample"](spark, SF).collect()
+    docs = load_table(spark, "documents", SF)
+    n_s = {
+        r["source"]: r["n"]
+        for r in docs.filter(F.col("doc_id").isNotNull())
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_tot = sum(n_s.values())
+    by_src: dict[str, int] = {}
+    for r in rows:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+        assert r["rk"] <= r["quota"]
+    # every stratum represented, at exactly its quota (each stratum
+    # here has more rows than its quota, so the sample fills it)
+    assert by_src.keys() == n_s.keys()
+    for src, got in by_src.items():
+        quota = max(1, (_STRAT_TOTAL * n_s[src]) // n_tot)
+        assert got == min(quota, n_s[src]), (src, got, quota)
+
+
+def test_stratified_sample_is_rerun_deterministic(spark):
+    a = sorted(map(tuple, QUERIES["stratified_sample"](spark, SF).collect()))
+    b = sorted(map(tuple, QUERIES["stratified_sample"](spark, SF).collect()))
+    assert a == b
+
+
+def test_ks_drift_range_and_pool_identity(spark):
+    rows = QUERIES["ks_drift"](spark, SF).collect()
+    assert rows, "at least one source"
+    for r in rows:
+        assert 0 <= r["ks_permille"] <= 1000, r
+    # a source whose length distribution IS the pooled rest would sit
+    # at ~0; the synthetic sources all share one generator, so none
+    # should be anywhere near the maximum
+    assert max(r["ks_permille"] for r in rows) < 1000

@@ -38,6 +38,7 @@ BOUNDED_BROADCAST_OK = {
     "dsir_weights",  # single-row corpus totals ride as a broadcast
     "embedding_quantize",  # one broadcast row of per-dim ranges
     "shard_manifest",  # single-row corpus-token total rides as a broadcast
+    "stratified_sample",  # single-row corpus doc total rides as a broadcast
     "ann_recall",  # composes cosine_topk's bounded broadcast baseline
     # source-PAIR generation joins the distinct source list against
     # itself on a < b: the nested side is bounded metadata (the

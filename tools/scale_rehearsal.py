@@ -94,6 +94,10 @@ FAMILIES = {
         "csv_sink_roundtrip", "json_snapshot_latest",
         "partitioned_overwrite_idempotent", "schema_evolution",
     ],
+    "distrib": [
+        "count_min_hitters", "group_quantiles", "stratified_sample",
+        "ks_drift",
+    ],
 }
 
 
