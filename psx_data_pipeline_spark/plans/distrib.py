@@ -85,6 +85,64 @@ GROUP BY tok, exact_c
 """
 
 
+def cm_occurrences(docs: DataFrame) -> DataFrame:
+    """Token occurrences with the reduced hash ``hp`` every CM hash
+    row derives from."""
+    return docs.select(F.explode(tokens("text")).alias("tok")).select(
+        "tok", (md5_long(F.col("tok")) % HASH_P).alias("hp")
+    )
+
+
+def cm_cell_array() -> F.Column:
+    """d (i, cell) structs per occurrence as a literal array — pure
+    projection, no join, stays inside whole-stage codegen."""
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            ((F.lit(a) * F.col("hp") + F.lit(b)) % HASH_P % _CM_W).alias("cell"),
+        )
+        for i, a, b in _CM_PERMS
+    ])
+
+
+def cm_cells(occ: DataFrame) -> DataFrame:
+    """The d×w counter grid: a map-side-combinable groupBy that emits
+    at most d·w rows per map task regardless of corpus size."""
+    return (
+        occ.select(F.explode(cm_cell_array()).alias("x"))
+        .select("x.i", "x.cell")
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_audit(occ: DataFrame, cells: DataFrame) -> DataFrame:
+    """Probe ``cells`` with the exact top-{_CM_TOP} tokens of ``occ``
+    and report estimate vs truth (shared by the batch query and the
+    streaming twin, which builds ``cells`` under the streaming
+    runtime)."""
+    top = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_c"), F.max("hp").alias("hp"))
+        .orderBy(F.desc("exact_c"), "tok")
+        .limit(_CM_TOP)
+    )
+    probe = top.select(
+        "tok", "exact_c", F.explode(cm_cell_array()).alias("x")
+    ).select("tok", "exact_c", "x.i", "x.cell")
+    return (
+        probe.join(F.broadcast(cells), ["i", "cell"])
+        .groupBy("tok", "exact_c")
+        .agg(F.min("cnt").alias("cm_est"))
+        .select(
+            "tok",
+            F.col("exact_c").cast("long").alias("exact_c"),
+            F.col("cm_est").cast("long").alias("cm_est"),
+            (F.col("cm_est") - F.col("exact_c")).cast("long").alias("over_err"),
+        )
+    )
+
+
 @query("count_min_hitters", COUNT_MIN_ORACLE)
 def q_count_min_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch of corpus token frequencies, audited against
@@ -107,45 +165,8 @@ def q_count_min_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plans/spans.py heavy_shingles) and probe the CM grid with them.
     Hashes are the md5-affine family (functions/hashing.py) so the
     DuckDB oracle reproduces every cell bit-for-bit."""
-    docs = load_table_parallel(spark, "documents", sf_dir)
-    occ = docs.select(F.explode(tokens("text")).alias("tok")).select(
-        "tok", (md5_long(F.col("tok")) % HASH_P).alias("hp")
-    )
-    # d rows per occurrence via a literal struct-array explode — pure
-    # projection, no join, stays inside whole-stage codegen
-    cell_arr = F.array(*[
-        F.struct(
-            F.lit(i).alias("i"),
-            ((F.lit(a) * F.col("hp") + F.lit(b)) % HASH_P % _CM_W).alias("cell"),
-        )
-        for i, a, b in _CM_PERMS
-    ])
-    cells = (
-        occ.select(F.explode(cell_arr).alias("x"))
-        .select("x.i", "x.cell")
-        .groupBy("i", "cell")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    top = (
-        occ.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_c"), F.max("hp").alias("hp"))
-        .orderBy(F.desc("exact_c"), "tok")
-        .limit(_CM_TOP)
-    )
-    probe = top.select(
-        "tok", "exact_c", F.explode(cell_arr).alias("x")
-    ).select("tok", "exact_c", "x.i", "x.cell")
-    return (
-        probe.join(F.broadcast(cells), ["i", "cell"])
-        .groupBy("tok", "exact_c")
-        .agg(F.min("cnt").alias("cm_est"))
-        .select(
-            "tok",
-            F.col("exact_c").cast("long").alias("exact_c"),
-            F.col("cm_est").cast("long").alias("cm_est"),
-            (F.col("cm_est") - F.col("exact_c")).cast("long").alias("over_err"),
-        )
-    )
+    occ = cm_occurrences(load_table_parallel(spark, "documents", sf_dir))
+    return cm_audit(occ, cm_cells(occ))
 
 
 # --- exact per-group quantiles -----------------------------------------------
@@ -442,4 +463,115 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(F.col("pm_s") - F.col("pm_r")))
         .cast("long")
         .alias("ks_permille"),
+    )
+
+
+# --- robust outlier audit (median / MAD) -------------------------------------
+
+# values enter as milli-int floors (floor(value*1000) is the same
+# double op in both engines); median is the group_quantiles lower
+# median (lowest v with cume >= ceil(n/2)) — integer-only throughout,
+# so the MAD fence 3*MAD needs no float epsilon.
+
+_MED_DUCK = """
+SELECT {key}, min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS {out}
+FROM (
+  SELECT {key}, v,
+         sum(c) OVER (PARTITION BY {key} ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY {key}) AS n
+  FROM (SELECT {key}, {val} AS v, count(*) AS c FROM {src} GROUP BY 1, 2)
+) GROUP BY {key}
+"""
+
+ROBUST_OUTLIERS_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+med AS ({_MED_DUCK.format(key='event_type', val='v', out='med', src='ev')}),
+dev AS (
+  SELECT ev.event_type, ev.v, abs(ev.v - med.med) AS d
+  FROM ev JOIN med USING (event_type)
+),
+mad AS ({_MED_DUCK.format(key='event_type', val='d', out='mad', src='dev')})
+SELECT dev.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(med.med) AS BIGINT) AS med_milli,
+       CAST(max(mad.mad) AS BIGINT) AS mad_milli,
+       CAST(sum(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev
+JOIN med USING (event_type)
+JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
+def _lower_median(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    """Lowest value whose cumulative count reaches ceil(n/2), per key,
+    computed over distinct-(key, value) COUNTS — the group_quantiles
+    shape: the window's input is bounded by |keys|x|value domain|."""
+    vc = df.groupBy(key, F.col(val).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy(key).orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(key)
+    return (
+        vc.select(
+            key, "v",
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        .groupBy(key)
+        .agg(
+            F.min(
+                F.when(F.expr("cum >= (n + 1) div 2"), F.col("v"))
+            ).alias(out)
+        )
+    )
+
+
+@query("robust_outliers", ROBUST_OUTLIERS_ORACLE)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier audit: median and MAD (median
+    absolute deviation) of the value distribution, and how many events
+    sit outside the 3-MAD fence — the data-quality gate that survives
+    the very outliers a mean/stddev z-score would be skewed by.
+
+    Scale shape: both medians run through the distinct-value-count
+    window (see _lower_median — bounded by |types|·|value domain|,
+    never a per-row sort), and the median/MAD tables that join back
+    are |event types| rows, broadcast. Values are milli-int floors so
+    every comparison — including the 3·MAD fence — is int64 and
+    engine-exact; NULL values are excluded from the frame on both
+    sides."""
+    ev = (
+        load_table_parallel(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("long").alias("v"),
+        )
+    )
+    med = _lower_median(ev, "event_type", "v", "med")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "v", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    mad = _lower_median(dev, "event_type", "d", "mad")
+    return (
+        dev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("med").cast("long").alias("med_milli"),
+            F.max("mad").cast("long").alias("mad_milli"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
     )

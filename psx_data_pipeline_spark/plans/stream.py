@@ -290,3 +290,27 @@ def q_stream_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary property); same oracle as the batch query — the stream's
     final update must equal the batch sketch bit-for-bit."""
     return streaming_vocab_sketch(spark, sf_dir)
+
+
+from psx_data_pipeline_spark.plans.distrib import (  # noqa: E402
+    COUNT_MIN_ORACLE,
+    cm_occurrences,
+    cm_audit,
+)
+from psx_data_pipeline_spark.streaming.jobs import streaming_cm_cells  # noqa: E402
+
+
+@query("stream_heavy_hitters", COUNT_MIN_ORACLE)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min counter grid under the streaming runtime: state =
+    d counter rows of w cells keyed by sketch row (O(d·w) forever —
+    counters are mergeable summaries, so ingesting a micro-batch is
+    vector addition). The exact-recount AUDIT half (top-k candidates
+    + ground-truth counts) runs batch-side over the same replayed
+    input, exactly as a production pipeline would probe a
+    continuously-maintained sketch with an offline candidate set;
+    same oracle as the batch query — the stream-built grid must make
+    the audit agree bit-for-bit."""
+    cells = streaming_cm_cells(spark, sf_dir)
+    occ = cm_occurrences(load_table(spark, "documents", sf_dir))
+    return cm_audit(occ, cells)

@@ -544,3 +544,68 @@ def streaming_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             _hll_est_col().alias("est_distinct"),
         )
     )
+
+
+# --- Count-Min sketch as streaming state -------------------------------------
+
+_CM_STATE = "cnts ARRAY<LONG>"
+_CM_OUT = "i LONG, cell LONG, cnt LONG"
+
+
+def _cm_merge(cnts: list, pdfs) -> list:
+    """Add a micro-batch's per-cell occurrence counts into the counter
+    row — CM sketches are counters, so the merge is plain vector
+    addition (mergeable-summary property, same shape as _hll_merge's
+    register min). Pure; any batching of the same rows converges to
+    the same grid (tests/test_distrib.py)."""
+    cnts = list(cnts)
+    for pdf in pdfs:
+        for cell, c in pdf.groupby("cell").size().items():
+            cnts[int(cell)] += int(c)
+    return cnts
+
+
+def streaming_cm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min counter grid (plans/distrib.cm_cells is the batch
+    twin) maintained as custom stateful streaming state: the stream is
+    keyed by SKETCH ROW i, so the d rows update in parallel and each
+    group's state is exactly its w counters — O(d·w) total FOREVER,
+    independent of how many tokens stream through. Hash/explode run as
+    native expressions before the stateful stage; the Python worker
+    only adds integers, Arrow-batched."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from psx_data_pipeline_spark.plans.distrib import _CM_W, cm_cell_array
+    from psx_data_pipeline_spark.functions.hashing import HASH_P, md5_long
+    from psx_data_pipeline_spark.functions.textfns import tokens
+
+    def update(key, pdfs, state):
+        cnts = list(state.get[0]) if state.exists else [0] * _CM_W
+        cnts = _cm_merge(cnts, pdfs)
+        state.update((cnts,))
+        nz = [(c, n) for c, n in enumerate(cnts) if n > 0]
+        yield pd.DataFrame({
+            "i": [key[0]] * len(nz),
+            "cell": [c for c, _ in nz],
+            "cnt": [n for _, n in nz],
+        })
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    ic = (
+        raw.select(F.explode(tokens("text")).alias("tok"))
+        .select((md5_long(F.col("tok")) % HASH_P).alias("hp"))
+        .select(F.explode(cm_cell_array()).alias("x"))
+        .select(F.col("x.i").cast("long").alias("i"), "x.cell")
+    )
+    out = ic.groupBy("i").applyInPandasWithState(
+        update, _CM_OUT, _CM_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+    with _pinned_state_shuffle(spark):
+        table = run_to_memory(out, "update", "cm_cells")
+    return spark.table(table)

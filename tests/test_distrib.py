@@ -86,6 +86,50 @@ def test_stratified_sample_is_rerun_deterministic(spark):
     assert a == b
 
 
+def test_robust_outliers_fence(spark):
+    rows = QUERIES["robust_outliers"](spark, SF).collect()
+    assert rows
+    ev = (
+        load_table(spark, "events", SF)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.floor(F.col("value") * 1000).alias("v"))
+        .collect()
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(int(r["v"]))
+    for r in rows:
+        vs = sorted(by_type[r["event_type"]])
+        assert r["n_events"] == len(vs)
+        med = vs[(len(vs) + 1) // 2 - 1]  # lower median at ceil(n/2)
+        assert r["med_milli"] == med
+        ds = sorted(abs(v - med) for v in vs)
+        mad = ds[(len(ds) + 1) // 2 - 1]
+        assert r["mad_milli"] == mad
+        assert r["n_outliers"] == sum(
+            1 for v in vs if abs(v - med) > 3 * mad
+        )
+        assert r["n_outliers"] < r["n_events"]
+
+
+def test_cm_merge_batching_invariance():
+    """Any micro-batch split of the same (cell) rows must converge to
+    the same counter grid — the property that makes the streaming CM
+    state correct under arbitrary replay batching."""
+    import pandas as pd
+
+    from psx_data_pipeline_spark.plans.distrib import _CM_W
+    from psx_data_pipeline_spark.streaming.jobs import _cm_merge
+
+    cells = [i % 17 for i in range(1000)] + [3] * 50
+    one = _cm_merge([0] * _CM_W, [pd.DataFrame({"cell": cells})])
+    many = [0] * _CM_W
+    for k in range(0, len(cells), 37):
+        many = _cm_merge(many, [pd.DataFrame({"cell": cells[k:k + 37]})])
+    assert one == many
+    assert sum(one) == len(cells)
+
+
 def test_ks_drift_range_and_pool_identity(spark):
     rows = QUERIES["ks_drift"](spark, SF).collect()
     assert rows, "at least one source"
