@@ -39,3 +39,32 @@ def dsum_sql(expr: str, scale: int = 6) -> str:
 def davg_sql(expr: str, scale: int = 6) -> str:
     """DuckDB oracle-side twin of davg()."""
     return f"({dsum_sql(expr, scale)} / COUNT({expr}))"
+
+
+# --- total milli-int quantization ---------------------------------------------
+
+# floor(value*1000) as BIGINT is the repo's quantized-value convention
+# for events; it is PARTIAL on raw doubles: floor(Inf/NaN/1e30)·1000
+# crashes Spark's ANSI long cast (and DuckDB's BIGINT cast) — found
+# by extending the hostile events probe to non-finite values
+# (round 6; it one-sided-crashed skew_salted_counts, event_cube and
+# both value-summing stream jobs). MILLI_SQL is the TOTAL form:
+# non-finite and out-of-range values map to NULL (skipped by SUM,
+# like SQL NULLs), identically in both engines. The ±9e12 gate keeps
+# each term ≤ 9e15, so an int64 SUM has ≥ 10^3-row headroom of
+# worst-case terms and ~10^13 rows of realistic (≤ 10^6-milli)
+# ones — the same documented-bound convention as BM25's rational.
+MILLI_BOUND = "9e12"
+MILLI_SQL = (
+    "CASE WHEN {0} IS NULL OR isnan({0}) "
+    f"OR {{0}} NOT BETWEEN -{MILLI_BOUND} AND {MILLI_BOUND} THEN NULL "
+    "ELSE CAST(floor({0} * 1000) AS BIGINT) END"
+)
+
+
+def milli(col: Column | str) -> Column:
+    """Spark twin of MILLI_SQL (same expression text, same NULLs)."""
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise TypeError("milli() takes a column NAME (shared SQL template)")
+    return F.expr(MILLI_SQL.format(name))

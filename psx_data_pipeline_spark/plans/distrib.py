@@ -337,9 +337,10 @@ _KS_W = 16
 
 KS_DRIFT_ORACLE = f"""
 WITH bc AS (
-  SELECT source, least({_KS_BINS - 1}, n_chars // {_KS_W}) AS bin,
+  SELECT source,
+         least({_KS_BINS - 1}, greatest(0, n_chars // {_KS_W})) AS bin,
          count(*) AS c
-  FROM documents WHERE n_chars IS NOT NULL
+  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
   GROUP BY 1, 2
 ),
 dense AS (
@@ -393,12 +394,21 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources whose complement is empty (single-source corpus) define
     drift as 0."""
     docs = load_table_parallel(spark, "documents", sf_dir)
+    # NULL sources have no drift identity (and a NULL key never
+    # equi-joins onto the dense grid — it would surface as a
+    # zero-count source and divide by zero; fuzz-found class)
     bc = (
-        docs.filter(F.col("n_chars").isNotNull())
+        docs.filter(
+            F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+        )
         .groupBy(
             "source",
+            # clamped on BOTH ends: a negative length (hostile data)
+            # must land in bin 0, not fall off the dense grid — a
+            # source living entirely off-grid would divide by n_s = 0
             F.least(
-                F.lit(_KS_BINS - 1), F.expr(f"n_chars div {_KS_W}")
+                F.lit(_KS_BINS - 1),
+                F.greatest(F.lit(0), F.expr(f"n_chars div {_KS_W}")),
             ).alias("bin"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
@@ -484,10 +494,19 @@ FROM (
 ) GROUP BY {key}
 """
 
+# NaN/Inf/overflow guard: floor(Inf) -> BIGINT errors in DuckDB but
+# saturates in Spark, and |value| >= 2^63/1000 overflows the milli
+# floor — the fence excludes non-finite and out-of-range values
+# identically in both engines (hostile-probe class, pre-hardened)
+_VAL_OK = (
+    "value IS NOT NULL AND NOT isnan(value) "
+    "AND value BETWEEN -9e12 AND 9e12"  # the MILLI_SQL gate
+)
+
 ROBUST_OUTLIERS_ORACLE = f"""
 WITH ev AS (
   SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE {_VAL_OK}
 ),
 med AS ({_MED_DUCK.format(key='event_type', val='v', out='med', src='ev')}),
 dev AS (
@@ -547,11 +566,11 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a per-row sort), and the median/MAD tables that join back
     are |event types| rows, broadcast. Values are milli-int floors so
     every comparison — including the 3·MAD fence — is int64 and
-    engine-exact; NULL values are excluded from the frame on both
-    sides."""
+    engine-exact; NULL/NaN/Inf/out-of-range values are excluded from
+    the frame by the same predicate on both sides."""
     ev = (
         load_table_parallel(spark, "events", sf_dir)
-        .filter(F.col("value").isNotNull())
+        .filter(F.expr(_VAL_OK))
         .select(
             "event_type",
             F.floor(F.col("value") * 1000).cast("long").alias("v"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from psx_data_pipeline_spark.functions.numeric import MILLI_SQL, milli
 from psx_data_pipeline_spark.operators.sessions import asof_join, detect_gaps, sessionize
 from psx_data_pipeline_spark.plans.registry import query
 from psx_data_pipeline_spark.sources.fixtures import load_events, load_table
@@ -218,9 +219,9 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- salted two-phase aggregation (skew pattern) -----------------------------
 
-SALTED_COUNTS_ORACLE = """
+SALTED_COUNTS_ORACLE = f"""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_k
+       CAST(SUM({MILLI_SQL.format('value')}) AS BIGINT) AS value_k
 FROM events GROUP BY event_type
 """
 
@@ -239,7 +240,7 @@ def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "salt")
         .agg(
             F.count(F.lit(1)).alias("pn"),
-            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("pvk"),
+            F.sum(milli("value")).alias("pvk"),
         )
     )
     return partial.groupBy("event_type").agg(
@@ -427,10 +428,10 @@ def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- CUBE (all-subtotal grid) ------------------------------------------------
 
-EVENT_CUBE_ORACLE = """
+EVENT_CUBE_ORACLE = f"""
 SELECT event_type, user_id % 10 AS user_bucket,
        count(*) AS n,
-       CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_k,
+       CAST(SUM({MILLI_SQL.format('value')}) AS BIGINT) AS value_k,
        CAST(CASE WHEN event_type IS NULL THEN 2 ELSE 0 END
           + CASE WHEN user_id % 10 IS NULL THEN 1 ELSE 0 END AS INT) AS lvl
 FROM events
@@ -449,7 +450,7 @@ def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
         "event_type",
         F.pmod(F.col("user_id"), F.lit(10)).alias("user_bucket"),
-        F.floor(F.col("value") * 1000).cast("long").alias("vk"),
+        milli("value").alias("vk"),
     )
     lvl = (
         F.when(F.col("event_type").isNull(), 2).otherwise(0)

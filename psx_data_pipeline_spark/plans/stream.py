@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from psx_data_pipeline_spark.functions.numeric import MILLI_SQL
 from psx_data_pipeline_spark.plans.registry import query
 from psx_data_pipeline_spark.scratch import scratch_dir
 from psx_data_pipeline_spark.sources.fixtures import load_table
@@ -36,7 +37,7 @@ STREAM_WINDOW_ORACLE = f"""
 SELECT epoch_us(ts) - ((epoch_us(ts) % {_HOUR_US}) + {_HOUR_US}) % {_HOUR_US}
          AS win_start_us,
        event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_k
+       CAST(SUM({MILLI_SQL.format('value')}) AS BIGINT) AS value_k
 FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
@@ -84,9 +85,9 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sessionize(spark, sf_dir)
 
 
-STREAM_USER_TOTALS_ORACLE = """
+STREAM_USER_TOTALS_ORACLE = f"""
 SELECT user_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_k,
+       CAST(SUM({MILLI_SQL.format('value')}) AS BIGINT) AS value_k,
        MAX(event_id) AS max_event_id
 FROM events GROUP BY user_id
 """
@@ -302,15 +303,17 @@ from psx_data_pipeline_spark.streaming.jobs import streaming_cm_cells  # noqa: E
 
 @query("stream_heavy_hitters", COUNT_MIN_ORACLE)
 def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Count-Min counter grid under the streaming runtime: state =
-    d counter rows of w cells keyed by sketch row (O(d·w) forever —
-    counters are mergeable summaries, so ingesting a micro-batch is
-    vector addition). The exact-recount AUDIT half (top-k candidates
-    + ground-truth counts) runs batch-side over the same replayed
-    input, exactly as a production pipeline would probe a
-    continuously-maintained sketch with an offline candidate set;
+    """The Count-Min counter grid under the streaming runtime, as a
+    NATIVE incremental aggregation over the bounded (i, cell) key
+    space — map-side partial agg caps every micro-batch's exchange at
+    d·w rows per task and the state store at d·w counters forever
+    (streaming/jobs.streaming_cm_cells). The exact-recount AUDIT half
+    (top-k candidates + ground-truth counts) runs batch-side over the
+    same replayed input, exactly as a production pipeline would probe
+    a continuously-maintained sketch with an offline candidate set;
     same oracle as the batch query — the stream-built grid must make
-    the audit agree bit-for-bit."""
+    the audit agree bit-for-bit (and equals the batch grid
+    cell-for-cell: tests/test_distrib.py)."""
     cells = streaming_cm_cells(spark, sf_dir)
     occ = cm_occurrences(load_table(spark, "documents", sf_dir))
     return cm_audit(occ, cells)

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from psx_data_pipeline_spark.functions.numeric import milli
 from psx_data_pipeline_spark.scratch import scratch_dir
 from psx_data_pipeline_spark.sources.fixtures import ts_us_expr
 
@@ -118,7 +119,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts_ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_k"),
+            F.sum(milli("value")).alias("value_k"),
         )
     )
     out = agg.select(
@@ -173,12 +174,20 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, vk, meid, nv, ne = (
             state.get if state.exists else (0, 0, 0, 0, 0)
         )
+        import numpy as np  # noqa: PLC0415 — worker-side
+
         for pdf in pdfs:
             n += len(pdf)
             # SQL SUM semantics: NULL values are skipped, not NaN-
             # poisoned (a NULL value crashed the int64 cast before;
-            # hostile-probe finding)
-            vals = pdf["value"].dropna()
+            # hostile-probe finding). Non-finite / out-of-range
+            # values follow the same total-milli gate as MILLI_SQL
+            # (Inf crashed the int64 astype; round-6 probe finding).
+            vals = pdf["value"]
+            vals = vals[
+                vals.notna() & np.isfinite(vals)
+                & vals.between(-9e12, 9e12)
+            ]
             if len(vals):
                 vk += int(((vals * 1000) // 1).astype("int64").sum())
                 nv += len(vals)
@@ -548,48 +557,24 @@ def streaming_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Count-Min sketch as streaming state -------------------------------------
 
-_CM_STATE = "cnts ARRAY<LONG>"
-_CM_OUT = "i LONG, cell LONG, cnt LONG"
-
-
-def _cm_merge(cnts: list, pdfs) -> list:
-    """Add a micro-batch's per-cell occurrence counts into the counter
-    row — CM sketches are counters, so the merge is plain vector
-    addition (mergeable-summary property, same shape as _hll_merge's
-    register min). Pure; any batching of the same rows converges to
-    the same grid (tests/test_distrib.py)."""
-    cnts = list(cnts)
-    for pdf in pdfs:
-        for cell, c in pdf.groupby("cell").size().items():
-            cnts[int(cell)] += int(c)
-    return cnts
-
 
 def streaming_cm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Count-Min counter grid (plans/distrib.cm_cells is the batch
-    twin) maintained as custom stateful streaming state: the stream is
-    keyed by SKETCH ROW i, so the d rows update in parallel and each
-    group's state is exactly its w counters — O(d·w) total FOREVER,
-    independent of how many tokens stream through. Hash/explode run as
-    native expressions before the stateful stage; the Python worker
-    only adds integers, Arrow-batched."""
-    import pandas as pd  # noqa: PLC0415 — worker-side import
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from psx_data_pipeline_spark.plans.distrib import _CM_W, cm_cell_array
+    twin) maintained under the streaming runtime as a NATIVE streaming
+    aggregation: CM cells have a bounded key space (d*w = 4096), so
+    the idiomatic plan is an incremental groupBy(i, cell) count --
+    partial aggregation combines map-side, shrinking every
+    micro-batch's exchange to at most d*w rows per task no matter how
+    many tokens streamed through it, and the state store holds at
+    most d*w counters forever. No Python worker touches the hot path
+    (contrast streaming_vocab_sketch, which takes the
+    applyInPandasWithState route to demonstrate the custom-stateful
+    seam; counters need nothing custom -- addition IS the built-in
+    agg's merge). 'complete' output re-emits the whole bounded grid
+    each trigger, so a replay's final table equals the batch grid."""
     from psx_data_pipeline_spark.functions.hashing import HASH_P, md5_long
     from psx_data_pipeline_spark.functions.textfns import tokens
-
-    def update(key, pdfs, state):
-        cnts = list(state.get[0]) if state.exists else [0] * _CM_W
-        cnts = _cm_merge(cnts, pdfs)
-        state.update((cnts,))
-        nz = [(c, n) for c, n in enumerate(cnts) if n > 0]
-        yield pd.DataFrame({
-            "i": [key[0]] * len(nz),
-            "cell": [c for c, _ in nz],
-            "cnt": [n for _, n in nz],
-        })
+    from psx_data_pipeline_spark.plans.distrib import cm_cell_array
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     raw = (
@@ -603,9 +588,7 @@ def streaming_cm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(cm_cell_array()).alias("x"))
         .select(F.col("x.i").cast("long").alias("i"), "x.cell")
     )
-    out = ic.groupBy("i").applyInPandasWithState(
-        update, _CM_OUT, _CM_STATE, "update", GroupStateTimeout.NoTimeout
-    )
+    out = ic.groupBy("i", "cell").agg(F.count(F.lit(1)).alias("cnt"))
     with _pinned_state_shuffle(spark):
-        table = run_to_memory(out, "update", "cm_cells")
+        table = run_to_memory(out, "complete", "cm_cells")
     return spark.table(table)

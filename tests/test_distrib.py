@@ -112,22 +112,24 @@ def test_robust_outliers_fence(spark):
         assert r["n_outliers"] < r["n_events"]
 
 
-def test_cm_merge_batching_invariance():
-    """Any micro-batch split of the same (cell) rows must converge to
-    the same counter grid — the property that makes the streaming CM
-    state correct under arbitrary replay batching."""
-    import pandas as pd
+def test_streamed_cm_grid_equals_batch_grid(spark):
+    """The stream-maintained counter grid must equal the batch grid
+    cell-for-cell (stronger than the shared audit oracle, which only
+    sees the probed cells)."""
+    from psx_data_pipeline_spark.plans.distrib import cm_cells, cm_occurrences
+    from psx_data_pipeline_spark.sources.fixtures import load_table
+    from psx_data_pipeline_spark.streaming.jobs import streaming_cm_cells
 
-    from psx_data_pipeline_spark.plans.distrib import _CM_W
-    from psx_data_pipeline_spark.streaming.jobs import _cm_merge
-
-    cells = [i % 17 for i in range(1000)] + [3] * 50
-    one = _cm_merge([0] * _CM_W, [pd.DataFrame({"cell": cells})])
-    many = [0] * _CM_W
-    for k in range(0, len(cells), 37):
-        many = _cm_merge(many, [pd.DataFrame({"cell": cells[k:k + 37]})])
-    assert one == many
-    assert sum(one) == len(cells)
+    batch = sorted(
+        map(tuple, cm_cells(
+            cm_occurrences(load_table(spark, "documents", SF))
+        ).collect())
+    )
+    streamed = sorted(
+        map(tuple, streaming_cm_cells(spark, SF)
+            .select("i", "cell", "cnt").collect())
+    )
+    assert streamed == batch
 
 
 def test_ks_drift_range_and_pool_identity(spark):

@@ -34,6 +34,8 @@ QUERIES_UNDER_FUZZ = (
     "dup_span_fraction", "vocab_sketch", "vocab_overlap_sketch",
     # fake-decode multimodal paths consume the same documents table
     "multimodal_features", "frame_sample",
+    # round-6: the CM sketch (cell grid + top-k tie ordering)
+    "count_min_hitters",
 )
 
 _TEXT = st.text(
@@ -168,8 +170,16 @@ _EV = st.tuples(
     _TS,
     st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # user
     st.sampled_from(["click", "view", "purchase", None]),
-    st.one_of(st.none(), st.floats(
-        min_value=-1e6, max_value=1e6, allow_nan=False)),
+    # round-6: non-finite and out-of-gate values included — the
+    # MILLI_SQL total form must NULL them identically in both engines
+    st.one_of(
+        st.none(),
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        st.sampled_from([
+            float("nan"), float("inf"), float("-inf"),
+            1e30, -1e30, 9e12, 9.1e12,
+        ]),
+    ),
     _PROPS,
 )
 
@@ -217,7 +227,8 @@ def test_event_queries_match_oracle_on_arbitrary_events(
         f"{sf}/events.parquet",
     )
     for name in ("sessionize_events", "event_props_json",
-                 "event_type_pivot", "skew_salted_counts"):
+                 "event_type_pivot", "skew_salted_counts",
+                 "event_cube", "robust_outliers"):
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged on {evs!r}: {msg}"
 
@@ -413,3 +424,59 @@ def test_pricing_summary_matches_oracle_on_arbitrary_lineitems(
         ORACLE_SQL["pricing_summary"], sf,
     )
     assert ok, f"pricing_summary diverged on {lis!r}: {msg}"
+
+
+_DOCMETA = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=9)),  # doc_id
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c", ""])),   # source
+    st.one_of(                                                     # n_chars
+        st.none(),
+        st.integers(min_value=-(2**40), max_value=2**40),
+        st.sampled_from([0, -1, 15, 16, 17, 1023, 1024, 2**62]),
+    ),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_DOCMETA, min_size=1, max_size=15))
+def test_distrib_queries_match_oracle_on_arbitrary_doc_meta(
+    spark, fuzz_root, metas
+):
+    """Arbitrary (doc_id, source, n_chars) — NULL ids/sources/lengths,
+    negative and astronomically large lengths, duplicate ids, empty
+    source strings — through the distribution-audit family: quantile
+    ranks, KS bin clamping (a source living entirely in negative bins
+    must not divide by zero), and stratified quota arithmetic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    _counter[0] += 1
+    sf = os.path.join(fuzz_root, f"dm{_counter[0]}")
+    os.makedirs(sf, exist_ok=True)
+    for t in TABLES:
+        dst = f"{sf}/{t}.parquet"
+        if not os.path.exists(dst):
+            try:
+                os.link(f"{BASE}/{t}.parquet", dst)
+            except OSError:
+                shutil.copy(f"{BASE}/{t}.parquet", dst)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([m[0] for m in metas], type=pa.int64()),
+            "text": pa.array(["w"] * len(metas), type=pa.string()),
+            "lang": pa.array(["en"] * len(metas), type=pa.string()),
+            "source": pa.array([m[1] for m in metas], type=pa.string()),
+            "n_chars": pa.array([m[2] for m in metas], type=pa.int64()),
+        }),
+        f"{sf}/documents.parquet",
+    )
+    for name in ("group_quantiles", "ks_drift", "stratified_sample"):
+        ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
+        assert ok, f"{name} diverged on {metas!r}: {msg}"

@@ -129,3 +129,37 @@ def test_window_floor_formula_matches_spark_on_negatives():
     H = 3600 * 1_000_000
     for x in (-1, -1_000_000, -H, -H - 1, 0, 1, H, H + 1):
         assert x - ((x % H) + H) % H == (x // H) * H  # python // floors
+
+
+def test_milli_quantization_is_total(spark):
+    """MILLI_SQL must map NULL/NaN/±Inf/out-of-range doubles to NULL
+    (never crash, never saturate) and agree with DuckDB value-for-
+    value — the round-6 probe extension one-sided-crashed four
+    queries (skew_salted_counts, event_cube, stream_window_counts,
+    stream_user_totals) before the shared gate existed."""
+    import duckdb
+
+    from psx_data_pipeline_spark.functions.numeric import MILLI_SQL
+
+    vals = [None, float("nan"), float("inf"), float("-inf"),
+            1e30, -1e30, 9e12, -9e12, 9.001e12, 1.5, -1.5, 0.0, -0.0,
+            123.456, -123.456]
+    sdf = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = [r.m for r in sdf.select(
+        F.expr(MILLI_SQL.format("value")).alias("m")).collect()]
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            "SELECT " + MILLI_SQL.format("value")
+            + " FROM (SELECT CAST(? AS DOUBLE) AS value)", [v]
+        ).fetchone()[0]
+        for v in vals
+    ]
+    duck = [int(d) if d is not None else None for d in duck]
+    assert got == duck
+    # the gate itself: non-finite / out-of-range -> NULL, floor exact
+    by_val = dict(zip([str(v) for v in vals], got))
+    for k in ("nan", "inf", "-inf", "1e+30", "-1e+30", "9001000000000.0"):
+        assert by_val[k] is None, k
+    assert by_val["1.5"] == 1500 and by_val["-1.5"] == -1500
+    assert by_val["9000000000000.0"] == 9_000_000_000_000_000

@@ -75,6 +75,14 @@ def build_corpus() -> None:
         ev(12, base_ts + dt.timedelta(seconds=1), 3, "click", 1.0, '{"k": 7}'),
         ev(13, base_ts + dt.timedelta(seconds=1), 3, "purchase", 9.0, '{"k": 8}'),
         ev(14, base_ts, None, None, None, None),
+        # non-finite / overflow values: floor(Inf)->BIGINT errors in
+        # DuckDB but saturates in Spark; |v| >= 2^63/1000 overflows
+        # the milli-int floor (robust_outliers fence class)
+        ev(18, base_ts, 4, "click", float("nan"), '{"k": 9}'),
+        ev(19, base_ts, 4, "click", float("inf"), '{"k": 10}'),
+        ev(20, base_ts, 4, "click", float("-inf"), '{"k": 11}'),
+        ev(21, base_ts, 4, "click", 1e30, '{"k": 12}'),
+        ev(22, base_ts, 4, "click", -1e30, '{"k": 13}'),
     ]
     hostile = pa.Table.from_pylist(rows, schema=tbl.schema)
     pq.write_table(

@@ -34,6 +34,7 @@ STATE_BOUNDS = {
     "ticker": "diff/rename tables churn-bounded (day's changes, not the snapshot)",
     "streamjobs": "watermark-bounded state; batch_id-idempotent sinks",
     "io": "sinks coalesced to universe-bounded files; dyn-partition overwrite",
+    "distrib": "sketch grids / bin grids / quota tables constant-size; windows over distinct-value counts, never row sorts",
 }
 
 _STREAM_PREFIX = "stream_"
