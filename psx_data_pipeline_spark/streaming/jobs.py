@@ -183,14 +183,14 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             # hostile-probe finding). Non-finite / out-of-range
             # values follow the same total-milli gate as MILLI_SQL
             # (Inf crashed the int64 astype; round-6 probe finding).
-            vals = pdf["value"]
-            vals = vals[
-                vals.notna() & np.isfinite(vals)
-                & vals.between(-9e12, 9e12)
-            ]
-            if len(vals):
-                vk += int(((vals * 1000) // 1).astype("int64").sum())
-                nv += len(vals)
+            # Raw-numpy single pass: update() fires once per user per
+            # batch, so per-call pandas overhead is the hot cost here
+            # (NULL→NaN under float64, and isfinite covers both).
+            v = pdf["value"].to_numpy(dtype="float64", copy=False)
+            v = v[np.isfinite(v) & (v >= -9e12) & (v <= 9e12)]
+            if len(v):
+                vk += int(np.floor(v * 1000).astype("int64").sum())
+                nv += len(v)
             eids = pdf["event_id"].dropna()
             if len(eids):
                 # ne==0 means meid still holds the 0 sentinel — seed
