@@ -10,7 +10,7 @@ ordering (and therefore every session id) matches by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from psx_data_pipeline_spark.functions.numeric import MILLI_SQL, milli
@@ -460,4 +460,152 @@ def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.cube("event_type", "user_bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("vk").alias("value_k"))
         .select("event_type", "user_bucket", "n", "value_k", lvl.alias("lvl"))
+    )
+
+
+# --- hourly resample + forward fill ------------------------------------------
+
+# Per-user dense hourly grid with the last known (gated-milli) value
+# carried forward — the feature-engineering resample that turns an
+# irregular event stream into a fixed-step series. The grid span is
+# CLAMPED to the trailing _RESAMPLE_SPAN hours of each user's
+# activity so one user with events decades apart cannot explode the
+# grid (the union-fill below still seeds the first grid hour from
+# pre-clamp history). Hour index uses the sign-safe floor residue
+# (pre-epoch timestamps truncate wrong under plain integer division
+# — the stream-window hostile finding, same class).
+_RESAMPLE_SPAN = 10_000
+
+_HB_SQL = (
+    f"(ts_us - ((ts_us % {_HOUR_US}) + {_HOUR_US}) % {_HOUR_US})"
+    f" / {_HOUR_US}"
+)
+
+RESAMPLE_FFILL_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         {{milli}} AS vm
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+),
+hb AS (
+  SELECT user_id, event_id, ts_us,
+         CAST({_HB_SQL} AS BIGINT) AS hb, vm
+  FROM base
+),
+hour_n AS (
+  SELECT user_id, hb, count(*) AS n FROM hb GROUP BY 1, 2
+),
+hour_vm AS (
+  SELECT user_id, hb, vm FROM (
+    SELECT user_id, hb, vm,
+           row_number() OVER (PARTITION BY user_id, hb
+             ORDER BY ts_us DESC, event_id DESC, vm DESC) AS rn
+    FROM hb WHERE vm IS NOT NULL
+  ) WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id, max(hb) AS hi,
+         greatest(min(hb), max(hb) - {_RESAMPLE_SPAN - 1}) AS lo
+  FROM hour_n GROUP BY user_id
+),
+grid AS (
+  SELECT b.user_id, g.hb
+  FROM bounds b, unnest(generate_series(b.lo, b.hi)) AS g(hb)
+),
+unioned AS (
+  SELECT user_id, hb, vm, 0 AS ord FROM hour_vm
+  UNION ALL
+  SELECT user_id, hb, NULL AS vm, 1 AS ord FROM grid
+),
+filled AS (
+  SELECT user_id, hb, ord,
+         last_value(vm IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hb, ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+  FROM unioned
+)
+SELECT f.user_id, CAST(f.hb * {_HOUR_US} AS BIGINT) AS hour_start_us,
+       CAST(coalesce(n.n, 0) AS BIGINT) AS n_events,
+       CAST(f.fv AS BIGINT) AS filled_milli
+FROM filled f
+LEFT JOIN hour_n n ON n.user_id = f.user_id AND n.hb = f.hb
+WHERE f.ord = 1
+""".format(milli=MILLI_SQL.format("value"))
+
+
+@query("resample_ffill", RESAMPLE_FFILL_ORACLE)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with forward fill: per user, a dense hour grid
+    over the trailing {_RESAMPLE_SPAN}h of activity, each grid hour
+    carrying the per-hour event count and the last known gated-milli
+    value at or before that hour (SQL last_value IGNORE NULLS over a
+    union of value rows and grid rows — value rows sort first within
+    an hour, so a grid hour sees its own hour's last value, and
+    pre-clamp history still seeds the first grid hour).
+
+    Scale shape: events collapse to (user, hour) rows map-side before
+    any window; the grid is a bounded sequence explode (≤
+    {_RESAMPLE_SPAN} rows/user by the clamp); the fill window runs
+    over (user)-partitioned bounded rows — no corpus-sized sort, no
+    cross join. The in-hour representative is picked by a TOTAL order
+    (ts desc, event_id desc, vm desc), so duplicated (ts, id) rows
+    cannot make the result partitioning-dependent; values pass the
+    MILLI_SQL total gate (non-finite safe)."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(
+            F.col("ts_us").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "user_id", "event_id", "ts_us",
+            milli("value").alias("vm"),
+            F.expr(f"CAST({_HB_SQL} AS BIGINT)").alias("hb"),
+        )
+    )
+    hour_n = ev.groupBy("user_id", "hb").agg(F.count(F.lit(1)).alias("n"))
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "hb")
+        .orderBy(F.desc("ts_us"), F.desc("event_id"), F.desc("vm"))
+    )
+    hour_vm = (
+        ev.filter(F.col("vm").isNotNull())
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hb", "vm")
+    )
+    bounds = hour_n.groupBy("user_id").agg(
+        F.max("hb").alias("hi"),
+        F.greatest(
+            F.min("hb"), F.max("hb") - (_RESAMPLE_SPAN - 1)
+        ).alias("lo"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("hb")
+    )
+    unioned = hour_vm.select(
+        "user_id", "hb", "vm", F.lit(0).alias("ord")
+    ).unionByName(
+        grid.select(
+            "user_id", "hb",
+            F.lit(None).cast("long").alias("vm"), F.lit(1).alias("ord"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hb", "ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("fv", F.last("vm", ignorenulls=True).over(w_fill))
+        .filter(F.col("ord") == 1)
+        .join(hour_n, ["user_id", "hb"], "left")
+        .select(
+            "user_id",
+            (F.col("hb") * _HOUR_US).cast("long").alias("hour_start_us"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.col("fv").cast("long").alias("filled_milli"),
+        )
     )

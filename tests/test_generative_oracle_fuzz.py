@@ -42,6 +42,10 @@ _TEXT = st.text(
     alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80
 )
 
+# default 6 examples per property keeps the pytest sweep fast;
+# FUZZ_N=60 (etc.) turns the same file into a deep divergence hunt
+_N_EXAMPLES = int(os.environ.get("FUZZ_N", "6"))
+
 _counter = [0]
 
 
@@ -52,7 +56,7 @@ def fuzz_root(tmp_path_factory):
 
 
 @settings(
-    max_examples=6,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -97,7 +101,7 @@ _VEC = st.lists(_F32, min_size=64, max_size=64)
 
 
 @settings(
-    max_examples=6,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -185,7 +189,7 @@ _EV = st.tuples(
 
 
 @settings(
-    max_examples=6,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -246,7 +250,7 @@ _ORD = st.tuples(
 
 
 @settings(
-    max_examples=6,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -302,7 +306,7 @@ _NAME = st.one_of(st.none(), st.text(
 
 
 @settings(
-    max_examples=6,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -371,7 +375,7 @@ _LI = st.tuples(
 
 
 @settings(
-    max_examples=6,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -438,7 +442,7 @@ _DOCMETA = st.tuples(
 
 
 @settings(
-    max_examples=6,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

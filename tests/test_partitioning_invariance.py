@@ -23,6 +23,10 @@ FLOAT_AGG_QUERIES = [
     # round-6 sketches: registers are min-aggregates, the estimate a
     # pure integer formula — any layout must reproduce them exactly
     "vocab_sketch", "vocab_overlap_sketch",
+    # round-6: window-ordering-sensitive (total in-hour pick + ignore-
+    # nulls fill) and grid-sensitive (CM cell grid, quantile cumes)
+    "count_min_hitters", "group_quantiles", "robust_outliers",
+    "resample_ffill",
 ]
 
 

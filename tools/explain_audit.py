@@ -59,6 +59,7 @@ HEADLINERS = [
     ("stratified_sample", "per-stratum hash rank under WindowGroupLimit"),
     ("ks_drift", "bounded bin-grid windows; pooled cume joined broadcast"),
     ("robust_outliers", "median/MAD via distinct-value windows, broadcast back"),
+    ("resample_ffill", "hour-collapsed rows + bounded grid explode + union fill"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)

@@ -61,6 +61,7 @@ FAMILIES = {
         "range_join_binned",
         "skew_salted_counts", "event_type_pivot", "event_funnel",
         "user_retention", "event_props_json", "event_cube",
+        "resample_ffill",
         "stream_window_counts", "stream_sessionize", "stream_user_totals",
         "stream_click_attribution", "stream_dedup",
     ],
