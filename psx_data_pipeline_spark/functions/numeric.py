@@ -54,17 +54,18 @@ def davg_sql(expr: str, scale: int = 6) -> str:
 # each term ≤ 9e15, so an int64 SUM has ≥ 10^3-row headroom of
 # worst-case terms and ~10^13 rows of realistic (≤ 10^6-milli)
 # ones — the same documented-bound convention as BM25's rational.
-MILLI_BOUND = "9e12"
+MILLI_BOUND = 9e12  # single source for every gate below and in callers
 MILLI_SQL = (
     "CASE WHEN {0} IS NULL OR isnan({0}) "
-    f"OR {{0}} NOT BETWEEN -{MILLI_BOUND} AND {MILLI_BOUND} THEN NULL "
+    f"OR {{0}} NOT BETWEEN -{MILLI_BOUND:g} AND {MILLI_BOUND:g} THEN NULL "
     "ELSE CAST(floor({0} * 1000) AS BIGINT) END"
 )
 
 
-def milli(col: Column | str) -> Column:
-    """Spark twin of MILLI_SQL (same expression text, same NULLs)."""
-    name = col if isinstance(col, str) else None
-    if name is None:
+def milli(col: str) -> Column:
+    """Spark twin of MILLI_SQL (same expression text, same NULLs).
+    Takes a column NAME, not a Column — the expression is a shared
+    SQL template so both engines parse identical text."""
+    if not isinstance(col, str):
         raise TypeError("milli() takes a column NAME (shared SQL template)")
-    return F.expr(MILLI_SQL.format(name))
+    return F.expr(MILLI_SQL.format(col))

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from psx_data_pipeline_spark.functions.numeric import MILLI_BOUND
 from psx_data_pipeline_spark.functions.hashing import (
     HASH_P,
     md5_long,
@@ -500,7 +501,7 @@ FROM (
 # identically in both engines (hostile-probe class, pre-hardened)
 _VAL_OK = (
     "value IS NOT NULL AND NOT isnan(value) "
-    "AND value BETWEEN -9e12 AND 9e12"  # the MILLI_SQL gate
+    f"AND value BETWEEN -{MILLI_BOUND:g} AND {MILLI_BOUND:g}"
 )
 
 ROBUST_OUTLIERS_ORACLE = f"""

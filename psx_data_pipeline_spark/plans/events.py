@@ -566,15 +566,18 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hour_n = ev.groupBy("user_id", "hb").agg(F.count(F.lit(1)).alias("n"))
-    rn = F.row_number().over(
-        Window.partitionBy("user_id", "hb")
-        .orderBy(F.desc("ts_us"), F.desc("event_id"), F.desc("vm"))
-    )
+    # the in-hour pick is a lexicographic struct MAX — the same total
+    # order as the oracle's row_number (ts desc, id desc, vm desc over
+    # all-non-null fields), but partial-aggregable map-side, so event
+    # rows genuinely collapse to (user, hour) before any exchange
     hour_vm = (
         ev.filter(F.col("vm").isNotNull())
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("user_id", "hb", "vm")
+        .groupBy("user_id", "hb")
+        .agg(
+            F.max(F.struct("ts_us", "event_id", "vm"))
+            .getField("vm")
+            .alias("vm")
+        )
     )
     bounds = hour_n.groupBy("user_id").agg(
         F.max("hb").alias("hi"),

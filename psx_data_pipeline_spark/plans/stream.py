@@ -17,7 +17,7 @@ from pyspark.sql import types as T
 from psx_data_pipeline_spark.functions.numeric import MILLI_SQL
 from psx_data_pipeline_spark.plans.registry import query
 from psx_data_pipeline_spark.scratch import scratch_dir
-from psx_data_pipeline_spark.sources.fixtures import load_table
+from psx_data_pipeline_spark.sources.fixtures import load_table, load_table_parallel
 from psx_data_pipeline_spark.streaming.jobs import (
     incremental_ingest,
     running_user_totals,
@@ -315,5 +315,5 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit agree bit-for-bit (and equals the batch grid
     cell-for-cell: tests/test_distrib.py)."""
     cells = streaming_cm_cells(spark, sf_dir)
-    occ = cm_occurrences(load_table(spark, "documents", sf_dir))
+    occ = cm_occurrences(load_table_parallel(spark, "documents", sf_dir))
     return cm_audit(occ, cells)

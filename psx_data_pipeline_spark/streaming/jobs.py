@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from psx_data_pipeline_spark.functions.numeric import milli
+from psx_data_pipeline_spark.functions.numeric import MILLI_BOUND, milli
 from psx_data_pipeline_spark.scratch import scratch_dir
 from psx_data_pipeline_spark.sources.fixtures import ts_us_expr
 
@@ -187,7 +187,7 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             # batch, so per-call pandas overhead is the hot cost here
             # (NULL→NaN under float64, and isfinite covers both).
             v = pdf["value"].to_numpy(dtype="float64", copy=False)
-            v = v[np.isfinite(v) & (v >= -9e12) & (v <= 9e12)]
+            v = v[np.isfinite(v) & (np.abs(v) <= MILLI_BOUND)]
             if len(v):
                 vk += int(np.floor(v * 1000).astype("int64").sum())
                 nv += len(v)

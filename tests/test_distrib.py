@@ -89,9 +89,11 @@ def test_stratified_sample_is_rerun_deterministic(spark):
 def test_robust_outliers_fence(spark):
     rows = QUERIES["robust_outliers"](spark, SF).collect()
     assert rows
+    from psx_data_pipeline_spark.plans.distrib import _VAL_OK
+
     ev = (
         load_table(spark, "events", SF)
-        .filter(F.col("value").isNotNull())
+        .filter(F.expr(_VAL_OK))  # the query's own gate, not a re-guess
         .select("event_type", F.floor(F.col("value") * 1000).alias("v"))
         .collect()
     )
