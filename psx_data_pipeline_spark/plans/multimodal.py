@@ -12,6 +12,8 @@ from psx_data_pipeline_spark.operators.multimodal import (
     attach_payload,
     decode_audio,
     decode_images,
+    decode_video_frames,
+    synth_video_payloads,
     extract_features,
     sample_frames,
     synth_audio_payloads,
@@ -137,3 +139,46 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the well-formed fixtures here)."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
     return decode_audio(synth_audio_payloads(docs))
+
+
+# The fixture clips (operators/multimodal.synth_video_payloads):
+# w = 8+id%9, h = 4+id%5, n = 3+id%6 frames at 25 fps, frame k
+# uniformly filled with byte 65+(id+k)%26 — so every SAMPLED frame
+# (every 2nd, the demuxer's stride) has the closed-form digest
+# md5(repeat(chr(fill), w*h*3)). The decoder itself walks real RIFF
+# chunks (skipping the fixture's JUNK chunk like a real demuxer) and
+# verifies frame sizes and the avih frame count; malformed payloads
+# are pinned by tests/test_generative_codec_fuzz.py.
+VIDEO_DECODE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         8 + doc_id % 9 AS w,
+         4 + doc_id % 5 AS h,
+         3 + doc_id % 6 AS n
+  FROM documents
+)
+SELECT doc_id,
+  CAST(f.k AS BIGINT) AS frame_idx,
+  CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  md5(repeat(chr(CAST(65 + (doc_id + f.k) % 26 AS INT)),
+             CAST(w * h * 3 AS INT))) AS frame_digest,
+  CAST(NULL AS VARCHAR) AS error
+FROM p, unnest(generate_series(0, CAST(n - 1 AS BIGINT), 2)) AS f(k)
+"""
+
+
+@query("video_decode", VIDEO_DECODE_ORACLE)
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video demux end-to-end, closing the third modality leg
+    (image_decode / audio_decode are the siblings): synthesize one
+    RIFF/AVI container with raw 24bpp frames per document, then
+    _decode_avi walks the chunk lists (avih header, movi frames,
+    JUNK skipped), verifies frame sizes against the header, and
+    frame-samples every 2nd frame to a (doc, frame) row with an md5
+    frame digest — all inside Arrow-batched mapInPandas
+    (operators/multimodal.decode_video_frames). Malformed payloads
+    are contained per row into the ``error`` column (NULL on the
+    well-formed fixtures here)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return decode_video_frames(synth_video_payloads(docs))

@@ -185,3 +185,95 @@ def test_driver_reference_is_total():
             d, err = _contained(decode_real, p, modality)
             assert (err is None) != (d == {}) or d == {}, (p, modality)
             assert err is None or isinstance(err, str)
+
+
+# --- video (RIFF/AVI) --------------------------------------------------------
+
+import hashlib
+
+from psx_data_pipeline_spark.operators.multimodal import (
+    _AVI_STRIDE,
+    _decode_avi,
+    decode_video_frames,
+    encode_avi,
+)
+
+
+@st.composite
+def _valid_avi(draw):
+    w = draw(st.integers(min_value=1, max_value=6))
+    h = draw(st.integers(min_value=1, max_value=4))
+    n = draw(st.integers(min_value=0, max_value=7))
+    fills = draw(st.lists(
+        st.integers(min_value=0, max_value=255), min_size=n, max_size=n
+    ))
+    return encode_avi(w, h, fills)
+
+
+@st.composite
+def _mutated_avi(draw):
+    p = draw(_valid_avi())
+    kind = draw(st.sampled_from(["truncate", "flip", "lie"]))
+    if kind == "truncate":
+        cut = draw(st.integers(min_value=0, max_value=max(0, len(p) - 1)))
+        return p[:cut]
+    if kind == "flip":
+        off = draw(st.integers(min_value=0, max_value=len(p) - 1))
+        val = draw(st.integers(min_value=0, max_value=255))
+        return p[:off] + bytes([val]) + p[off + 1:]
+    off = draw(st.integers(min_value=2, max_value=min(60, len(p) - 4)))
+    lie = draw(st.sampled_from(
+        [b"\x00\x00\x00\x00", b"\xff\xff\xff\xff", b"\xff\xff\xff\x7f"]
+    ))
+    return p[:off] + lie + p[off + 4:]
+
+
+_vid_payload = st.one_of(
+    _raw,
+    st.tuples(
+        st.sampled_from([b"RIFF", b"RIFF\x10\x00\x00\x00AVI "]),
+        st.binary(max_size=100),
+    ).map(lambda t: t[0] + t[1]),
+    _valid_avi(), _mutated_avi(), st.none(),
+)
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_vid_payload, min_size=1, max_size=10))
+def test_video_decode_contains_hostile_payloads(spark, payloads):
+    """Per-doc containment for the multi-row demuxer: a malformed AVI
+    costs exactly one error row for its doc; a well-formed one yields
+    exactly the sampled-frame rows the driver-side reference
+    predicts; an empty-but-valid video yields zero rows."""
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got: dict[int, list] = {}
+    for r in decode_video_frames(df).collect():  # must not raise
+        got.setdefault(r["doc_id"], []).append(r)
+    for i, p in rows:
+        ref, ref_err = _contained(lambda b, _m: _decode_avi(b), p, "video")
+        mine = sorted(got.get(i, []), key=lambda r: (r["frame_idx"] is None,
+                                                     r["frame_idx"] or 0))
+        if ref_err is not None:
+            assert len(mine) == 1, (p, mine)
+            assert _norm(mine[0]["error"]) == ref_err
+            assert all(
+                _norm(mine[0][c]) is None
+                for c in ("frame_idx", "width", "height", "frame_digest")
+            )
+        else:
+            want = [
+                (k, ref["width"], ref["height"],
+                 hashlib.md5(ref["frames"][k]).hexdigest())
+                for k in range(0, ref["n_frames"], _AVI_STRIDE)
+            ]
+            have = [
+                (_norm(r["frame_idx"]), _norm(r["width"]),
+                 _norm(r["height"]), r["frame_digest"])
+                for r in mine
+            ]
+            assert have == want, (p, have, want)
+            assert all(_norm(r["error"]) is None for r in mine)

@@ -60,6 +60,7 @@ HEADLINERS = [
     ("ks_drift", "bounded bin-grid windows; pooled cume joined broadcast"),
     ("robust_outliers", "median/MAD via distinct-value windows, broadcast back"),
     ("resample_ffill", "hour-collapsed rows + bounded grid explode + union fill"),
+    ("video_decode", "RIFF/AVI demux + frame sample in Arrow mapInPandas"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)
