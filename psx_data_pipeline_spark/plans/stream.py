@@ -317,3 +317,16 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = streaming_cm_cells(spark, sf_dir)
     occ = cm_occurrences(load_table_parallel(spark, "documents", sf_dir))
     return cm_audit(occ, cells)
+
+
+from psx_data_pipeline_spark.plans.multimodal import VIDEO_DECODE_ORACLE  # noqa: E402
+from psx_data_pipeline_spark.streaming.jobs import streaming_video_decode  # noqa: E402
+
+
+@query("stream_video_decode", VIDEO_DECODE_ORACLE)
+def q_stream_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video_decode demux under the streaming runtime
+    (decode-on-ingest): same oracle as the batch query — the
+    streaming engine must produce value-identical sampled-frame
+    rows."""
+    return streaming_video_decode(spark, sf_dir)

@@ -592,3 +592,25 @@ def streaming_cm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _pinned_state_shuffle(spark):
         table = run_to_memory(out, "complete", "cm_cells")
     return spark.table(table)
+
+
+def streaming_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-on-ingest for the video leg (streaming_image_decode's
+    sibling): every micro-batch synthesizes its AVI payload column
+    and runs the real RIFF demuxer + frame sampler inside
+    Arrow-batched mapInPandas. Stateless and narrow — the streaming
+    plan is the batch plan fed micro-batch-sized Arrow slices."""
+    from psx_data_pipeline_spark.operators.multimodal import (
+        decode_video_frames,
+        synth_video_payloads,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    decoded = decode_video_frames(synth_video_payloads(raw.select("doc_id")))
+    table = run_to_memory(decoded, "append", "vid_decode")
+    return spark.table(table)

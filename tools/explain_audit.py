@@ -75,7 +75,7 @@ STREAMING_EXCLUDED = [
     "stream_window_counts", "stream_sessionize", "stream_user_totals",
     "stream_dedup", "stream_click_attribution", "stream_image_decode",
     "stream_incremental_ingest", "stream_sync_change_log",
-    "stream_vocab_sketch", "stream_heavy_hitters",
+    "stream_vocab_sketch", "stream_heavy_hitters", "stream_video_decode",
 ]
 
 
