@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import math
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -35,6 +37,8 @@ from psx_data_pipeline_spark.operators.multimodal import (
 )
 
 # --- payload strategies ------------------------------------------------------
+
+_N_EXAMPLES = int(os.environ.get("FUZZ_N", "6"))
 
 _raw = st.binary(max_size=120)
 
@@ -140,7 +144,7 @@ def _check(spark, payloads, decode_op, modality, result_cols):
 
 
 @settings(
-    max_examples=6, deadline=None,
+    max_examples=_N_EXAMPLES, deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(st.lists(_payload, min_size=1, max_size=12))
@@ -152,7 +156,7 @@ def test_image_decode_contains_hostile_payloads(spark, payloads):
 
 
 @settings(
-    max_examples=6, deadline=None,
+    max_examples=_N_EXAMPLES, deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(st.lists(_payload, min_size=1, max_size=12))
@@ -239,7 +243,7 @@ _vid_payload = st.one_of(
 
 
 @settings(
-    max_examples=6, deadline=None,
+    max_examples=_N_EXAMPLES, deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(st.lists(_vid_payload, min_size=1, max_size=10))
