@@ -547,3 +547,94 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- triangle census on the similarity graph ---------------------------------
+
+# Exact-duplicate vectors collapse to one representative (min id)
+# BEFORE the graph is built — the ngram_jaccard_pairs collapse,
+# vector-flavored: a duplicate group of size k would otherwise form
+# k^2 edges and ~k^3 wedges (measured 82 s on a 30x-duplicated
+# corpus; 8.3 s after the collapse — near-flat 10x->30x). The group key is the
+# +0.0-canonicalized array (x + 0.0 turns -0.0 into +0.0, the
+# engines' grouping semantics for signed zeros differ; NaN/Inf
+# vectors are already outside the indexable gate).
+_CANON_DUCK = "list_transform(embedding, x -> x + CAST(0.0 AS FLOAT))"
+
+NEIGHBOR_TRIANGLES_ORACLE = f"""
+WITH {_VEMB_CTE},
+rembeddings AS (
+  SELECT min(vec_id) AS vec_id, {_CANON_DUCK} AS embedding
+  FROM vembeddings GROUP BY 2
+),
+sig AS ({hyperplane_signature_sql("embedding", "vec_id", "rembeddings", _BITS, _DIM)}),
+v AS (
+  SELECT s.sig_id AS id, s.sig, e.embedding AS e
+  FROM sig s JOIN rembeddings e ON e.vec_id = s.sig_id
+),
+e AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM v a JOIN v b ON a.sig = b.sig
+  WHERE a.id < b.id AND {_PAIR_COS} >= {_COS_T}
+),
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM e e1
+  JOIN e e2 ON e2.id_a = e1.id_b
+  JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+)
+SELECT v AS vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS v FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY v
+"""
+
+
+@query("neighbor_triangles", NEIGHBOR_TRIANGLES_ORACLE)
+def q_neighbor_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-representative triangle census on the LSH similarity graph
+    — the clustering-structure audit for an embedding space
+    (triangles distinguish tight near-dup cliques from star-shaped
+    hub noise; connected components alone cannot). Edges are the
+    lsh_bucketed_neighbors pairs (a < b, cosine-verified) over
+    DISTINCT vectors: exact duplicates collapse to their min-id
+    representative first (see _CANON_DUCK note — k-dup groups
+    otherwise cube the wedge count), so the census is invariant to
+    corpus duplication.
+
+    Scale shape: the standard a<b<c wedge-close — e1(a,b) ⋈ e2(b,c)
+    on the shared vertex enumerates each wedge once (work Σ deg², the
+    textbook bound), and the closing edge lookup e3(a,c) is an
+    equi-join back onto the edge list. The distinct-vector graph's
+    degree is bounded by the LSH bucket population (near-dup-bounded,
+    never corpus-wide); the collapse is one map-side-combinable
+    groupBy."""
+    emb = _indexable(load_table(spark, "embeddings", sf_dir))
+    reps = (
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> x + CAST(0.0 AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
+    e = lsh_bucketed_neighbors(
+        reps, "embedding", "vec_id", dim=_DIM, bits=_BITS, threshold=_COS_T
+    ).select("id_a", "id_b")
+    e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    verts = (
+        tri.select(F.col("a").alias("v"))
+        .unionByName(tri.select(F.col("b").alias("v")))
+        .unionByName(tri.select(F.col("c").alias("v")))
+    )
+    return verts.groupBy(F.col("v").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

@@ -61,6 +61,7 @@ HEADLINERS = [
     ("robust_outliers", "median/MAD via distinct-value windows, broadcast back"),
     ("resample_ffill", "hour-collapsed rows + bounded grid explode + union fill"),
     ("video_decode", "RIFF/AVI demux + frame sample in Arrow mapInPandas"),
+    ("neighbor_triangles", "wedge-close equi-joins over LSH edge list"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)

@@ -54,7 +54,7 @@ FAMILIES = {
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
         "embedding_stats", "embedding_dedup", "embedding_quantize",
-        "ann_recall",
+        "ann_recall", "neighbor_triangles",
     ],
     "events": [
         "sessionize_events", "detect_gaps", "asof_join_clicks",
