@@ -27,6 +27,8 @@ FLOAT_AGG_QUERIES = [
     # nulls fill) and grid-sensitive (CM cell grid, quantile cumes)
     "count_min_hitters", "group_quantiles", "robust_outliers",
     "resample_ffill",
+    # float-array group key (dup collapse) + multi-join census
+    "neighbor_triangles",
 ]
 
 
