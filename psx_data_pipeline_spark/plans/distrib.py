@@ -595,3 +595,88 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+# --- train/val/test split assignment + leakage audit -------------------------
+
+# Deterministic hash split (80/10/10 on a salted id hash) with the
+# audit every training pipeline needs next to it: EXACT-DUPLICATE
+# LEAKAGE — the split is a function of doc identity, not content, so
+# byte-identical documents can land in different splits and leak
+# evaluation data into training. A fingerprint spanning >= 2 splits
+# marks every carrier document as leaked.
+_SPLIT_SQL = (
+    "CASE WHEN {h} % 100 < 80 THEN 'train' "
+    "WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END"
+).format(h=md5_long_sql("CAST(doc_id AS VARCHAR) || ':split'"))
+
+SPLIT_ASSIGN_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, {_SPLIT_SQL} AS split,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE {md5_long_sql('text')} END AS fp
+  FROM documents WHERE doc_id IS NOT NULL
+),
+leaked AS (
+  SELECT fp FROM d WHERE fp IS NOT NULL
+  GROUP BY fp HAVING count(DISTINCT split) > 1
+)
+SELECT d.split, d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN l.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked_docs
+FROM d LEFT JOIN leaked l ON d.fp = l.fp
+GROUP BY d.split, d.source
+"""
+
+
+@query("split_assign", SPLIT_ASSIGN_ORACLE)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment (salted md5 of
+    the doc id — both engines reproduce every assignment) with the
+    cross-split exact-duplicate leakage audit: a content fingerprint
+    appearing in two splits means evaluation text leaked into
+    training, and every carrier document is counted per (split,
+    source).
+
+    Scale shape: the fingerprint check is one map-side-combinable
+    groupBy on the 8-byte fp (never the text), the leaked set is
+    bounded by cross-split duplicate GROUPS (tiny next to the
+    corpus), and the membership join is a plain equi-join on fp that
+    AQE turns into a broadcast when the leaked set is small — the
+    common case. NULL-text docs carry no fingerprint (they cannot
+    leak content); NULL-id docs have no stable split identity and
+    are excluded on both sides."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    # native-column twin of _SPLIT_SQL (Spark's parser wants VARCHAR
+    # with a length, so the oracle string can't be shared verbatim)
+    h = md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":split"))
+    ) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    d = docs.filter(F.col("doc_id").isNotNull()).select(
+        "source",
+        split.alias("split"),
+        F.when(
+            F.col("text").isNotNull(), md5_long(F.col("text"))
+        ).alias("fp"),
+    )
+    leaked = (
+        d.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("fp")
+    )
+    return (
+        d.join(leaked.withColumn("lk", F.lit(1)), "fp", "left")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("lk"), F.lit(0)))
+            .cast("long")
+            .alias("n_leaked_docs"),
+        )
+    )

@@ -143,3 +143,45 @@ def test_ks_drift_range_and_pool_identity(spark):
     # at ~0; the synthetic sources all share one generator, so none
     # should be anywhere near the maximum
     assert max(r["ks_permille"] for r in rows) < 1000
+
+
+def test_split_assign_detects_cross_split_leakage(spark, tmp_path):
+    """Documents with identical text landing in different splits must
+    each be counted as leaked; identical text within ONE split must
+    not."""
+    from psx_data_pipeline_spark.functions.hashing import md5_long
+
+    sf = str(tmp_path)
+    # find doc_ids mapping to each split under the real salted hash
+    ids = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (md5_long(F.concat(F.col("id").cast("string"), F.lit(":split")))
+         % 100).alias("h"),
+    ).collect()
+    train = [r["doc_id"] for r in ids if r["h"] < 80]
+    test_ = [r["doc_id"] for r in ids if r["h"] >= 90]
+    rows = [
+        # leak: same text in train and test
+        (train[0], "LEAKED TEXT", "en", "a", 11),
+        (test_[0], "LEAKED TEXT", "en", "a", 11),
+        # benign: duplicate text both in train
+        (train[1], "SAFE DUP", "en", "a", 8),
+        (train[2], "SAFE DUP", "en", "a", 8),
+        # unique docs
+        (train[3], "unique one", "en", "b", 10),
+        (test_[1], "unique two", "en", "b", 10),
+        # NULL text cannot leak
+        (train[4], None, "en", "b", None),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r["split"], r["source"]): (r["n_docs"], r["n_leaked_docs"])
+        for r in QUERIES["split_assign"](spark, sf).collect()
+    }
+    assert got[("train", "a")] == (3, 1)   # leaked carrier + 2 safe dups
+    assert got[("test", "a")] == (1, 1)    # the other leaked carrier
+    assert got[("train", "b")] == (2, 0)   # unique + NULL-text
+    assert got[("test", "b")] == (1, 0)

@@ -99,6 +99,7 @@ FAMILIES = {
     "distrib": [
         "count_min_hitters", "group_quantiles", "stratified_sample",
         "ks_drift", "robust_outliers", "stream_heavy_hitters",
+        "split_assign",
     ],
 }
 
