@@ -157,3 +157,102 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _BM25_K)
         .select("term", "doc_id", "tf", "score_milli", "rk")
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion --------------------------------
+
+# Retrieve-then-rerank, the production shape: BM25 retrieves a
+# bounded candidate set per query term; a second signal (here a
+# document-quality prior — non-alpha density, the text_quality
+# feature) re-ranks the SAME candidates; reciprocal-rank fusion
+# combines the two rankings. RRF works on ranks, not scores, so the
+# fused value is exactly integer: floor(1e6/(60+rank)) per system,
+# summed — no float score normalization to diverge across engines.
+
+_RRF_K = 60         # the standard RRF dampening constant
+_RRF_TOP = 10       # fused results kept per query term
+
+RRF_FUSION_ORACLE = f"""
+WITH bm AS ({BM25_ORACLE}),
+cand AS (SELECT DISTINCT doc_id FROM bm),
+prior AS (
+  SELECT d.doc_id,
+         CAST(1000 * length(regexp_replace(d.text, '[a-z]', '', 'g'))
+              // length(d.text) AS BIGINT) AS nonalpha_milli
+  FROM documents d JOIN cand USING (doc_id)
+),
+rr AS (
+  SELECT bm.term, bm.doc_id, bm.rk AS rk_bm25,
+         CAST(row_number() OVER (
+           PARTITION BY bm.term
+           ORDER BY p.nonalpha_milli ASC, bm.doc_id) AS INT) AS rk_prior
+  FROM bm JOIN prior p USING (doc_id)
+),
+fused AS (
+  SELECT term, doc_id, rk_bm25, rk_prior,
+         CAST(1000000 // ({_RRF_K} + rk_bm25)
+              + 1000000 // ({_RRF_K} + rk_prior) AS BIGINT) AS rrf_micro
+  FROM rr
+)
+SELECT term, doc_id, rk_bm25, rk_prior, rrf_micro,
+       CAST(rk AS INT) AS rk_fused
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY term ORDER BY rrf_micro DESC, doc_id) AS rk
+  FROM fused
+) WHERE rk <= {_RRF_TOP}
+"""
+
+
+@query("rrf_fusion", RRF_FUSION_ORACLE)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_RRF_TOP} documents per query term under reciprocal-rank
+    fusion of the BM25 ranking and a quality-prior ranking (non-alpha
+    density ascending — cleaner documents first), fused as
+    floor(1e6/({_RRF_K}+rank)) sums.
+
+    Scale shape: the candidate set is the BM25 top-{_BM25_K} per term
+    — bounded by |terms|·k at any corpus size — so everything after
+    retrieval operates on a kilobyte-scale table. The quality prior
+    needs document text, fetched by broadcasting the candidate ids
+    against the corpus scan (broadcast hash join; the corpus is never
+    shuffled), and the prior result — again candidate-bounded — is
+    broadcast back onto the ranking. Both re-rank windows partition
+    by term over ≤k rows; no global sort anywhere. length(text) ≥ 1
+    is guaranteed for candidates (tf ≥ 1 ⇒ non-empty text), so the
+    milli ratio needs no zero guard."""
+    bm = q_bm25_scores(spark, sf_dir).select("term", "doc_id", "rk")
+    cand = bm.select("doc_id").distinct()
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    prior = docs.join(F.broadcast(cand), "doc_id").select(
+        "doc_id",
+        F.expr(
+            "1000 * length(regexp_replace(text, '[a-z]', ''))"
+            " div length(text)"
+        ).cast("long").alias("nonalpha_milli"),
+    )
+    w_prior = Window.partitionBy("term").orderBy(
+        F.asc("nonalpha_milli"), F.asc("doc_id")
+    )
+    rr = (
+        bm.withColumnRenamed("rk", "rk_bm25")
+        .join(F.broadcast(prior), "doc_id")
+        .withColumn("rk_prior", F.row_number().over(w_prior).cast("int"))
+    )
+    fused = rr.withColumn(
+        "rrf_micro",
+        F.expr(
+            f"1000000 div ({_RRF_K} + rk_bm25)"
+            f" + 1000000 div ({_RRF_K} + rk_prior)"
+        ).cast("long"),
+    )
+    w_fused = Window.partitionBy("term").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rk_fused", F.row_number().over(w_fused).cast("int"))
+        .where(F.col("rk_fused") <= _RRF_TOP)
+        .select(
+            "term", "doc_id", "rk_bm25", "rk_prior", "rrf_micro", "rk_fused"
+        )
+    )

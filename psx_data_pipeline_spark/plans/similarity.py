@@ -561,8 +561,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vectors are already outside the indexable gate).
 _CANON_DUCK = "list_transform(embedding, x -> x + CAST(0.0 AS FLOAT))"
 
-NEIGHBOR_TRIANGLES_ORACLE = f"""
-WITH {_VEMB_CTE},
+# Shared CTE prefix: the collapsed-representative LSH similarity
+# graph (indexable gate → exact-dup collapse → hyperplane signature
+# buckets → cosine-verified a<b edges). Both graph queries
+# (neighbor_triangles, pagerank_sim) analyze exactly this edge list.
+_SIM_GRAPH_CTES = f"""{_VEMB_CTE},
 rembeddings AS (
   SELECT min(vec_id) AS vec_id, {_CANON_DUCK} AS embedding
   FROM vembeddings GROUP BY 2
@@ -576,7 +579,32 @@ e AS (
   SELECT a.id AS id_a, b.id AS id_b
   FROM v a JOIN v b ON a.sig = b.sig
   WHERE a.id < b.id AND {_PAIR_COS} >= {_COS_T}
-),
+)"""
+
+def _sim_graph_edges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(representatives, verified a<b edge list) of the collapsed
+    similarity graph — the Spark twin of _SIM_GRAPH_CTES."""
+    emb = _indexable(load_table(spark, "embeddings", sf_dir))
+    reps = (
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> x + CAST(0.0 AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
+    e = lsh_bucketed_neighbors(
+        reps, "embedding", "vec_id", dim=_DIM, bits=_BITS, threshold=_COS_T
+    ).select("id_a", "id_b")
+    return reps, e
+
+
+NEIGHBOR_TRIANGLES_ORACLE = f"""
+WITH {_SIM_GRAPH_CTES},
 tri AS (
   SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
   FROM e e1
@@ -612,20 +640,7 @@ def q_neighbor_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree is bounded by the LSH bucket population (near-dup-bounded,
     never corpus-wide); the collapse is one map-side-combinable
     groupBy."""
-    emb = _indexable(load_table(spark, "embeddings", sf_dir))
-    reps = (
-        emb.select(
-            "vec_id",
-            F.expr(
-                "transform(embedding, x -> x + CAST(0.0 AS FLOAT))"
-            ).alias("embedding"),
-        )
-        .groupBy("embedding")
-        .agg(F.min("vec_id").alias("vec_id"))
-    )
-    e = lsh_bucketed_neighbors(
-        reps, "embedding", "vec_id", dim=_DIM, bits=_BITS, threshold=_COS_T
-    ).select("id_a", "id_b")
+    reps, e = _sim_graph_edges(spark, sf_dir)
     e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     e2 = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
     e3 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
@@ -638,3 +653,106 @@ def q_neighbor_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verts.groupBy(F.col("v").alias("vec_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+# --- PageRank centrality on the similarity graph -----------------------------
+
+# Power iteration with damping 0.85, run entirely in integer milli
+# units so both engines floor identically: r0 = 1000 everywhere, and
+# r_{t+1}(v) = 150 + (850 · Σ_{u→v} (r_t(u) div deg(u))) div 1000.
+# A FIXED iteration count (unrolled in the oracle) keeps the query a
+# pure dataflow — convergence-to-epsilon belongs to the CC-style
+# driver loop, not an oracle-checked plan. Int64 posture: a node's
+# in-contribution is ≤ 1000·|endpoints| (worst case: a star center),
+# so 850·Σ stays inside int64 for < ~1e13 graph nodes.
+
+_PR_ITERS = 3
+
+_PR_CTE_CHAIN = ",\n".join(
+    f"""c{t} AS (
+  SELECT a.dst AS id, CAST(sum(r.r // a.deg) AS BIGINT) AS s
+  FROM adj a JOIN r{t - 1} r ON r.id = a.src GROUP BY a.dst
+),
+r{t} AS (
+  SELECT g.id, CAST(150 + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS r
+  FROM deg g LEFT JOIN c{t} c ON c.id = g.id
+)"""
+    for t in range(1, _PR_ITERS + 1)
+)
+
+PAGERANK_SIM_ORACLE = f"""
+WITH {_SIM_GRAPH_CTES},
+dir AS (
+  SELECT id_a AS src, id_b AS dst FROM e
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM e
+),
+deg AS (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM dir GROUP BY src
+),
+adj AS (SELECT d.src, d.dst, g.deg FROM dir d JOIN deg g ON g.id = d.src),
+r0 AS (SELECT id, CAST(1000 AS BIGINT) AS r FROM deg),
+{_PR_CTE_CHAIN}
+SELECT id AS vec_id, r AS rank_milli FROM r{_PR_ITERS}
+UNION ALL
+SELECT vec_id, CAST(150 AS BIGINT) AS rank_milli FROM rembeddings
+WHERE vec_id NOT IN (SELECT id FROM deg)
+"""
+
+
+@query("pagerank_sim", PAGERANK_SIM_ORACLE)
+def q_pagerank_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_PR_ITERS}-step damped PageRank over the collapsed LSH
+    similarity graph — the hub/authority census for an embedding
+    store (which representatives anchor dense near-dup neighborhoods
+    vs. sit on the periphery), in exact integer milli arithmetic.
+
+    Scale shape: ranks live on EDGE ENDPOINTS only (the CC lesson —
+    operators/dedup.py iterates the same way); isolated
+    representatives never enter the loop and get their closed-form
+    rank (150 = the damping floor, exact after one step from a
+    uniform start) via one anti-join at the end. The verified edge
+    list is localCheckpointed once, so the LSH bucket join runs
+    exactly once and each unrolled step is one equi-join + one
+    map-side-combinable groupBy on the near-dup-bounded edge table —
+    never a corpus-wide shuffle, and the fixed step count keeps the
+    lineage linear."""
+    reps, e0 = _sim_graph_edges(spark, sf_dir)
+    # one materialization of the graph: every downstream reference
+    # (dir ×2 consumers, deg ×{_PR_ITERS}+1, adj ×{_PR_ITERS})
+    # re-derives from this checkpoint instead of re-running the LSH
+    # join (same idiom as connected_components_star)
+    e = e0.localCheckpoint(eager=True)
+    dirs = e.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        e.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = dirs.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    adj = dirs.join(deg, dirs["src"] == deg["id"]).select("src", "dst", "deg")
+    r = deg.select("id", F.lit(1000).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        c = (
+            adj.join(r, adj["src"] == r["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div deg")).cast("long").alias("s"))
+        )
+        r = (
+            deg.select("id")
+            .join(c, deg["id"] == c["dst"], "left")
+            .select(
+                "id",
+                F.expr("150 + (850 * coalesce(s, 0)) div 1000")
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    iterated = r.select(
+        F.col("id").alias("vec_id"), F.col("r").alias("rank_milli")
+    )
+    isolated = reps.join(
+        deg, reps["vec_id"] == deg["id"], "left_anti"
+    ).select("vec_id", F.lit(150).cast("long").alias("rank_milli"))
+    return iterated.unionByName(isolated)

@@ -1734,3 +1734,77 @@ def q_vocab_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("jaccard_milli"),
         )
     )
+
+
+# --- BPE merge statistics (adjacent-pair counts) -----------------------------
+
+# The first step of every BPE tokenizer train run: corpus-weighted
+# adjacent-symbol-pair frequencies over the VOCABULARY (distinct
+# words × their corpus counts), the table the merge rule argmaxes
+# over. Tokens are gated to printable ASCII (both engines index
+# substrings identically there; cross-engine substring semantics on
+# astral codepoints differ — same ASCII-parity scope as the
+# tokenizer seam, see functions/textfns.WS_RE).
+
+_BPE_TOP = 50
+_BPE_TOK_GATE = "^[!-~]+$"
+
+BPE_PAIR_COUNTS_ORACLE = f"""
+WITH w AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  WHERE regexp_matches(tok, '{_BPE_TOK_GATE}') AND length(tok) >= 2
+  GROUP BY tok
+),
+p AS (
+  SELECT unnest(list_transform(
+           generate_series(1, length(tok) - 1),
+           i -> substring(tok, i, 2))) AS pair,
+         n
+  FROM w
+)
+SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ
+FROM p GROUP BY pair
+ORDER BY n_occ DESC, pair LIMIT {_BPE_TOP}
+"""
+
+
+@query("bpe_pair_counts", BPE_PAIR_COUNTS_ORACLE)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BPE_TOP} adjacent character pairs by corpus-weighted
+    frequency — the argmax table of a BPE tokenizer's first merge
+    step, computed the way real trainers do: over the vocabulary with
+    word counts as weights, never re-walking the corpus per pair.
+
+    Scale shape: one corpus-wide token explode feeds a map-side-
+    combinable groupBy (vocab-bounded output, the word_freq shuffle);
+    the pair explode then runs over DISTINCT words only, and the
+    final aggregate's key space is bounded by the visible-ASCII
+    alphabet squared (≤ ~9k pairs) regardless of corpus size, so the
+    second shuffle is constant-size. The global top-{_BPE_TOP} is a
+    limit over that bounded table (per-partition take-ordered, no
+    full sort)."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    w = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .where(
+            F.col("tok").rlike(_BPE_TOK_GATE) & (F.length("tok") >= 2)
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )
