@@ -57,6 +57,43 @@ def dot_sql(a: str, b: str) -> str:
     )
 
 
+def qdot(a: Column, b: Column) -> Column:
+    """Public quantized dot product (BIGINT, exact, order-free) —
+    the integer form PQ codes and ADC lookup tables accumulate in."""
+    return _qdot(a, b)
+
+
+def qdot_sql(a: str, b: str) -> str:
+    """DuckDB twin of qdot(): Σ floor(aᵢ·bᵢ·1e12) as BIGINT.
+
+    The product is taken in SINGLE precision (FLOAT·FLOAT), because
+    that is what Spark's Multiply does on two FloatType columns —
+    zip_with over array<float> multiplies in float32 and only then
+    widens for the ·1e12 scale. A double-precision product here
+    diverges from Spark by a few hundred integer units per 16-term
+    sum (measured), which is invisible after dot_sql's /1e12 rounding
+    but fatal when the raw integer sum IS the compared value (PQ
+    codes / ADC scores)."""
+    return (
+        "(SELECT SUM(CAST(floor(CAST(CAST(x.a AS FLOAT) * CAST(x.b AS FLOAT)"
+        f" AS DOUBLE) * 1e12) AS BIGINT))"
+        f" FROM (SELECT UNNEST({a}) AS a, UNNEST({b}) AS b) x)"
+    )
+
+
+def qdotd_sql(a: str, b: str) -> str:
+    """qdot_sql for DOUBLE-typed lists (e.g. exactly-normalized
+    vectors): the product is a double·double multiply, which is what
+    Spark's Multiply does on two DoubleType columns — use qdot_sql
+    when the inputs are float32, this when they are float64; mixing
+    the two diverges at the floor boundary."""
+    return (
+        "(SELECT SUM(CAST(floor(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE)"
+        f" * 1e12) AS BIGINT))"
+        f" FROM (SELECT UNNEST({a}) AS a, UNNEST({b}) AS b) x)"
+    )
+
+
 def _norm2(a: Column) -> Column:
     return _dot(a, a)
 

@@ -10,7 +10,7 @@ same double bits regardless of summation order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from psx_data_pipeline_spark.operators.similarity import (
@@ -21,6 +21,9 @@ from psx_data_pipeline_spark.operators.similarity import (
     dot_sql,
     hyperplane_signature_sql,
     lsh_bucketed_neighbors,
+    qdot,
+    qdot_sql,
+    qdotd_sql,
     valid_embedding,
     valid_embedding_sql,
 )
@@ -756,3 +759,263 @@ def q_pagerank_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg, reps["vec_id"] == deg["id"], "left_anti"
     ).select("vec_id", F.lit(150).cast("long").alias("rank_milli"))
     return iterated.unionByName(isolated)
+
+
+# --- product quantization: ADC compressed scan -------------------------------
+
+# PQ splits each vector into M subvectors and replaces each with the
+# id of its nearest codebook entry in that subspace — the compression
+# layer a 100 TB vector store actually serves from (store M small
+# codes, not D floats). Queries never decompress: an asymmetric-
+# distance (ADC) scan computes one lookup table of query-subvector ×
+# codeword dots, then scores every corpus vector as a sum of M table
+# lookups. Codebooks here are a deterministic corpus subset (same
+# offline-training stance as IVF's centroids, _CENT_MOD note); code
+# assignment minimizes exact L2 in the subspace, dropping the
+# per-vector |x|² constant: cost = |c|² − 2·x·c, in integer qdot
+# units both engines floor identically, tie-broken by codeword id.
+#
+# Vectors are L2-NORMALIZED before encoding, so inner product ≡
+# cosine and pq_recall grades against the cosine ground truth (the
+# standard cosine-metric PQ recipe). The normalization itself is
+# engine-exact: divide by sqrt(n2q/1e12) where n2q is the INTEGER
+# quantized self-dot — sqrt and double division are the same IEEE
+# ops in both engines, so the normalized doubles match bit-for-bit.
+# n2q ≥ 1 gates out vectors whose norm² quantizes to zero (all
+# components < ~1e-6): not PQ-indexable, same stance as the cosine
+# gate on zero vectors. Precision discipline (test_pq.py pins it):
+# float32 inputs multiply in SINGLE precision in Spark, normalized
+# doubles in DOUBLE — qdot_sql vs qdotd_sql respectively; mixing
+# the two diverges at the floor boundary.
+
+_PQ_M = 16                      # subspaces (4-dim: finer quantization —
+                                # M=4 scored 0.04 recall on this corpus,
+                                # M=16 scores 0.52 vs IVF's 0.28)
+_PQ_SUB = _DIM // _PQ_M         # dims per subspace
+_PQ_CB_MOD = 10                 # codebook subset: vec_id % MOD == 2
+_PQ_CB_TARGET = 64              # ~codewords per subspace, corpus-invariant
+_PQ_CB_MOD_SQL = (
+    f"GREATEST({_PQ_CB_MOD}, CAST(ceil("
+    f"CAST((SELECT count(*) FROM vembeddings) AS DOUBLE) / {_PQ_CB_TARGET}"
+    f") AS BIGINT))"
+)
+
+PQ_ADC_TOPK_ORACLE = f"""
+WITH {_VEMB_CTE},
+vn2 AS (
+  SELECT vec_id, embedding,
+         {qdot_sql('embedding', 'embedding')} AS n2q
+  FROM vembeddings
+),
+vnorm AS (
+  SELECT vec_id,
+         list_transform(embedding, c -> CAST(c AS DOUBLE)
+           / sqrt(CAST(n2q AS DOUBLE) / 1e12)) AS xn
+  FROM vn2 WHERE n2q >= 1
+),
+ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+cb AS (
+  SELECT ms.m, e.vec_id AS cid,
+         e.xn[1 + {_PQ_SUB} * ms.m : {_PQ_SUB} * (ms.m + 1)] AS cvec
+  FROM vnorm e, ms
+  WHERE e.vec_id % {_PQ_CB_MOD_SQL} = 2
+),
+sv AS (
+  SELECT e.vec_id, ms.m,
+         e.xn[1 + {_PQ_SUB} * ms.m : {_PQ_SUB} * (ms.m + 1)] AS sv
+  FROM vnorm e, ms
+),
+costs AS (
+  SELECT s.vec_id, s.m, cb.cid,
+         {qdotd_sql('cb.cvec', 'cb.cvec')}
+           - 2 * {qdotd_sql('s.sv', 'cb.cvec')} AS cost
+  FROM sv s JOIN cb ON cb.m = s.m
+),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY cost, cid) AS rn
+    FROM costs
+  ) WHERE rn = 1
+),
+qs AS (
+  SELECT s.vec_id AS query_id, s.m, s.sv
+  FROM sv s WHERE s.vec_id % {_QUERY_MOD_SQL} = 0
+),
+lut AS (
+  SELECT q.query_id, cb.m, cb.cid, {qdotd_sql('q.sv', 'cb.cvec')} AS ld
+  FROM qs q JOIN cb ON cb.m = q.m
+),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(sum(l.ld) AS BIGINT) AS adot_q
+  FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.code
+  WHERE l.query_id <> c.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adot_q, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adot_q DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_K}
+"""
+
+
+def _pq_normalize(df: DataFrame) -> DataFrame:
+    """Exact L2 normalization: components become double, divided by
+    sqrt of the integer-quantized norm² — deterministic across
+    engines (see the section note). Keeps the column name
+    ``embedding`` so downstream slicing is type-agnostic."""
+    return (
+        df.withColumn("n2q", qdot(F.col("embedding"), F.col("embedding")))
+        .where(F.col("n2q") >= 1)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, c -> CAST(c AS DOUBLE)"
+                " / sqrt(CAST(n2q AS DOUBLE) / 1e12))"
+            ).alias("embedding"),
+        )
+    )
+
+
+def _pq_subvectors(df: DataFrame, id_alias: str) -> DataFrame:
+    """(id, m, sv): the M={_PQ_M} subspace slices of each vector."""
+    parts = F.array(*[
+        F.struct(
+            F.lit(m).cast("long").alias("m"),
+            F.slice("embedding", 1 + _PQ_SUB * m, _PQ_SUB).alias("sv"),
+        )
+        for m in range(_PQ_M)
+    ])
+    return df.select(
+        F.col("vec_id").alias(id_alias), F.explode(parts).alias("x")
+    ).select(id_alias, "x.m", "x.sv")
+
+
+@query("pq_adc_topk", PQ_ADC_TOPK_ORACLE)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_K} by approximate cosine (inner product of normalized
+    vectors) over PQ codes with an ADC lookup-table scan — the
+    compressed serving path (store scans M={_PQ_M} small codes per
+    vector, never the floats).
+
+    Scale shape: the codebook (~{_PQ_CB_TARGET} codewords ×
+    {_PQ_M} subspaces, corpus-invariant by the scaled-mod subset) is
+    BROADCAST for both phases. Encoding is the textbook M·K distance
+    evaluations per vector — a broadcast join + one map-side-
+    combinable min-struct groupBy, no corpus shuffle beyond the
+    (vec_id, m) combine. The ADC scan joins the code column against
+    the broadcast LUT (|queries|·M·K rows, bounded) and partial-
+    aggregates the M lookups per (query, vector) map-side before the
+    single score shuffle — the same candidate volume as the brute
+    baseline but over integer codes instead of 64-float arrays; in
+    production this scan composes with IVF's cell pruning (IVF-PQ)
+    exactly as ivf_topk already routes candidates. Scores stay in
+    exact integer qdot units (adot_q), so ranking is engine-exact.
+    Result memoized per (application, sf_dir): pq_recall grades this
+    index against the brute ground truth in the same session."""
+    return _memo_topk(
+        spark, sf_dir, "pq_adc_topk", lambda: _build_pq(spark, sf_dir)
+    )
+
+
+def _build_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _indexable(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
+    # subsets are taken on RAW ids (their scaled mod counts the full
+    # indexable store, matching the oracle's vembeddings-count mod),
+    # then normalized
+    cb = _pq_subvectors(
+        _pq_normalize(_scaled_mod_subset(emb, _PQ_CB_MOD, _PQ_CB_TARGET, 2)),
+        "cid",
+    ).select(
+        "m", "cid", F.col("sv").alias("cvec"),
+        qdot(F.col("sv"), F.col("sv")).alias("cn"),
+    )
+    sv = _pq_subvectors(_pq_normalize(emb), "vec_id")
+    costs = sv.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "cid",
+        (F.col("cn") - 2 * qdot(F.col("sv"), F.col("cvec"))).alias("cost"),
+    )
+    codes = (
+        costs.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("cost", "cid")).alias("mc"))
+        .select("vec_id", "m", F.col("mc.cid").alias("code"))
+    )
+    qs = _pq_subvectors(
+        _pq_normalize(_scaled_mod_subset(emb, _QUERY_MOD, _QUERY_TARGET, 0)),
+        "query_id",
+    )
+    lut = qs.join(F.broadcast(cb), "m").select(
+        "query_id", "m", F.col("cid").alias("code"),
+        qdot(F.col("sv"), F.col("cvec")).alias("ld"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld").cast("long").alias("adot_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adot_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id", "adot_q", "rank")
+    )
+
+
+PQ_RECALL_ORACLE = f"""
+WITH brute AS ({COSINE_TOPK_ORACLE}),
+approx AS ({PQ_ADC_TOPK_ORACLE}),
+hits AS (
+  SELECT b.query_id,
+         CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM brute b
+  LEFT JOIN approx a
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT query_id, n_hits,
+       CAST(n_hits * 1000 // {_K} AS BIGINT) AS recall_milli
+FROM hits
+"""
+
+
+@query("pq_recall", PQ_RECALL_ORACLE)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_K} of the PQ/ADC compressed scan against the
+    brute-force ground truth — the acceptance metric that decides a
+    codebook's compression/recall trade-off before it serves (the
+    ann_recall pattern, pointed at the quantized index: together the
+    two metrics separate cell-routing loss from quantization loss).
+
+    Plan shape: both sides come from the session top-k memo
+    (_TOPK_CACHE) — ≤ |queries|·k rows each — so the metric is a join
+    of two tiny in-memory tables when the index queries already ran
+    (bench runs all of them) and each index plan executes exactly
+    once when they haven't."""
+    brute = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_pq_adc_topk(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        brute.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("long").alias("n_hits"))
+        .select(
+            "query_id", "n_hits",
+            F.expr(f"n_hits * 1000 div {_K}").cast("long").alias(
+                "recall_milli"
+            ),
+        )
+    )

@@ -29,6 +29,10 @@ FLOAT_AGG_QUERIES = [
     "resample_ffill",
     # float-array group key (dup collapse) + multi-join census
     "neighbor_triangles",
+    # round-6 session-4: integer-rank iterate over the same collapsed
+    # graph; rank fusion over candidate windows; PQ min-struct code
+    # assignment + normalized-double ADC sums (quantized-int floors)
+    "pagerank_sim", "rrf_fusion", "pq_adc_topk", "pq_recall",
 ]
 
 

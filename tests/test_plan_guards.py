@@ -40,6 +40,9 @@ BOUNDED_BROADCAST_OK = {
     "shard_manifest",  # single-row corpus-token total rides as a broadcast
     "stratified_sample",  # single-row corpus doc total rides as a broadcast
     "ann_recall",  # composes cosine_topk's bounded broadcast baseline
+    # the scaled-mod subset's single-row count broadcast (same shape
+    # as cosine/ivf above) feeding codebook + query selection
+    "pq_adc_topk", "pq_recall",
     # source-PAIR generation joins the distinct source list against
     # itself on a < b: the nested side is bounded metadata (the
     # source catalogue), never corpus rows — register merges
