@@ -62,6 +62,12 @@ HEADLINERS = [
     ("resample_ffill", "hour-collapsed rows + bounded grid explode + union fill"),
     ("video_decode", "RIFF/AVI demux + frame sample in Arrow mapInPandas"),
     ("neighbor_triangles", "wedge-close equi-joins over LSH edge list"),
+    ("split_assign", "hash-residue split + broadcast quota audit"),
+    ("rrf_fusion", "bounded candidate re-rank; corpus joined by broadcast ids"),
+    ("pagerank_sim", "checkpointed edge list; per-step equi-join + combine"),
+    ("bpe_pair_counts", "vocab-bounded pair explode; constant-size final agg"),
+    ("pq_adc_topk", "broadcast codebook encode + ADC lookup-table scan"),
+    ("pq_recall", "join of two memoized top-k result tables"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)

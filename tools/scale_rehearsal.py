@@ -50,11 +50,13 @@ FAMILIES = {
         "dup_span_fraction", "heavy_shingles", "token_entropy",
         "dsir_weights", "source_overlap", "bm25_scores",
         "shard_manifest", "vocab_sketch", "vocab_overlap_sketch",
+        "rrf_fusion", "bpe_pair_counts",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
         "embedding_stats", "embedding_dedup", "embedding_quantize",
-        "ann_recall", "neighbor_triangles",
+        "ann_recall", "neighbor_triangles", "pagerank_sim",
+        "pq_adc_topk", "pq_recall",
     ],
     "events": [
         "sessionize_events", "detect_gaps", "asof_join_clicks",
