@@ -191,15 +191,25 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(v):
                 vk += int(np.floor(v * 1000).astype("int64").sum())
                 nv += len(v)
-            eids = pdf["event_id"].dropna()
-            if len(eids):
+            # raw-numpy path for event_id too (pandas dropna on a
+            # small per-group series costs ~100µs of pure overhead
+            # per update() call, which dominates at many groups).
+            # Arrow hands the column over as exact int64 when the
+            # batch has no NULLs and as float64 (NULL→NaN) when it
+            # does — only the float path needs the finite mask, and
+            # it carries the same 2^53 precision ceiling the previous
+            # dropna()-on-float64 path had.
+            e = pdf["event_id"].to_numpy(copy=False)
+            if e.dtype.kind == "f":
+                e = e[np.isfinite(e)]
+            if len(e):
                 # ne==0 means meid still holds the 0 sentinel — seed
                 # it from the data instead of max()ing against it, or
                 # an all-negative event_id stream would report the
                 # sentinel as its maximum (review finding, round 5)
-                m = int(eids.max())
+                m = int(e.max())
                 meid = m if ne == 0 else max(meid, m)
-                ne += len(eids)
+                ne += len(e)
         state.update((n, vk, meid, nv, ne))
         # SUM/MAX over zero non-null inputs is NULL in SQL, not 0
         yield pd.DataFrame(
