@@ -23,6 +23,9 @@ from psx_data_pipeline_spark.plans import spans  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import retrieval  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import io_queries  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import distrib  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import linkage  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import layout  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import ivm  # noqa: F401,E402
 
 # Benchmark hook: drops plan-layer memos (and their Spark cache
 # entries) so a memoized query's re-run measures the plan, not the

@@ -232,7 +232,11 @@ def test_event_queries_match_oracle_on_arbitrary_events(
     )
     for name in ("sessionize_events", "event_props_json",
                  "event_type_pivot", "skew_salted_counts",
-                 "event_cube", "robust_outliers"):
+                 "event_cube", "robust_outliers",
+                 # round-6: the IVM signed-delta merge (NULL-user
+                 # group, NULL event_ids out of the feed) and the
+                 # Morton quantizer (NULL/pre-epoch/far-future ts)
+                 "ivm_user_totals", "zorder_layout"):
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged on {evs!r}: {msg}"
 

@@ -48,6 +48,9 @@ BOUNDED_BROADCAST_OK = {
     # source catalogue), never corpus rows — register merges
     # downstream are equi-joins
     "vocab_overlap_sketch",
+    # the quantization-range agg rides as ONE broadcast row (same
+    # shape as embedding_quantize's per-dim ranges)
+    "zorder_layout",
 }
 
 
