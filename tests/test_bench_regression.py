@@ -91,6 +91,19 @@ def test_no_query_slowed_3x_vs_last_round():
 # 4 and 5 sat inside the noise band of any single-round comparison but
 # is exactly what a fixed floor surfaces.
 FLOOR_RATIO = 1.5
+# Streaming lifecycle queries (real checkpointed multi-run jobs:
+# state-store snapshots, landing-dir listings, memory sinks) carry
+# fixed per-run overhead with measured ±60-70 % jitter between
+# SAME-CODE full-bench runs (round 6: stream_user_totals 1.90 vs
+# 2.80 s, stream_incremental_ingest 1.53 vs 2.53 s on identical
+# code the same day) — a 1.5x guard on them fires on machine state,
+# not drift. 2.2x still catches any real slowdown (the round-4
+# ticker_sync regression this guard family exists for was 2.6x).
+STREAM_FLOOR_RATIO = 2.2
+
+
+def _ratio_for(name: str) -> float:
+    return STREAM_FLOOR_RATIO if name.startswith("stream_") else FLOOR_RATIO
 
 
 def test_no_query_slowed_1_5x_vs_committed_floor():
@@ -108,9 +121,10 @@ def test_no_query_slowed_1_5x_vs_committed_floor():
     regressions = {
         name: (base[name], t)
         for name, t in current.items()
-        if name in base and t > FLOOR_SEC and t > FLOOR_RATIO * base[name]
+        if name in base and t > FLOOR_SEC and t > _ratio_for(name) * base[name]
     }
     assert not regressions, (
-        f"queries slowed >{FLOOR_RATIO}x vs the committed floor "
+        f"queries slowed >{FLOOR_RATIO}x (stream_*: "
+        f">{STREAM_FLOOR_RATIO}x) vs the committed floor "
         f"(floor_sec, current_sec): {regressions}"
     )

@@ -62,3 +62,37 @@ def test_partition_filter_key_lookup(spark):
     )
     (scan,) = _scans(df._jdf.queryExecution().executedPlan().toString())
     assert "EqualTo(o_orderkey,7)" in scan
+
+
+def test_bloom_build_scan_pushes_and_prunes(spark):
+    """bloom_semijoin's build scan must push the dim predicate and
+    read only the two referenced orders columns; the probe scan only
+    l_orderkey (round 6)."""
+    plan = (
+        QUERIES["bloom_semijoin"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    order_scans = [s for s in _scans(plan) if "orders.parquet" in s]
+    assert order_scans
+    for scan in order_scans:
+        assert "EqualTo(o_orderpriority,1-URGENT)" in scan, scan
+        m = re.search(r"ReadSchema: struct<([^>]*)", scan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if ":" in c}
+        assert cols <= {"o_orderkey", "o_orderpriority"}, cols
+    li_scans = [s for s in _scans(plan) if "lineitem.parquet" in s]
+    assert li_scans
+    for scan in li_scans:
+        m = re.search(r"ReadSchema: struct<([^>]*)", scan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if ":" in c}
+        assert cols <= {"l_orderkey"}, cols
+
+
+def test_linkage_scan_reads_only_key_and_name(spark):
+    plan = (
+        QUERIES["fuzzy_name_linkage"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for scan in _scans(plan):
+        m = re.search(r"ReadSchema: struct<([^>]*)", scan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if ":" in c}
+        assert cols <= {"p_partkey", "p_name"}, cols

@@ -68,6 +68,10 @@ HEADLINERS = [
     ("bpe_pair_counts", "vocab-bounded pair explode; constant-size final agg"),
     ("pq_adc_topk", "broadcast codebook encode + ADC lookup-table scan"),
     ("pq_recall", "join of two memoized top-k result tables"),
+    ("fuzzy_name_linkage", "multi-pass blocking equi-join + banded levenshtein"),
+    ("zorder_layout", "Morton-code bucketing; one range-row broadcast"),
+    ("bloom_semijoin", "constant-size words table probed by k broadcast joins"),
+    ("ivm_user_totals", "bucketed view merge; delta-only shuffle"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)

@@ -66,6 +66,7 @@ FAMILIES = {
         "resample_ffill",
         "stream_window_counts", "stream_sessionize", "stream_user_totals",
         "stream_click_attribution", "stream_dedup",
+        "ivm_user_totals", "zorder_layout",
     ],
     "multimodal": [
         "multimodal_features", "frame_sample", "image_decode",
@@ -82,6 +83,7 @@ FAMILIES = {
         "rolling_range_7d", "topk_by_volume", "price_percentiles",
         "append_cutoff", "ohlc_missing_days", "brand_revenue_share",
         "symbol_rollup", "calendar_range", "bucketed_join",
+        "fuzzy_name_linkage", "bloom_semijoin",
     ],
     "ticker": [
         "snapshot_diff", "ticker_sync_changes", "rename_detection",
@@ -215,7 +217,17 @@ def build_corpus(
             "props": t["props"],
         }))
     pq.write_table(pa.concat_tables(parts), f"{out_dir}/events.parquet")
-    for name in ("region", "nation", "supplier", "part"):
+    # part: replicate rows under fresh keys but IDENTICAL names — the
+    # linkage worst case (dirty feed grows Nx against a constant
+    # master dictionary); i=0 keeps the original keys so l_partkey
+    # joins stay valid
+    duckdb.sql(f"""
+        COPY (SELECT p_partkey + 2000 * i AS p_partkey, p_name, p_brand,
+                     p_type, p_size, p_retailprice
+              FROM '{BASE}/part.parquet',
+                   UNNEST(range(0, {factor})) AS t(i))
+        TO '{out_dir}/part.parquet' (FORMAT PARQUET)""")
+    for name in ("region", "nation", "supplier"):
         dst = f"{out_dir}/{name}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{BASE}/{name}.parquet", dst)
