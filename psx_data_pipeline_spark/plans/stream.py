@@ -278,6 +278,21 @@ def q_stream_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_image_decode(spark, sf_dir)
 
 
+# --- streaming safety filter --------------------------------------------------
+
+from psx_data_pipeline_spark.plans.safety import BLOCKLIST_ORACLE  # noqa: E402
+from psx_data_pipeline_spark.streaming.jobs import streaming_blocklist  # noqa: E402
+
+
+@query("stream_blocklist", BLOCKLIST_ORACLE)
+def q_stream_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocklist audit as filter-on-ingest: a stateless streaming
+    projection (per-row expressions over the constant pattern list,
+    zero shuffle per micro-batch) that must agree value-for-value
+    with the batch explode+aggregate plan — same oracle."""
+    return streaming_blocklist(spark, sf_dir)
+
+
 # --- streaming vocabulary sketch ---------------------------------------------
 
 from psx_data_pipeline_spark.plans.text import VOCAB_SKETCH_ORACLE  # noqa: E402

@@ -456,6 +456,59 @@ def streaming_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def streaming_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-on-ingest: the blocklist audit as a STATELESS streaming
+    projection (append mode, no state store, no watermark). The batch
+    query explodes the pattern array and aggregates per doc — the
+    right plan when the blocklist is large; at ingest the same
+    semantics compile to per-row expressions over the constant
+    pattern list (one column bundle per pattern), so each micro-batch
+    is a narrow map with zero shuffle — the shape a production safety
+    filter runs at the front of the pipeline. Same oracle as the
+    batch query: the two plans must agree value-for-value."""
+    from psx_data_pipeline_spark.plans.safety import (
+        _BLOCKLIST,
+        _MAX_OCC,
+        _MAX_PATTERNS,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(F.col("text").isNotNull())
+    )
+    occ = {
+        p: F.expr(
+            f"CAST((length(text) - length(replace(text, '{p}', '')))"
+            f" / length('{p}') AS BIGINT)"
+        )
+        for p in _BLOCKLIST
+    }
+    n_patterns = sum(
+        (o > 0).cast("long") for o in occ.values()
+    ).alias("n_patterns")
+    n_occurrences = sum(occ.values()).alias("n_occurrences")
+    max_occ = F.greatest(*occ.values())
+    # lexicographic-min struct over (neg count, pattern) — the same
+    # worst-pattern convention as the batch aggregate; least() skips
+    # NULLs, and all-zero docs yield NULL
+    worst = F.least(*[
+        F.when(o > 0, F.struct((-o).alias("no"), F.lit(p).alias("p")))
+        for p, o in occ.items()
+    ]).getField("p").alias("worst_pattern")
+    out = raw.select(
+        "doc_id", n_patterns, n_occurrences, worst,
+        (
+            (max_occ > _MAX_OCC)
+            | (sum((o > 0).cast("long") for o in occ.values()) > _MAX_PATTERNS)
+        ).alias("dropped"),
+    )
+    table = run_to_memory(out, "append", "blocklist")
+    return spark.table(table)
+
+
 _HLL_STATE = "nt LONG, regs ARRAY<LONG>"
 _HLL_OUT = "source STRING, n_tokens LONG, v1 LONG, z LONG"
 

@@ -36,6 +36,9 @@ QUERIES_UNDER_FUZZ = (
     "multimodal_features", "frame_sample",
     # round-6: the CM sketch (cell grid + top-k tie ordering)
     "count_min_hitters",
+    # round-6: literal replace-arithmetic occurrence counts over
+    # arbitrary unicode text (ASCII patterns by contract)
+    "blocklist_scan",
 )
 
 _TEXT = st.text(
@@ -300,7 +303,10 @@ def test_ohlc_queries_match_oracle_on_arbitrary_orders(
         f"{sf}/orders.parquet",
     )
     for name in ("ohlc_daily", "daily_returns", "moving_avg",
-                 "topk_by_volume", "price_percentiles"):
+                 "topk_by_volume", "price_percentiles",
+                 # round-6: the dyadic-kernel EWMA (lag windows over
+                 # arbitrary same-day collisions and -0.0 prices)
+                 "ewma_prices"):
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged on {ords!r}: {msg}"
 
@@ -485,6 +491,9 @@ def test_distrib_queries_match_oracle_on_arbitrary_doc_meta(
         }),
         f"{sf}/documents.parquet",
     )
-    for name in ("group_quantiles", "ks_drift", "stratified_sample"):
+    for name in ("group_quantiles", "ks_drift", "stratified_sample",
+                 # round-6: quantile normalization (arbitrary n_chars
+                 # domains, single-doc sources, all-equal scores)
+                 "quantile_calibrate"):
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged on {metas!r}: {msg}"

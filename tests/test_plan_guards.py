@@ -51,6 +51,8 @@ BOUNDED_BROADCAST_OK = {
     # the quantization-range agg rides as ONE broadcast row (same
     # shape as embedding_quantize's per-dim ranges)
     "zorder_layout",
+    # the pooled-count single row broadcast into the 1001-point grid
+    "quantile_calibrate",
 }
 
 
