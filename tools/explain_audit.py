@@ -72,6 +72,10 @@ HEADLINERS = [
     ("zorder_layout", "Morton-code bucketing; one range-row broadcast"),
     ("bloom_semijoin", "constant-size words table probed by k broadcast joins"),
     ("ivm_user_totals", "bucketed view merge; delta-only shuffle"),
+    ("ewma_prices", "K-lag dyadic kernel over per-symbol window"),
+    ("quantile_calibrate", "domain-bounded cume windows + 1001-point grid"),
+    ("blocklist_scan", "broadcast literal patterns; shuffle-free scan"),
+    ("minhash_calibration", "banded candidates; sig + shingle equi-joins"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)
@@ -87,6 +91,7 @@ STREAMING_EXCLUDED = [
     "stream_dedup", "stream_click_attribution", "stream_image_decode",
     "stream_incremental_ingest", "stream_sync_change_log",
     "stream_vocab_sketch", "stream_heavy_hitters", "stream_video_decode",
+    "stream_blocklist",
 ]
 
 

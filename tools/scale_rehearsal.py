@@ -50,13 +50,13 @@ FAMILIES = {
         "dup_span_fraction", "heavy_shingles", "token_entropy",
         "dsir_weights", "source_overlap", "bm25_scores",
         "shard_manifest", "vocab_sketch", "vocab_overlap_sketch",
-        "rrf_fusion", "bpe_pair_counts",
+        "rrf_fusion", "bpe_pair_counts", "blocklist_scan",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
         "embedding_stats", "embedding_dedup", "embedding_quantize",
         "ann_recall", "neighbor_triangles", "pagerank_sim",
-        "pq_adc_topk", "pq_recall",
+        "pq_adc_topk", "pq_recall", "minhash_calibration",
     ],
     "events": [
         "sessionize_events", "detect_gaps", "asof_join_clicks",
@@ -83,7 +83,7 @@ FAMILIES = {
         "rolling_range_7d", "topk_by_volume", "price_percentiles",
         "append_cutoff", "ohlc_missing_days", "brand_revenue_share",
         "symbol_rollup", "calendar_range", "bucketed_join",
-        "fuzzy_name_linkage", "bloom_semijoin",
+        "fuzzy_name_linkage", "bloom_semijoin", "ewma_prices",
     ],
     "ticker": [
         "snapshot_diff", "ticker_sync_changes", "rename_detection",
@@ -94,7 +94,7 @@ FAMILIES = {
     ],
     "streamjobs": [
         "stream_incremental_ingest", "stream_sync_change_log",
-        "stream_vocab_sketch",
+        "stream_vocab_sketch", "stream_blocklist",
     ],
     "io": [
         "csv_sink_roundtrip", "json_snapshot_latest",
@@ -103,7 +103,7 @@ FAMILIES = {
     "distrib": [
         "count_min_hitters", "group_quantiles", "stratified_sample",
         "ks_drift", "robust_outliers", "stream_heavy_hitters",
-        "split_assign",
+        "split_assign", "quantile_calibrate",
     ],
 }
 
