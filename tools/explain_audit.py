@@ -76,6 +76,7 @@ HEADLINERS = [
     ("quantile_calibrate", "domain-bounded cume windows + 1001-point grid"),
     ("blocklist_scan", "broadcast literal patterns; shuffle-free scan"),
     ("minhash_calibration", "banded candidates; sig + shingle equi-joins"),
+    ("corpus_diff", "fingerprint projections; one full-outer id join"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)

@@ -51,6 +51,7 @@ FAMILIES = {
         "dsir_weights", "source_overlap", "bm25_scores",
         "shard_manifest", "vocab_sketch", "vocab_overlap_sketch",
         "rrf_fusion", "bpe_pair_counts", "blocklist_scan",
+        "corpus_diff",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
