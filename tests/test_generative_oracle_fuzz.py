@@ -39,6 +39,9 @@ QUERIES_UNDER_FUZZ = (
     # round-6: literal replace-arithmetic occurrence counts over
     # arbitrary unicode text (ASCII patterns by contract)
     "blocklist_scan",
+    # round-6: bigram LM scoring (shifted-zip bigrams, history
+    # normalization, add-one smoothing) over arbitrary unicode
+    "bigram_perplexity",
 )
 
 _TEXT = st.text(

@@ -53,6 +53,9 @@ BOUNDED_BROADCAST_OK = {
     "zorder_layout",
     # the pooled-count single row broadcast into the 1001-point grid
     "quantile_calibrate",
+    # single-row vocabulary-size broadcast (same shape as
+    # unigram_logprob's token total)
+    "bigram_perplexity",
 }
 
 
