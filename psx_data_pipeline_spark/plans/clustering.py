@@ -1,0 +1,210 @@
+"""Embedding clustering: k-means with a fixed, unrolled iteration
+count — the topic-bucketing / SemDeDup-style corpus organization step
+(cluster the embedding space, then balance or dedup within clusters).
+
+Iterative algorithms on Spark unroll into a fixed number of
+dataflow stages (same approach as pagerank_sim's three power steps):
+three assign/update rounds from a deterministic seed — the K
+smallest vec_ids — then a final assignment that yields per-cluster
+statistics. Every quantity is integer-exact so both engines agree
+bit-for-bit regardless of partitioning:
+
+  * components quantized once to milli ints: floor(x·1000) BIGINT;
+  * distance = Σ (qᵢ-cᵢ)² over 64 dims — exact BIGINT (milli values
+    ≤ 1e5, so the 64-term sum ≤ 2.6e12, far inside int64);
+  * argmin via one packed MIN: dist·K + (cid-1) — ties broken by
+    centroid id, no float compare anywhere;
+  * centroid update = per-dimension truncating integer mean (div),
+    computed as 64 map-side-combinable SUM columns — NOT an explode
+    (an unnest would shuffle 64× the rows);
+  * an empty cluster keeps its previous centroid (LEFT JOIN carry).
+
+100 TB shape: the centroid table is K=8 rows — it rides every
+assignment as a bounded broadcast (the corpus is never the build
+side), each round costs one scan + one 8×65-column aggregate, and
+the output is K rows. NULL vec_ids are excluded up front (the
+engines' NULLS FIRST/LAST defaults differ and a NULL id cannot seed
+a centroid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from psx_data_pipeline_spark.operators.similarity import (
+    indexable_embedding,
+    indexable_embedding_sql,
+)
+from psx_data_pipeline_spark.plans.registry import query
+from psx_data_pipeline_spark.sources.fixtures import load_table
+
+_DIM = 64
+_K = 8
+_ITERS = 3
+
+
+def _dist_sql(q: str, c: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {_DIM}),"
+        f" i -> ({q}[i] - {c}[i]) * ({q}[i] - {c}[i])))"
+    )
+
+
+def _iter_sql(i: int, prev: str) -> str:
+    """One assign/update round as CTEs a{i}/s{i}/c{i}."""
+    sums = ", ".join(f"SUM(q[{d}]) AS s{d}" for d in range(1, _DIM + 1))
+    mean_list = ", ".join(f"s.s{d} // s.n" for d in range(1, _DIM + 1))
+    return f"""
+a{i} AS (
+  SELECT vec_id, q,
+         min({_dist_sql('q', 'c')} * {_K} + (cid - 1)) AS pk
+  FROM v CROSS JOIN {prev} GROUP BY vec_id, q
+),
+s{i} AS (
+  SELECT CAST(pk % {_K} + 1 AS INT) AS cid,
+         CAST(count(*) AS BIGINT) AS n, {sums}
+  FROM a{i} GROUP BY 1
+),
+c{i} AS (
+  SELECT p.cid,
+         CASE WHEN s.n IS NULL THEN p.c ELSE [{mean_list}] END AS c
+  FROM {prev} p LEFT JOIN s{i} s USING (cid)
+)"""
+
+
+KMEANS_TOPICS_ORACLE = (
+    f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND {indexable_embedding_sql('embedding', _DIM)}
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, q AS c
+  FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT {_K})
+),"""
+    + ",".join(_iter_sql(i, f"c{i - 1}") for i in range(1, _ITERS + 1))
+    + f""",
+fin AS (
+  SELECT vec_id, min({_dist_sql('q', 'c')} * {_K} + (cid - 1)) AS pk
+  FROM v CROSS JOIN c{_ITERS} GROUP BY vec_id
+),
+stats AS (
+  SELECT CAST(pk % {_K} + 1 AS INT) AS cid,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(pk // {_K}) AS BIGINT) AS wss_q
+  FROM fin GROUP BY 1
+)
+SELECT c.cid AS cluster_id,
+       coalesce(st.n_members, 0) AS n_members,
+       coalesce(st.wss_q, 0) AS wss_q,
+       CAST(list_sum(list_transform(c.c, x -> abs(x))) AS BIGINT)
+         AS centroid_l1
+FROM c{_ITERS} c LEFT JOIN stats st ON c.cid = st.cid
+"""
+)
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).where(
+        F.col("vec_id").isNotNull()
+        & indexable_embedding("embedding", _DIM)
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
+    )
+    return emb.select("vec_id", q.alias("q"))
+
+
+def _dist(q: Column, c: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _packed_assign(qdf: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, q, pk): pk = min over centroids of dist·K + (cid-1)."""
+    pk = _dist(F.col("q"), F.col("c")) * _K + (F.col("cid") - 1)
+    return (
+        qdf.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id", "q")
+        .agg(F.min(pk).alias("pk"))
+    )
+
+
+def _update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
+    sums = assigned.select(
+        (F.col("pk") % _K + 1).cast("int").alias("cid"), "q"
+    ).groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.col("q")[d]).alias(f"s{d}")
+            for d in range(_DIM)
+        ],
+    )
+    mean = F.expr(
+        "array(" + ", ".join(f"s{d} div n" for d in range(_DIM)) + ")"
+    )
+    return (
+        prev.alias("p")
+        .join(sums.alias("s"), "cid", "left")
+        .select(
+            "cid",
+            F.when(F.col("s.n").isNull(), F.col("p.c"))
+            .otherwise(mean)
+            .alias("c"),
+        )
+    )
+
+
+@query("kmeans_topics", KMEANS_TOPICS_ORACLE)
+def q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled integer k-means rounds over the indexable
+    embeddings; output is the K-row cluster catalogue — size,
+    within-cluster squared distance, centroid L1 (module
+    docstring)."""
+    qdf = _quantized(spark, sf_dir)
+    init = qdf.orderBy("vec_id").limit(_K)
+    cents = init.select(
+        F.row_number()
+        .over(Window.orderBy("vec_id"))
+        .cast("int")
+        .alias("cid"),
+        F.col("q").alias("c"),
+    )
+    for _ in range(_ITERS):
+        assigned = _packed_assign(qdf, cents)
+        cents = _update(assigned, cents)
+    fin = (
+        _packed_assign(qdf, cents)
+        .select((F.col("pk") % _K + 1).cast("int").alias("cid"),
+                F.expr(f"pk div {_K}").cast("long").alias("dist"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("dist").cast("long").alias("wss_q"),
+        )
+    )
+    l1 = F.aggregate(
+        F.transform(F.col("c"), lambda x: F.abs(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cents.alias("c")
+        .join(fin.alias("st"), "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.coalesce(F.col("st.n_members"), F.lit(0).cast("long")).alias(
+                "n_members"
+            ),
+            F.coalesce(F.col("st.wss_q"), F.lit(0).cast("long")).alias("wss_q"),
+            l1.cast("long").alias("centroid_l1"),
+        )
+    )
