@@ -241,3 +241,31 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol", "name", "sector", "quality",
         F.col("quality").isNotNull().alias("has_quality"),
     )
+
+
+ORC_ROUNDTRIP_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@query("orc_sink_roundtrip", ORC_ROUNDTRIP_ORACLE)
+def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as the alternate columnar sink/scan: a TYPED projection
+    (bigint key, string code, double measure, timestamp date) is
+    written to ORC and read back from file metadata — unlike the CSV
+    row (all-string by the reference's contract), this pins native
+    type fidelity through a second columnar format. ORC carries the
+    same pushdown/pruning machinery as parquet in Spark, so the
+    choice is an interop decision, not a performance fork; the
+    oracle reads the equivalent rows straight from the parquet
+    fixture, so any type or timezone mangling in the ORC round-trip
+    breaks the hash (session TZ is UTC on both engines)."""
+    out = scratch_dir("orc_sink") + "/orders_orc"
+    df = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+    df.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

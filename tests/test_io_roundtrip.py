@@ -139,3 +139,20 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(snapshot_date" in plan
     assert pruned.count() == 1
+
+
+def test_orc_roundtrip_preserves_types(spark):
+    """The ORC read-back schema is the written schema — no string
+    widening, no timestamp mangling (csv_sink_roundtrip pins the
+    opposite, all-string, contract)."""
+    from psx_data_pipeline_spark.plans import QUERIES
+
+    df = QUERIES["orc_sink_roundtrip"](spark, "/root/testdata/sf0.01")
+    assert dict(df.dtypes) == {
+        "o_orderkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        # the parquet fixture is TZ-naive (isAdjustedToUTC=false), so
+        # Spark reads and ORC round-trips it as timestamp_ntz
+        "o_orderdate": "timestamp_ntz",
+    }

@@ -59,6 +59,9 @@ BOUNDED_BROADCAST_OK = {
     # the K=8-row centroid table rides each assignment round as a
     # bounded broadcast; the corpus is never the build side
     "kmeans_topics",
+    # cosine_topk's bounded query-set broadcast with the extra
+    # label-inequality predicate
+    "hard_negatives",
 }
 
 
