@@ -345,3 +345,41 @@ def q_stream_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming engine must produce value-identical sampled-frame
     rows."""
     return streaming_video_decode(spark, sf_dir)
+
+
+# --- streaming constraint audit ----------------------------------------------
+
+from psx_data_pipeline_spark.streaming.jobs import (  # noqa: E402
+    streaming_constraint_audit,
+)
+
+STREAM_RULES_ORACLE = f"""
+WITH w AS (
+  SELECT epoch_us(ts) - ((epoch_us(ts) % {_HOUR_US}) + {_HOUR_US})
+           % {_HOUR_US} AS win_start_us,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS vu,
+         CAST(sum(CASE WHEN value IS NOT NULL AND (isnan(value)
+                  OR value = CAST('inf' AS DOUBLE)
+                  OR value = CAST('-inf' AS DOUBLE))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS vv,
+         CAST(sum(CASE WHEN NOT coalesce(event_type IN
+                  ('click','view','purchase','signup','error'), FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS ve
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT win_start_us, 'events.user_id.complete' AS rule_id,
+       n AS n_checked, vu AS n_violations FROM w
+UNION ALL SELECT win_start_us, 'events.value.finite', n, vv FROM w
+UNION ALL SELECT win_start_us, 'events.event_type.in_set', n, ve FROM w
+"""
+
+
+@query("stream_constraint_audit", STREAM_RULES_ORACLE)
+def q_stream_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality suite as a continuous windowed audit
+    (streaming/jobs.py:streaming_constraint_audit): one stateful
+    conditional-sum aggregate per hourly window, per-rule rows via a
+    stateless post-agg explode; batch-equivalent by the oracle."""
+    return streaming_constraint_audit(spark, sf_dir)

@@ -677,3 +677,61 @@ def streaming_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_video_frames(synth_video_payloads(raw.select("doc_id")))
     table = run_to_memory(decoded, "append", "vid_decode")
     return spark.table(table)
+
+
+_EVENT_TYPE_SET = ["click", "view", "purchase", "signup", "error"]
+
+
+def streaming_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality rule suite (plans/rules.py) as a CONTINUOUS
+    audit: per hourly window, (rule, checked, violations) rows — the
+    Deequ-on-streams shape that gates an always-on ingest instead of
+    a published snapshot.
+
+    Same execution idea as the batch suite: all rules ride ONE
+    windowed conditional-sum aggregate (state = one 4-counter row
+    per open window, watermark-bounded), and the per-rule pivot is a
+    stateless post-aggregation explode. Violation predicates are the
+    batch suite's TOTAL forms, so streaming and batch answers agree
+    on hostile input (NaN/Inf, NULL uid, unknown event types)."""
+    ev = events_stream(spark, sf_dir).where(F.col("ts_ts").isNotNull())
+    viol_uid = F.col("user_id").isNull()
+    viol_val = F.col("value").isNotNull() & (
+        F.isnan("value")
+        | (F.col("value") == F.lit(float("inf")))
+        | (F.col("value") == F.lit(float("-inf")))
+    )
+    viol_type = ~F.coalesce(
+        F.col("event_type").isin(_EVENT_TYPE_SET), F.lit(False)
+    )
+    agg = (
+        ev.withWatermark("ts_ts", "1 hour")
+        .groupBy(F.window("ts_ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(viol_uid, 1).otherwise(0)).cast("long").alias("vu"),
+            F.sum(F.when(viol_val, 1).otherwise(0)).cast("long").alias("vv"),
+            F.sum(F.when(viol_type, 1).otherwise(0)).cast("long").alias("ve"),
+        )
+    )
+
+    def rule(rid: str, v: str):
+        return F.struct(
+            F.lit(rid).alias("rule_id"),
+            F.col("n").alias("n_checked"),
+            F.col(v).alias("n_violations"),
+        )
+
+    rules = agg.select(
+        F.unix_micros(F.col("win.start")).alias("win_start_us"),
+        F.explode(
+            F.array(
+                rule("events.user_id.complete", "vu"),
+                rule("events.value.finite", "vv"),
+                rule("events.event_type.in_set", "ve"),
+            )
+        ).alias("r"),
+    ).select("win_start_us", "r.*")
+    with _pinned_state_shuffle(spark):
+        table = run_to_memory(rules, "complete", "rule_audit")
+    return spark.table(table)

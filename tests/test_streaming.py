@@ -122,3 +122,49 @@ def test_user_totals_all_negative_event_ids(spark, tmp_path):
     assert rows[2]["max_event_id"] == -2
     assert rows[2]["value_k"] is None         # SUM over no non-nulls
     assert rows[3]["max_event_id"] is None    # MAX over no non-nulls
+
+
+def test_stream_constraint_audit_hostile_window(spark, tmp_path):
+    """The windowed streaming audit counts NaN/Inf values, NULL
+    user_ids, and unknown event types per hour — and NULL-ts rows
+    belong to no window (same contract as the batch suite + the
+    windowed-counts NULL-time finding)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from psx_data_pipeline_spark.streaming.jobs import (
+        streaming_constraint_audit,
+    )
+
+    h0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    h1 = dt.datetime(2024, 1, 1, 13, 30, 0)
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "ts": pa.array([h0, h0, h1, h1, None], type=pa.timestamp("us")),
+            "user_id": pa.array([1, None, 2, 3, 4], type=pa.int64()),
+            "event_type": pa.array(
+                ["click", "mystery", "view", None, "click"], type=pa.string()
+            ),
+            "value": pa.array(
+                [1.0, float("nan"), float("inf"), None, 2.0],
+                type=pa.float64(),
+            ),
+            "props": pa.array([None] * 5, type=pa.string()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    rows = streaming_constraint_audit(spark, str(tmp_path)).collect()
+    got = {(r.win_start_us, r.rule_id): (r.n_checked, r.n_violations)
+           for r in rows}
+    w0 = int(h0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    w1 = int(h1.replace(minute=0, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert len(got) == 6  # 2 windows x 3 rules; the NULL-ts row in none
+    assert got[(w0, "events.user_id.complete")] == (2, 1)
+    assert got[(w0, "events.value.finite")] == (2, 1)        # NaN
+    assert got[(w0, "events.event_type.in_set")] == (2, 1)   # mystery
+    assert got[(w1, "events.user_id.complete")] == (2, 0)
+    assert got[(w1, "events.value.finite")] == (2, 1)        # +inf
+    assert got[(w1, "events.event_type.in_set")] == (2, 1)   # NULL type

@@ -92,7 +92,7 @@ STREAMING_EXCLUDED = [
     "stream_dedup", "stream_click_attribution", "stream_image_decode",
     "stream_incremental_ingest", "stream_sync_change_log",
     "stream_vocab_sketch", "stream_heavy_hitters", "stream_video_decode",
-    "stream_blocklist",
+    "stream_blocklist", "stream_constraint_audit",
 ]
 
 
