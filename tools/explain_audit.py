@@ -77,6 +77,11 @@ HEADLINERS = [
     ("blocklist_scan", "broadcast literal patterns; shuffle-free scan"),
     ("minhash_calibration", "banded candidates; sig + shingle equi-joins"),
     ("corpus_diff", "fingerprint projections; one full-outer id join"),
+    ("constraint_audit", "one conditional-sum scan per table; FK probes"),
+    ("bigram_perplexity", "shifted-zip bigrams; distributed model tables"),
+    ("kmeans_topics", "K-row centroid broadcast; 64-col mean agg"),
+    ("hard_negatives", "bounded query broadcast; label-pruned scoring"),
+    ("orc_sink_roundtrip", "typed columnar write + metadata read-back"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)

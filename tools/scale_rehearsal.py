@@ -51,13 +51,14 @@ FAMILIES = {
         "dsir_weights", "source_overlap", "bm25_scores",
         "shard_manifest", "vocab_sketch", "vocab_overlap_sketch",
         "rrf_fusion", "bpe_pair_counts", "blocklist_scan",
-        "corpus_diff",
+        "corpus_diff", "bigram_perplexity",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
         "embedding_stats", "embedding_dedup", "embedding_quantize",
         "ann_recall", "neighbor_triangles", "pagerank_sim",
         "pq_adc_topk", "pq_recall", "minhash_calibration",
+        "kmeans_topics", "hard_negatives",
     ],
     "events": [
         "sessionize_events", "detect_gaps", "asof_join_clicks",
@@ -67,7 +68,7 @@ FAMILIES = {
         "resample_ffill",
         "stream_window_counts", "stream_sessionize", "stream_user_totals",
         "stream_click_attribution", "stream_dedup",
-        "ivm_user_totals", "zorder_layout",
+        "ivm_user_totals", "zorder_layout", "stream_constraint_audit",
     ],
     "multimodal": [
         "multimodal_features", "frame_sample", "image_decode",
@@ -79,7 +80,7 @@ FAMILIES = {
         "url_normalize", "date_roundtrip", "first_run_bootstrap",
     ],
     "relational": [
-        "pricing_summary", "above_segment_avg", "top_building_orders",
+        "constraint_audit", "pricing_summary", "above_segment_avg", "top_building_orders",
         "regional_revenue", "ohlc_daily", "daily_returns", "moving_avg",
         "rolling_range_7d", "topk_by_volume", "price_percentiles",
         "append_cutoff", "ohlc_missing_days", "brand_revenue_share",
@@ -100,6 +101,7 @@ FAMILIES = {
     "io": [
         "csv_sink_roundtrip", "json_snapshot_latest",
         "partitioned_overwrite_idempotent", "schema_evolution",
+        "orc_sink_roundtrip",
     ],
     "distrib": [
         "count_min_hitters", "group_quantiles", "stratified_sample",
@@ -169,7 +171,7 @@ def build_corpus(
               {giant_sql})
         TO '{out_dir}/documents.parquet' (FORMAT PARQUET)""")
     duckdb.sql(f"""
-        COPY (SELECT vec_id + 2000 * i AS vec_id, embedding
+        COPY (SELECT vec_id + 2000 * i AS vec_id, embedding, label
               FROM '{BASE}/embeddings.parquet',
                    UNNEST(range(0, {factor})) AS t(i))
         TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)""")
