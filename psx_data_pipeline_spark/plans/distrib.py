@@ -680,3 +680,82 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_leaked_docs"),
         )
     )
+
+
+# --- weighted sampling without replacement (Efraimidis–Spirakis) ------------
+
+_WS_M = 100       # sample size
+_WS_SALTS = 8     # phase-1 salt groups bounding any single top-M sort
+
+_WS_H = md5_long_sql("CAST(doc_id AS VARCHAR) || ':ws'")
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len({TOKENS_SQL.format('text')}) AS BIGINT) AS weight,
+         ({_WS_H}) % {HASH_P} AS hp
+  FROM documents
+  WHERE doc_id IS NOT NULL AND len({TOKENS_SQL.format('text')}) >= 1
+),
+keyed AS (
+  SELECT doc_id, weight,
+         (CAST(floor(1e9 * ln((CAST({HASH_P} AS DOUBLE) + 1) / (hp + 1)))
+               AS BIGINT) * 1000000) // weight AS k
+  FROM w
+),
+p1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id % {_WS_SALTS} ORDER BY k, doc_id) AS rn1
+    FROM keyed
+  ) WHERE rn1 <= {_WS_M}
+)
+SELECT doc_id, weight, k,
+       CAST(row_number() OVER (ORDER BY k, doc_id) AS INT) AS rank
+FROM p1 QUALIFY rank <= {_WS_M}
+"""
+
+
+@query("weighted_sample", WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis exponential-clock scheme with the randomness
+    replaced by the repo's md5 hash convention: u = (h%P+1)/(P+1),
+    clock = -ln(u)/weight, keep the M smallest clocks. Inclusion
+    probability scales with weight (here: token count — the "sample
+    long documents proportionally" knob), and the draw replays
+    identically on both engines because the clock is the integer
+    rational floor(1e9·ln((P+1)/(h%P+1)))·1e6 div weight — no float
+    division, ties broken by doc_id.
+
+    Two-phase global top-M (domain_cap's pattern): per-salt top-M
+    bounds any single sort to a salt group, then the ≤ S·M survivors
+    re-rank once — min-K is distributive so this equals the direct
+    top-M the oracle states. Zero-token and NULL-id docs are not
+    sampleable (weight ≥ 1 gate)."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    w = docs.where(F.col("doc_id").isNotNull()).select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("weight"),
+        (md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":ws")))
+         % HASH_P).alias("hp"),
+    ).where(F.col("weight") >= 1)
+    e = F.floor(
+        F.lit(1e9)
+        * F.log(F.lit(float(HASH_P + 1)) / (F.col("hp") + 1).cast("double"))
+    ).cast("long")
+    keyed = w.select(
+        "doc_id", "weight", (e * 1000000).cast("long").alias("__num")
+    ).withColumn("k", F.expr("__num div weight")).drop("__num")
+    w1 = Window.partitionBy(F.col("doc_id") % _WS_SALTS).orderBy("k", "doc_id")
+    p1 = (
+        keyed.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= _WS_M)
+        .drop("rn1")
+    )
+    w2 = Window.orderBy("k", "doc_id")
+    return (
+        p1.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= _WS_M)
+        .select("doc_id", "weight", "k", "rank")
+    )

@@ -26,7 +26,7 @@ bounded-width keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from psx_data_pipeline_spark.functions.textfns import TOKENS_SQL, tokens
@@ -111,4 +111,109 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("lp_milli").cast("long").alias("logprob_milli"),
         F.expr("sum(lp_milli) div count(1)").cast("long").alias("avg_lp_milli"),
+    )
+
+
+# --- CCNet-style perplexity bucketing ---------------------------------------
+
+# Value-group tertile rule, stated on the DISTINCT-score table so no
+# engine ever sorts raw rows: order a source's distinct avg_lp_milli
+# DESC (most-probable first), cume = running row count; the whole
+# value group lands in the bucket where its cume END sits — head if
+# 3·cume <= n, middle if 3·cume <= 2n, else tail. Deterministic under
+# ties by construction (a tied score is ONE group).
+_BUCKET_CASE = (
+    "CASE WHEN 3 * cume <= n THEN 'head' "
+    "WHEN 3 * cume <= 2 * n THEN 'middle' ELSE 'tail' END"
+)
+
+PERPLEXITY_BUCKETS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+big AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(ts) - 1),
+           i -> struct_pack(p := ts[i], c := ts[i + 1]))) AS bg
+  FROM toks WHERE len(ts) >= 2
+),
+pairs AS (SELECT doc_id, bg.p AS p, bg.c AS c FROM big),
+cb AS (SELECT p, c, CAST(count(*) AS BIGINT) AS nb FROM pairs GROUP BY p, c),
+ch AS (SELECT p, CAST(count(*) AS BIGINT) AS nh FROM pairs GROUP BY p),
+v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(ts) AS tok FROM toks)),
+lp AS (
+  SELECT pairs.doc_id,
+         CAST(floor(1000 * ln(CAST(cb.nb + 1 AS DOUBLE)
+                              / CAST(ch.nh + v.v AS DOUBLE))) AS BIGINT)
+           AS lp_milli
+  FROM pairs JOIN cb USING (p, c) JOIN ch USING (p) CROSS JOIN v
+),
+doc_scores AS (
+  SELECT doc_id, CAST(sum(lp_milli) // count(*) AS BIGINT) AS avg_lp_milli
+  FROM lp GROUP BY doc_id
+),
+sourced AS (
+  SELECT d.source, s.avg_lp_milli
+  FROM doc_scores s JOIN documents d USING (doc_id)
+),
+vals AS (
+  SELECT source, avg_lp_milli, CAST(count(*) AS BIGINT) AS n_rows
+  FROM sourced GROUP BY source, avg_lp_milli
+),
+cumed AS (
+  SELECT source, avg_lp_milli, n_rows,
+         CAST(sum(n_rows) OVER (
+           PARTITION BY source ORDER BY avg_lp_milli DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cume,
+         CAST(sum(n_rows) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM vals
+)
+SELECT source, {_BUCKET_CASE} AS bucket,
+       CAST(sum(n_rows) AS BIGINT) AS n_docs,
+       min(avg_lp_milli) AS lo_lp_milli,
+       max(avg_lp_milli) AS hi_lp_milli
+FROM cumed GROUP BY source, 2
+"""
+
+
+@query("perplexity_buckets", PERPLEXITY_BUCKETS_ORACLE)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: per source, docs bucketed into
+    perplexity tertiles of the bigram LM score (head = most probable
+    third). The tertile boundary runs over the DISTINCT-score table —
+    per-(source, score) counts, a cume window over distinct values,
+    never a row-level sort — then the whole value group takes one
+    bucket (rule above). Composes the registered bigram scorer, so
+    the LM's cross-engine determinism carries over verbatim."""
+    from psx_data_pipeline_spark.sources.fixtures import load_table
+
+    scores = q_bigram_perplexity(spark, sf_dir).select(
+        "doc_id", "avg_lp_milli"
+    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    vals = (
+        scores.join(docs, "doc_id")
+        .groupBy("source", "avg_lp_milli")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    w_cume = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("avg_lp_milli"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cumed = vals.select(
+        "source", "avg_lp_milli", "n_rows",
+        F.sum("n_rows").over(w_cume).cast("long").alias("cume"),
+        F.sum("n_rows").over(w_all).cast("long").alias("n"),
+    )
+    bucket = (
+        F.when(3 * F.col("cume") <= F.col("n"), "head")
+        .when(3 * F.col("cume") <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return cumed.groupBy("source", bucket.alias("bucket")).agg(
+        F.sum("n_rows").cast("long").alias("n_docs"),
+        F.min("avg_lp_milli").alias("lo_lp_milli"),
+        F.max("avg_lp_milli").alias("hi_lp_milli"),
     )

@@ -185,3 +185,60 @@ def test_split_assign_detects_cross_split_leakage(spark, tmp_path):
     assert got[("test", "a")] == (1, 1)    # the other leaked carrier
     assert got[("train", "b")] == (2, 0)   # unique + NULL-text
     assert got[("test", "b")] == (1, 0)
+
+
+def test_weighted_sample_two_phase_equals_direct(spark):
+    """The salted two-phase top-M must equal the direct global top-M
+    (min-K distributivity) — and ranks are the contiguous 1..M."""
+    from pyspark.sql import Window
+
+    from psx_data_pipeline_spark.plans.distrib import _WS_M
+
+    rows = QUERIES["weighted_sample"](spark, SF).collect()
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, min(_WS_M, len(rows)) + 1)
+    )
+    # direct: order ALL keyed docs, take M — recompute keys from the
+    # same primitives, no salting
+    from psx_data_pipeline_spark.functions.hashing import HASH_P, md5_long
+    from psx_data_pipeline_spark.functions.textfns import tokens
+    from psx_data_pipeline_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "documents", SF)
+    w = docs.where(F.col("doc_id").isNotNull()).select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("weight"),
+        (md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":ws")))
+         % HASH_P).alias("hp"),
+    ).where(F.col("weight") >= 1)
+    e = F.floor(
+        F.lit(1e9)
+        * F.log(F.lit(float(HASH_P + 1)) / (F.col("hp") + 1).cast("double"))
+    ).cast("long")
+    keyed = w.select("doc_id", (e * 1000000).cast("long").alias("__num"),
+                     "weight").withColumn("k", F.expr("__num div weight"))
+    direct = (
+        keyed.withColumn(
+            "rank", F.row_number().over(Window.orderBy("k", "doc_id"))
+        )
+        .where(F.col("rank") <= _WS_M)
+        .collect()
+    )
+    assert {(r.doc_id, r.k) for r in rows} == {(r.doc_id, r.k) for r in direct}
+
+
+def test_weighted_sample_excludes_zero_weight(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3, None], pa.int64()),
+            "text": pa.array(["one two", "", None, "x y"]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+        }),
+        f"{tmp_path}/documents.parquet",
+    )
+    rows = QUERIES["weighted_sample"](spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in rows} == {1}

@@ -84,3 +84,28 @@ def test_doc_score_decomposes_over_bigrams(spark):
     )
     assert scored.s == out[probe_doc].logprob_milli
     assert scored.n == out[probe_doc].n_bigrams
+
+
+def test_buckets_partition_and_order(spark):
+    """Per source: buckets partition the scored docs, and score
+    ranges are strictly ordered head > middle > tail (value groups
+    never straddle a bucket)."""
+    from collections import defaultdict
+
+    rows = QUERIES["perplexity_buckets"](spark, SF).collect()
+    per_src = defaultdict(dict)
+    for r in rows:
+        per_src[r.source][r.bucket] = r
+    docs = load_table(spark, "documents", SF).select("doc_id", "source")
+    scored = QUERIES["bigram_perplexity"](spark, SF).join(docs, "doc_id")
+    totals = {
+        r.source: r.n
+        for r in scored.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    for src, bs in per_src.items():
+        assert sum(b.n_docs for b in bs.values()) == totals[src]
+        if "head" in bs and "middle" in bs:
+            assert bs["middle"].hi_lp_milli < bs["head"].lo_lp_milli
+        if "middle" in bs and "tail" in bs:
+            assert bs["tail"].hi_lp_milli < bs["middle"].lo_lp_milli

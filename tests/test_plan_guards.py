@@ -54,8 +54,8 @@ BOUNDED_BROADCAST_OK = {
     # the pooled-count single row broadcast into the 1001-point grid
     "quantile_calibrate",
     # single-row vocabulary-size broadcast (same shape as
-    # unigram_logprob's token total)
-    "bigram_perplexity",
+    # unigram_logprob's token total); perplexity_buckets composes it
+    "bigram_perplexity", "perplexity_buckets",
     # the K=8-row centroid table rides each assignment round as a
     # bounded broadcast; the corpus is never the build side
     "kmeans_topics",
