@@ -36,6 +36,7 @@ from psx_data_pipeline_spark.plans import lm  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import clustering  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import mining  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import governance  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import indexing  # noqa: F401,E402
 
 # Benchmark hook: drops plan-layer memos (and their Spark cache
 # entries) so a memoized query's re-run measures the plan, not the

@@ -31,8 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from psx_data_pipeline_spark.functions.textfns import TOKENS_SQL
 from psx_data_pipeline_spark.plans.registry import query
 from psx_data_pipeline_spark.sources.fixtures import load_table
+
+_TOKS = TOKENS_SQL.format("text")
 
 _ID_SHIFT = 1_000_000  # new-doc ids in v2 (disjoint from v1 by fixture contract)
 
@@ -115,4 +118,98 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classified.groupBy("source", "change_type").agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- epoch mixing schedule ---------------------------------------------------
+
+_MIX_SLOTS = 10_000  # batch slots apportioned per epoch block
+
+MIXING_SCHEDULE_ORACLE = f"""
+WITH per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(floor(1000 * sqrt(CAST(
+           sum(len(str_split_regex(text, '[ \\t\\n\\f\\r\\x0B]+'))
+               - CASE WHEN text IS NULL THEN 0 ELSE 0 END) AS DOUBLE)))
+           AS BIGINT) AS weight_milli
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(weight_milli) AS BIGINT) AS w_total FROM per_source),
+quotas AS (
+  SELECT p.source, p.n_docs, p.weight_milli,
+         CASE WHEN t.w_total = 0 THEN 0
+              ELSE ({_MIX_SLOTS} * p.weight_milli) // t.w_total END AS q0,
+         CASE WHEN t.w_total = 0 THEN 0
+              ELSE ({_MIX_SLOTS} * p.weight_milli) % t.w_total END AS rem,
+         t.w_total
+  FROM per_source p CROSS JOIN tot t
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+           AS rk,
+         CAST(sum(q0) OVER () AS BIGINT) AS q_sum
+  FROM quotas
+)
+SELECT source, n_docs, weight_milli,
+       CAST(q0 + CASE WHEN w_total > 0
+                 AND rk <= {_MIX_SLOTS} - q_sum THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM ranked
+"""
+
+
+@query("mixing_schedule", MIXING_SCHEDULE_ORACLE)
+def q_mixing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch data-mixing plan: apportion a fixed block of batch slots
+    across sources by temperature weight (alpha = 0.5: weight =
+    floor(1000·sqrt(source tokens)) — sqrt is IEEE correctly-rounded,
+    so the integer weight is cross-engine exact) using LARGEST-
+    REMAINDER apportionment: floor quotas first, then the leftover
+    slots go to the largest fractional remainders (ties by source
+    name). Sums to exactly the slot count by construction — the
+    property a training scheduler needs from a mixing manifest.
+
+    Everything after the one per-source aggregate runs on the
+    source-catalogue table (bounded rows): the unpartitioned windows
+    are over that catalogue, never the corpus."""
+    from psx_data_pipeline_spark.functions.textfns import tokens
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.floor(
+            F.lit(1000.0)
+            * F.sqrt(F.sum(F.size(tokens("text"))).cast("double"))
+        ).cast("long").alias("weight_milli"),
+    )
+    tot = per_source.agg(
+        F.sum("weight_milli").cast("long").alias("w_total")
+    )
+    quotas = per_source.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "weight_milli", "w_total",
+        F.when(F.col("w_total") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(f"({_MIX_SLOTS} * weight_milli) div w_total"))
+        .alias("q0"),
+        F.when(F.col("w_total") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(f"({_MIX_SLOTS} * weight_milli) % w_total"))
+        .alias("rem"),
+    )
+    w_rank = Window.orderBy(F.desc("rem"), F.asc("source"))
+    w_all = Window.partitionBy()
+    ranked = quotas.select(
+        "source", "n_docs", "weight_milli", "w_total", "q0",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        F.sum("q0").over(w_all).cast("long").alias("q_sum"),
+    )
+    return ranked.select(
+        "source", "n_docs", "weight_milli",
+        (
+            F.col("q0")
+            + F.when(
+                (F.col("w_total") > 0)
+                & (F.col("rk") <= F.lit(_MIX_SLOTS) - F.col("q_sum")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("quota"),
     )

@@ -56,6 +56,9 @@ BOUNDED_BROADCAST_OK = {
     # single-row vocabulary-size broadcast (same shape as
     # unigram_logprob's token total); perplexity_buckets composes it
     "bigram_perplexity", "perplexity_buckets",
+    # single-row weight-total broadcast onto the bounded source
+    # catalogue (shard_manifest's shape)
+    "mixing_schedule",
     # the K=8-row centroid table rides each assignment round as a
     # bounded broadcast; the corpus is never the build side
     "kmeans_topics",
