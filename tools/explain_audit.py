@@ -82,6 +82,12 @@ HEADLINERS = [
     ("kmeans_topics", "K-row centroid broadcast; 64-col mean agg"),
     ("hard_negatives", "bounded query broadcast; label-pruned scoring"),
     ("orc_sink_roundtrip", "typed columnar write + metadata read-back"),
+    ("perplexity_buckets", "distinct-score tertile windows over LM scores"),
+    ("weighted_sample", "hash-clock keys; salted two-phase top-M"),
+    ("k_anonymity_audit", "QI class census; two bounded hash aggs"),
+    ("pseudonymize", "scan-side token hash + combinable agg"),
+    ("inverted_index", "df-banded postings; one term-key shuffle"),
+    ("mixing_schedule", "bounded catalogue apportionment windows"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)

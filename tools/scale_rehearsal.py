@@ -51,7 +51,8 @@ FAMILIES = {
         "dsir_weights", "source_overlap", "bm25_scores",
         "shard_manifest", "vocab_sketch", "vocab_overlap_sketch",
         "rrf_fusion", "bpe_pair_counts", "blocklist_scan",
-        "corpus_diff", "bigram_perplexity",
+        "corpus_diff", "bigram_perplexity", "perplexity_buckets",
+        "weighted_sample", "inverted_index", "mixing_schedule",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
@@ -69,6 +70,7 @@ FAMILIES = {
         "stream_window_counts", "stream_sessionize", "stream_user_totals",
         "stream_click_attribution", "stream_dedup",
         "ivm_user_totals", "zorder_layout", "stream_constraint_audit",
+        "k_anonymity_audit", "pseudonymize",
     ],
     "multimodal": [
         "multimodal_features", "frame_sample", "image_decode",
