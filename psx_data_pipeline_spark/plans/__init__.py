@@ -37,6 +37,8 @@ from psx_data_pipeline_spark.plans import clustering  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import mining  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import governance  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import indexing  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import winnowing  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import lakehouse  # noqa: F401,E402
 
 # Benchmark hook: drops plan-layer memos (and their Spark cache
 # entries) so a memoized query's re-run measures the plan, not the

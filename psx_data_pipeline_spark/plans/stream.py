@@ -383,3 +383,31 @@ def q_stream_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-sum aggregate per hourly window, per-rule rows via a
     stateless post-agg explode; batch-equivalent by the oracle."""
     return streaming_constraint_audit(spark, sf_dir)
+
+
+# --- streaming pseudonymization ----------------------------------------------
+
+from psx_data_pipeline_spark.plans.governance import _PSEUDO_SALT  # noqa: E402
+from psx_data_pipeline_spark.functions.hashing import md5_long_sql  # noqa: E402
+from psx_data_pipeline_spark.streaming.jobs import (  # noqa: E402
+    streaming_pseudonymize,
+)
+
+STREAM_PSEUDO_ORACLE = f"""
+SELECT event_id,
+       CASE WHEN user_id IS NULL THEN NULL
+       ELSE {md5_long_sql(f"'{_PSEUDO_SALT}' || CAST(user_id AS VARCHAR)")}
+       END AS user_token,
+       event_type,
+       {MILLI_SQL.format('value')} AS value_k
+FROM events
+"""
+
+
+@query("stream_pseudonymize", STREAM_PSEUDO_ORACLE)
+def q_stream_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-on-ingest: the salted-token projection as a stateless
+    streaming job — raw ids never land
+    (streaming/jobs.py:streaming_pseudonymize); same oracle rows as
+    the batch projection."""
+    return streaming_pseudonymize(spark, sf_dir)

@@ -735,3 +735,28 @@ def streaming_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _pinned_state_shuffle(spark):
         table = run_to_memory(rules, "complete", "rule_audit")
     return spark.table(table)
+
+
+def streaming_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-on-ingest (plans/governance.py's scan-side hash as a
+    STATELESS streaming projection): every micro-batch lands with the
+    raw user_id already replaced by the salted token, so raw
+    identifiers never reach the sink — the governance twin of
+    streaming_blocklist's filter-on-ingest. Zero shuffle, zero state;
+    the streaming plan is the batch projection fed micro-batches."""
+    from psx_data_pipeline_spark.plans.governance import _PSEUDO_SALT
+    from psx_data_pipeline_spark.functions.hashing import md5_long
+
+    ev = events_stream(spark, sf_dir)
+    token = F.when(
+        F.col("user_id").isNotNull(),
+        md5_long(
+            F.concat(F.lit(_PSEUDO_SALT), F.col("user_id").cast("string"))
+        ),
+    )
+    out = ev.select(
+        "event_id", token.alias("user_token"), "event_type",
+        milli("value").alias("value_k"),
+    )
+    table = run_to_memory(out, "append", "pseudo_ingest")
+    return spark.table(table)
