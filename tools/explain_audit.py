@@ -88,6 +88,9 @@ HEADLINERS = [
     ("pseudonymize", "scan-side token hash + combinable agg"),
     ("inverted_index", "df-banded postings; one term-key shuffle"),
     ("mixing_schedule", "bounded catalogue apportionment windows"),
+    ("winnowing_fingerprints", "per-doc array winnowing; no shuffle"),
+    ("compaction_plan", "per-partition file windows; one manifest agg"),
+    ("cdc_apply", "one keyed last-writer-wins reduction"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)
@@ -103,7 +106,7 @@ STREAMING_EXCLUDED = [
     "stream_dedup", "stream_click_attribution", "stream_image_decode",
     "stream_incremental_ingest", "stream_sync_change_log",
     "stream_vocab_sketch", "stream_heavy_hitters", "stream_video_decode",
-    "stream_blocklist", "stream_constraint_audit",
+    "stream_blocklist", "stream_constraint_audit", "stream_pseudonymize",
 ]
 
 

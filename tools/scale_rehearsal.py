@@ -53,6 +53,7 @@ FAMILIES = {
         "rrf_fusion", "bpe_pair_counts", "blocklist_scan",
         "corpus_diff", "bigram_perplexity", "perplexity_buckets",
         "weighted_sample", "inverted_index", "mixing_schedule",
+        "winnowing_fingerprints",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
@@ -70,7 +71,7 @@ FAMILIES = {
         "stream_window_counts", "stream_sessionize", "stream_user_totals",
         "stream_click_attribution", "stream_dedup",
         "ivm_user_totals", "zorder_layout", "stream_constraint_audit",
-        "k_anonymity_audit", "pseudonymize",
+        "k_anonymity_audit", "pseudonymize", "stream_pseudonymize",
     ],
     "multimodal": [
         "multimodal_features", "frame_sample", "image_decode",
@@ -82,7 +83,7 @@ FAMILIES = {
         "url_normalize", "date_roundtrip", "first_run_bootstrap",
     ],
     "relational": [
-        "constraint_audit", "pricing_summary", "above_segment_avg", "top_building_orders",
+        "constraint_audit", "compaction_plan", "cdc_apply", "pricing_summary", "above_segment_avg", "top_building_orders",
         "regional_revenue", "ohlc_daily", "daily_returns", "moving_avg",
         "rolling_range_7d", "topk_by_volume", "price_percentiles",
         "append_cutoff", "ohlc_missing_days", "brand_revenue_share",
