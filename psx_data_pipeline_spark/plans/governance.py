@@ -95,6 +95,75 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# l-diversity: k-anonymity's blind spot is a large class whose rows
+# all share the SENSITIVE value — crowd size protects nothing when
+# the whole crowd leaks the same fact. Here the sensitive attribute
+# is the event type and the QI is the remaining (hour, value-bucket)
+# pair; classes with fewer than l distinct sensitive values are the
+# exposure.
+_L_DIVERSE = 3
+
+L_DIVERSITY_ORACLE = f"""
+WITH qi AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS hour_bucket,
+         ({MILLI_SQL.format('value')}) // 1000 AS value_bucket
+  FROM events WHERE ts IS NOT NULL
+),
+classes AS (
+  SELECT hour_bucket, value_bucket,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS diversity,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM qi GROUP BY hour_bucket, value_bucket
+)
+SELECT hour_bucket,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(diversity) AS BIGINT) AS min_diversity,
+       CAST(sum(CASE WHEN diversity < {_L_DIVERSE} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_diversity,
+       CAST(sum(CASE WHEN diversity < {_L_DIVERSE} THEN sz ELSE 0 END)
+            AS BIGINT) AS rows_exposed
+FROM classes GROUP BY hour_bucket
+"""
+
+
+@query("l_diversity_audit", L_DIVERSITY_ORACLE)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per QI hour bucket: equivalence classes of the (hour,
+    value-bucket) quasi-identifier scored by how many DISTINCT
+    sensitive values (event types) each contains, and the rows in
+    classes below l=3 — the homogeneity-attack exposure k-anonymity
+    cannot see. Same bucket arithmetic as the k-audit
+    (q_k_anonymity_audit), so the two reports read off one QI model.
+
+    Scale: two hash aggregations; class cardinality is QI-domain
+    bounded, the distinct count is per-class over a five-value
+    sensitive vocabulary."""
+    ev = load_table(spark, "events", sf_dir)
+    ev = ev.withColumn("ts_us", ts_us_expr(ev)).where(
+        F.col("ts_us").isNotNull()
+    )
+    qi = ev.select(
+        "event_type",
+        F.expr("(ts_us div 3600000000) % 24").alias("hour_bucket"),
+        F.expr(f"({MILLI_SQL.format('value')}) div 1000").alias(
+            "value_bucket"
+        ),
+    )
+    classes = qi.groupBy("hour_bucket", "value_bucket").agg(
+        F.countDistinct("event_type").cast("long").alias("diversity"),
+        F.count(F.lit(1)).cast("long").alias("sz"),
+    )
+    return classes.groupBy("hour_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("diversity").cast("long").alias("min_diversity"),
+        F.sum(F.when(F.col("diversity") < _L_DIVERSE, 1).otherwise(0))
+        .cast("long").alias("n_low_diversity"),
+        F.sum(F.when(F.col("diversity") < _L_DIVERSE, F.col("sz"))
+              .otherwise(0)).cast("long").alias("rows_exposed"),
+    )
+
+
 # Deterministic tokenization: token = 60-bit md5 of the id under a
 # purpose-scoped salt literal. Stable across runs and engines (same
 # id -> same token, so downstream joins/groupBys still co-locate),
