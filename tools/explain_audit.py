@@ -91,6 +91,12 @@ HEADLINERS = [
     ("winnowing_fingerprints", "per-doc array winnowing; no shuffle"),
     ("compaction_plan", "per-partition file windows; one manifest agg"),
     ("cdc_apply", "one keyed last-writer-wins reduction"),
+    ("zone_map_prune", "exploded literal predicate catalogue; no join"),
+    ("vacuum_plan", "ledger arithmetic; one manifest agg"),
+    ("label_vote", "combinable tally + label-bounded windows"),
+    ("min_cost_supplier", "one exchange + 4 broadcast dims"),
+    ("item_cooccurrence", "user-key co-located pair join; top-k limit"),
+    ("l_diversity_audit", "two hash aggs; QI-domain bounded"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)

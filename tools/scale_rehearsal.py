@@ -72,6 +72,7 @@ FAMILIES = {
         "stream_click_attribution", "stream_dedup",
         "ivm_user_totals", "zorder_layout", "stream_constraint_audit",
         "k_anonymity_audit", "pseudonymize", "stream_pseudonymize",
+        "l_diversity_audit", "label_vote", "item_cooccurrence",
     ],
     "multimodal": [
         "multimodal_features", "frame_sample", "image_decode",
@@ -83,7 +84,9 @@ FAMILIES = {
         "url_normalize", "date_roundtrip", "first_run_bootstrap",
     ],
     "relational": [
-        "constraint_audit", "compaction_plan", "cdc_apply", "pricing_summary", "above_segment_avg", "top_building_orders",
+        "constraint_audit", "compaction_plan", "cdc_apply", "zone_map_prune",
+        "vacuum_plan", "min_cost_supplier",
+        "pricing_summary", "above_segment_avg", "top_building_orders",
         "regional_revenue", "ohlc_daily", "daily_returns", "moving_avg",
         "rolling_range_7d", "topk_by_volume", "price_percentiles",
         "append_cutoff", "ohlc_missing_days", "brand_revenue_share",
