@@ -43,6 +43,7 @@ from psx_data_pipeline_spark.plans import skipping  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import weaklabel  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import procurement  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import marketbasket  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import profiling  # noqa: F401,E402
 
 # Benchmark hook: drops plan-layer memos (and their Spark cache
 # entries) so a memoized query's re-run measures the plan, not the

@@ -129,8 +129,7 @@ MIXING_SCHEDULE_ORACLE = f"""
 WITH per_source AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(floor(1000 * sqrt(CAST(
-           sum(len(str_split_regex(text, '[ \\t\\n\\f\\r\\x0B]+'))
-               - CASE WHEN text IS NULL THEN 0 ELSE 0 END) AS DOUBLE)))
+           sum(len({_TOKS})) AS DOUBLE)))
            AS BIGINT) AS weight_milli
   FROM documents GROUP BY source
 ),

@@ -612,3 +612,69 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fv").cast("long").alias("filled_milli"),
         )
     )
+
+
+# --- event-type transition matrix ---------------------------------------------
+
+# First-order Markov transitions over each user's time-ordered event
+# chain: the per-user lead() pairs adjacent events, the (from, to)
+# tally is vocabulary-bounded, and the row-conditional probability is
+# kept exact in milli-units. This is the behavioral "what happens
+# next" report next-event prediction and funnel design read.
+EVENT_TRANSITIONS_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL AND event_id IS NOT NULL
+),
+chain AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+  FROM ev
+),
+tally AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM chain WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(n * 1000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS prob_milli
+FROM tally
+"""
+
+
+@query("event_transitions", EVENT_TRANSITIONS_ORACLE)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from, to) transition counts and exact milli-probabilities over
+    per-user time-ordered event chains; the (ts_us, event_id) ordering
+    is total within a user, so chains — and therefore every count —
+    are cross-engine identical even on same-microsecond ties. Rows
+    missing time, user, type, or id carry no chain position.
+
+    Shape: one shuffle on user_id for the lead() window (per-user
+    state = that user's events), then a vocabulary-bounded tally whose
+    conditional-probability window runs over |types|^2 rows at most."""
+    ev = load_events(spark, sf_dir).where(
+        F.col("ts_us").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w_chain = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chain = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w_chain).alias("to_type"),
+    )
+    tally = (
+        chain.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return tally.select(
+        "from_type", "to_type", "n",
+        F.expr("CAST(n * 1000 div sum(n) OVER "
+               "(PARTITION BY from_type) AS BIGINT)").alias("prob_milli"),
+    )

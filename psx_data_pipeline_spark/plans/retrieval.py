@@ -256,3 +256,103 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term", "doc_id", "rk_bm25", "rk_prior", "rrf_micro", "rk_fused"
         )
     )
+
+
+# --- retrieval quality evaluation ---------------------------------------------
+
+# Acceptance metrics for the BM25 ranking against a deterministic
+# relevance oracle: a document is "relevant" to a term when the term
+# occurs at least _REL_TF times (a high-tf proxy — label-free, so
+# both engines derive the identical judgment set). MRR and precision
+# are rank arithmetic, exact in integer micro/milli units; recall
+# needs the CORPUS-WIDE relevant count — one more tf aggregate of the
+# same filtered-explode shape, never a sort.
+_REL_TF = 2
+_PREC_AT = 5
+
+RETRIEVAL_EVAL_ORACLE = f"""
+WITH bm AS ({BM25_ORACLE}),
+rel AS (
+  SELECT term, doc_id
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  WHERE term IN ({_TERMS_SQL})
+  GROUP BY term, doc_id HAVING count(*) >= {_REL_TF}
+),
+rel_total AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_relevant
+  FROM rel GROUP BY term
+),
+topk AS (
+  SELECT term, rk, CASE WHEN tf >= {_REL_TF} THEN 1 ELSE 0 END AS is_rel
+  FROM bm
+),
+metrics AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS n_topk,
+         CAST(sum(is_rel) AS BIGINT) AS rel_in_topk,
+         min(CASE WHEN is_rel = 1 THEN rk END) AS frr,
+         CAST(sum(CASE WHEN is_rel = 1 AND rk <= {_PREC_AT}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS rel_at_p
+  FROM topk GROUP BY term
+)
+SELECT m.term, m.n_topk, COALESCE(t.n_relevant, 0) AS n_relevant,
+       CAST(COALESCE(m.frr, 0) AS BIGINT) AS first_rel_rank,
+       CAST(CASE WHEN m.frr IS NULL THEN 0
+            ELSE 1000000 // m.frr END AS BIGINT) AS mrr_micro,
+       CAST(m.rel_at_p * 1000 // {_PREC_AT} AS BIGINT) AS prec{_PREC_AT}_milli,
+       CAST(CASE WHEN COALESCE(t.n_relevant, 0) = 0 THEN 0
+            ELSE m.rel_in_topk * 1000 // t.n_relevant END AS BIGINT)
+         AS recall_milli
+FROM metrics m LEFT JOIN rel_total t ON m.term = t.term
+"""
+
+
+@query("retrieval_eval", RETRIEVAL_EVAL_ORACLE)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query term: MRR (reciprocal rank of the first relevant
+    document, micro-units), precision@{_PREC_AT} and recall@k of the
+    BM25 top-{_BM25_K} under the tf >= {_REL_TF} relevance proxy —
+    the acceptance row a retrieval change must not regress (the
+    ann_recall pattern applied to the lexical index).
+
+    Shape: the ranking is the bm25 plan; the judgment set is one more
+    filtered-explode tf aggregate (only query-term occurrences ever
+    shuffle); metrics aggregate |terms| * k rows. first_rel_rank is 0
+    when no relevant document made top-k (and MRR/recall score 0)."""
+    bm = q_bm25_scores(spark, sf_dir)
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    rel = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf_all"))
+        .where(F.col("tf_all") >= _REL_TF)
+    )
+    rel_total = rel.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_relevant")
+    )
+    metrics = bm.select(
+        "term", "rk",
+        F.when(F.col("tf") >= _REL_TF, 1).otherwise(0).alias("is_rel"),
+    ).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_topk"),
+        F.sum("is_rel").cast("long").alias("rel_in_topk"),
+        F.min(F.when(F.col("is_rel") == 1, F.col("rk"))).alias("frr"),
+        F.sum(
+            F.when((F.col("is_rel") == 1) & (F.col("rk") <= _PREC_AT), 1)
+            .otherwise(0)
+        ).cast("long").alias("rel_at_p"),
+    )
+    return metrics.join(F.broadcast(rel_total), "term", "left").select(
+        "term", "n_topk",
+        F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
+        F.coalesce("frr", F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.when(F.col("frr").isNull(), 0)
+        .otherwise(F.expr("1000000 div frr"))
+        .cast("long").alias("mrr_micro"),
+        F.expr(f"rel_at_p * 1000 div {_PREC_AT}")
+        .cast("long").alias(f"prec{_PREC_AT}_milli"),
+        F.when(F.coalesce("n_relevant", F.lit(0)) == 0, 0)
+        .otherwise(F.expr("rel_in_topk * 1000 div n_relevant"))
+        .cast("long").alias("recall_milli"),
+    )

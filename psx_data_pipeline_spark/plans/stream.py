@@ -411,3 +411,27 @@ def q_stream_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/jobs.py:streaming_pseudonymize); same oracle rows as
     the batch projection."""
     return streaming_pseudonymize(spark, sf_dir)
+
+
+# --- streaming weak-label election ---------------------------------------------
+
+from psx_data_pipeline_spark.plans.weaklabel import (  # noqa: E402
+    LABEL_VOTE_ORACLE,
+    elect,
+)
+from psx_data_pipeline_spark.streaming.jobs import (  # noqa: E402
+    streaming_label_tally,
+)
+
+
+@query("stream_label_vote", LABEL_VOTE_ORACLE)
+def q_stream_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-label election over a CONTINUOUSLY maintained vote tally:
+    the (item, label) weighted counts accumulate as bounded native
+    streaming state (streaming/jobs.streaming_label_tally); the
+    winner/margin windows (plans/weaklabel.elect) then run batch-side
+    over the catalogue-bounded tally — the same split as
+    stream_heavy_hitters (stream the combinable half, keep rank logic
+    on the bounded result). Batch-equivalent by the label_vote
+    oracle."""
+    return elect(streaming_label_tally(spark, sf_dir))

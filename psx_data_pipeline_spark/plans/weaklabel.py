@@ -60,6 +60,31 @@ FROM ranked WHERE rn = 1
 """
 
 
+def elect(tally: DataFrame) -> DataFrame:
+    """Winner election over a (item, label, votes_w, n_votes) tally:
+    weighted argmax with lexicographic tie-break, margin vs the next
+    row, label diversity and vote totals. Shared by the batch query
+    below and the streaming twin (plans/stream.q_stream_label_vote).
+    Windows run over label-vocabulary-bounded per-item rows."""
+    w_rank = Window.partitionBy("item").orderBy(
+        F.desc("votes_w"), F.asc("label")
+    )
+    w_item = Window.partitionBy("item")
+    ranked = tally.select(
+        "item", "label", "votes_w", "n_votes",
+        F.row_number().over(w_rank).alias("rn"),
+        F.lead("votes_w").over(w_rank).alias("runner_w"),
+        F.count(F.lit(1)).over(w_item).cast("long").alias("n_labels"),
+        F.sum("n_votes").over(w_item).cast("long").alias("total_votes"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "item", F.col("label").alias("winner"), "votes_w",
+        "n_labels", "total_votes",
+        (F.col("votes_w") - F.coalesce(F.col("runner_w"), F.lit(0)))
+        .cast("long").alias("margin"),
+    )
+
+
 @query("label_vote", LABEL_VOTE_ORACLE)
 def q_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per item: the reliability-weighted majority label, the label
@@ -84,20 +109,4 @@ def q_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("long").alias("votes_w"),
         F.count(F.lit(1)).cast("long").alias("n_votes"),
     )
-    w_rank = Window.partitionBy("item").orderBy(
-        F.desc("votes_w"), F.asc("label")
-    )
-    w_item = Window.partitionBy("item")
-    ranked = tally.select(
-        "item", "label", "votes_w", "n_votes",
-        F.row_number().over(w_rank).alias("rn"),
-        F.lead("votes_w").over(w_rank).alias("runner_w"),
-        F.count(F.lit(1)).over(w_item).cast("long").alias("n_labels"),
-        F.sum("n_votes").over(w_item).cast("long").alias("total_votes"),
-    )
-    return ranked.where(F.col("rn") == 1).select(
-        "item", F.col("label").alias("winner"), "votes_w",
-        "n_labels", "total_votes",
-        (F.col("votes_w") - F.coalesce(F.col("runner_w"), F.lit(0)))
-        .cast("long").alias("margin"),
-    )
+    return elect(tally)

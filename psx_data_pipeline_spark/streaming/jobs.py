@@ -760,3 +760,33 @@ def streaming_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = run_to_memory(out, "append", "pseudo_ingest")
     return spark.table(table)
+
+
+def streaming_label_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (item, label) weighted vote tally (plans/weaklabel.py's
+    first aggregate) maintained as a NATIVE streaming aggregation:
+    the tally key space is bounded by catalogue x label vocabulary,
+    so — exactly like streaming_cm_cells — the idiomatic plan is an
+    incremental groupBy with map-side partial aggregation, state
+    bounded at |items| * |labels| rows forever, and 'complete' output
+    whose final table equals the batch tally. The election windows
+    stay batch-side on the bounded result (plans/stream.py)."""
+    from psx_data_pipeline_spark.plans.weaklabel import _N_ITEMS
+
+    ev = events_stream(spark, sf_dir)
+    votes = ev.where(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        (F.col("event_id") % _N_ITEMS).alias("item"),
+        F.col("event_type").alias("label"),
+        (1 + F.col("user_id") % 3).cast("long").alias("w"),
+    )
+    tally = votes.groupBy("item", "label").agg(
+        F.sum("w").cast("long").alias("votes_w"),
+        F.count(F.lit(1)).cast("long").alias("n_votes"),
+    )
+    with _pinned_state_shuffle(spark):
+        table = run_to_memory(tally, "complete", "label_tally")
+    return spark.table(table)

@@ -127,3 +127,25 @@ def test_multimodal_workers_tolerate_null_text(spark, hostile_df):
     assert feats[501].n_bytes == 0
     frames = sample_frames(attach_payload(hostile_df)).collect()
     assert all(r.doc_id != 500 for r in frames)
+
+
+def test_mixing_weight_counts_filtered_tokens(spark):
+    """Round-6 probe find: the mixing_schedule oracle counted the
+    EMPTY strings str_split_regex yields for leading/trailing
+    whitespace, so whitespace-padded documents inflated DuckDB's
+    temperature weight vs Spark's filtered tokens() count. Pin: the
+    Spark weight derives from the canonical empty-filtered tokenizer
+    (' a b ' = 2 tokens, never 4)."""
+    df = spark.createDataFrame(
+        [(1, "  a b  ", "s"), (2, "\tc\n", "s")],
+        "doc_id long, text string, source string",
+    )
+    w = df.groupBy("source").agg(
+        F.floor(
+            F.lit(1000.0)
+            * F.sqrt(F.sum(F.size(tokens("text"))).cast("double"))
+        ).cast("long").alias("weight_milli")
+    ).collect()[0]
+    # 2 + 1 = 3 tokens -> floor(1000*sqrt(3)); the unfiltered split
+    # would see 4 + 3 = 7
+    assert w.weight_milli == 1732
