@@ -97,6 +97,10 @@ HEADLINERS = [
     ("min_cost_supplier", "one exchange + 4 broadcast dims"),
     ("item_cooccurrence", "user-key co-located pair join; top-k limit"),
     ("l_diversity_audit", "two hash aggs; QI-domain bounded"),
+    ("join_skew_audit", "count-of-counts; windows over distinct freqs"),
+    ("histogram_quantiles", "shared value-counts; bounded-bin sketch"),
+    ("event_transitions", "one user-key window; vocab-bounded tally"),
+    ("retrieval_eval", "bm25 plan + one filtered-explode judgment agg"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)
@@ -113,6 +117,7 @@ STREAMING_EXCLUDED = [
     "stream_incremental_ingest", "stream_sync_change_log",
     "stream_vocab_sketch", "stream_heavy_hitters", "stream_video_decode",
     "stream_blocklist", "stream_constraint_audit", "stream_pseudonymize",
+    "stream_label_vote",
 ]
 
 

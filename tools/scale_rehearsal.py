@@ -53,7 +53,7 @@ FAMILIES = {
         "rrf_fusion", "bpe_pair_counts", "blocklist_scan",
         "corpus_diff", "bigram_perplexity", "perplexity_buckets",
         "weighted_sample", "inverted_index", "mixing_schedule",
-        "winnowing_fingerprints",
+        "winnowing_fingerprints", "retrieval_eval", "histogram_quantiles",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
@@ -73,6 +73,7 @@ FAMILIES = {
         "ivm_user_totals", "zorder_layout", "stream_constraint_audit",
         "k_anonymity_audit", "pseudonymize", "stream_pseudonymize",
         "l_diversity_audit", "label_vote", "item_cooccurrence",
+        "event_transitions", "stream_label_vote",
     ],
     "multimodal": [
         "multimodal_features", "frame_sample", "image_decode",
@@ -85,7 +86,7 @@ FAMILIES = {
     ],
     "relational": [
         "constraint_audit", "compaction_plan", "cdc_apply", "zone_map_prune",
-        "vacuum_plan", "min_cost_supplier",
+        "vacuum_plan", "min_cost_supplier", "join_skew_audit",
         "pricing_summary", "above_segment_avg", "top_building_orders",
         "regional_revenue", "ohlc_daily", "daily_returns", "moving_avg",
         "rolling_range_7d", "topk_by_volume", "price_percentiles",
