@@ -435,3 +435,23 @@ def q_stream_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the bounded result). Batch-equivalent by the label_vote
     oracle."""
     return elect(streaming_label_tally(spark, sf_dir))
+
+
+# --- streaming zone-map maintenance --------------------------------------------
+
+from psx_data_pipeline_spark.plans.skipping import _ZONES_SQL  # noqa: E402
+from psx_data_pipeline_spark.streaming.jobs import (  # noqa: E402
+    streaming_zone_maps,
+)
+
+STREAM_ZONE_MAPS_ORACLE = f"SELECT * FROM ({_ZONES_SQL})"
+
+
+@query("stream_zone_maps", STREAM_ZONE_MAPS_ORACLE)
+def q_stream_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zone-map manifest as continuously maintained streaming
+    state (streaming/jobs.streaming_zone_maps) — data skipping
+    metadata that is ALREADY current when the batch audit
+    (zone_map_prune) asks, instead of a scan-the-world refresh.
+    Batch-equivalent by the manifest oracle."""
+    return streaming_zone_maps(spark, sf_dir)

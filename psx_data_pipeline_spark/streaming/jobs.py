@@ -790,3 +790,39 @@ def streaming_label_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _pinned_state_shuffle(spark):
         table = run_to_memory(tally, "complete", "label_tally")
     return spark.table(table)
+
+
+def streaming_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone maps maintained ON INGEST: the (file month, writer) min/
+    max/count statistics plans/skipping.py's pruning audit reads,
+    kept continuously current as lineitem micro-batches land — a
+    native streaming aggregation over a (partition x writer)-bounded
+    key space, so state is the manifest size forever and every
+    trigger's exchange is map-side combined to at most that many rows
+    (the streaming_cm_cells / streaming_label_tally argument, applied
+    to the storage layer). 'complete' output re-emits the manifest;
+    a replay's final table equals the batch zone-map scan."""
+    schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+    zones = (
+        raw.where(
+            F.col("l_shipdate").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date")
+            .alias("file_month"),
+            (F.col("l_orderkey") % 16).alias("writer"),
+        )
+        .agg(
+            F.min("l_partkey").cast("long").alias("zmin"),
+            F.max("l_partkey").cast("long").alias("zmax"),
+            F.count(F.lit(1)).cast("long").alias("rows_in_file"),
+        )
+    )
+    with _pinned_state_shuffle(spark):
+        table = run_to_memory(zones, "complete", "zone_maps")
+    return spark.table(table)

@@ -62,6 +62,9 @@ BOUNDED_BROADCAST_OK = {
     # the K=8-row centroid table rides each assignment round as a
     # bounded broadcast; the corpus is never the build side
     "kmeans_topics",
+    # the percentile row and the signup-cohort count are both
+    # single-row aggregates joined by a bounded broadcast cross join
+    "conversion_lag",
     # cosine_topk's bounded query-set broadcast with the extra
     # label-inequality predicate
     "hard_negatives",
