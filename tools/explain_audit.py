@@ -101,6 +101,10 @@ HEADLINERS = [
     ("histogram_quantiles", "shared value-counts; bounded-bin sketch"),
     ("event_transitions", "one user-key window; vocab-bounded tally"),
     ("retrieval_eval", "bm25 plan + one filtered-explode judgment agg"),
+    ("embedding_outliers", "label-dim centroid broadcast; bounded ints"),
+    ("small_order_revenue", "agg-then-broadcast-back correlated join"),
+    ("late_order_priority", "left-semi with non-equi late predicate"),
+    ("conversion_lag", "co-located user reduction; bucketed lag window"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)
@@ -117,7 +121,7 @@ STREAMING_EXCLUDED = [
     "stream_incremental_ingest", "stream_sync_change_log",
     "stream_vocab_sketch", "stream_heavy_hitters", "stream_video_decode",
     "stream_blocklist", "stream_constraint_audit", "stream_pseudonymize",
-    "stream_label_vote",
+    "stream_label_vote", "stream_zone_maps",
 ]
 
 

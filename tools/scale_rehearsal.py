@@ -60,7 +60,7 @@ FAMILIES = {
         "embedding_stats", "embedding_dedup", "embedding_quantize",
         "ann_recall", "neighbor_triangles", "pagerank_sim",
         "pq_adc_topk", "pq_recall", "minhash_calibration",
-        "kmeans_topics", "hard_negatives",
+        "kmeans_topics", "hard_negatives", "embedding_outliers",
     ],
     "events": [
         "sessionize_events", "detect_gaps", "asof_join_clicks",
@@ -73,7 +73,7 @@ FAMILIES = {
         "ivm_user_totals", "zorder_layout", "stream_constraint_audit",
         "k_anonymity_audit", "pseudonymize", "stream_pseudonymize",
         "l_diversity_audit", "label_vote", "item_cooccurrence",
-        "event_transitions", "stream_label_vote",
+        "event_transitions", "stream_label_vote", "conversion_lag",
     ],
     "multimodal": [
         "multimodal_features", "frame_sample", "image_decode",
@@ -87,6 +87,7 @@ FAMILIES = {
     "relational": [
         "constraint_audit", "compaction_plan", "cdc_apply", "zone_map_prune",
         "vacuum_plan", "min_cost_supplier", "join_skew_audit",
+        "small_order_revenue", "late_order_priority", "stream_zone_maps",
         "pricing_summary", "above_segment_avg", "top_building_orders",
         "regional_revenue", "ohlc_daily", "daily_returns", "moving_avg",
         "rolling_range_7d", "topk_by_volume", "price_percentiles",
