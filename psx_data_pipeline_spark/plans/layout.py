@@ -338,3 +338,89 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE (n_false_pos * 1000) div (n_probe - n_member) END"
         ).alias("fp_permille"),
     )
+
+
+# --- zorder_benefit: the layout A/B read-amplification audit --------------------
+
+# Workload predicates in QUANTIZED cell space (engine-identical by
+# construction): a user-equality-ish band, a time-range band, and a
+# combined box — the three shapes Z-ORDER exists to serve.
+_ZB_PREDS = [
+    # (pred_id, qu_lo, qu_hi, qt_lo, qt_hi)
+    (1, 20_000, 20_600, 0, _QMAX),          # narrow user band, all time
+    (2, 0, _QMAX, 30_000, 34_000),          # all users, narrow time range
+    (3, 20_000, 28_000, 30_000, 38_000),    # combined box
+]
+
+_ZB_PREDS_SQL = " UNION ALL ".join(
+    f"SELECT {p} AS pred_id, {ul} AS qu_lo, {uh} AS qu_hi,"
+    f" {tl} AS qt_lo, {th} AS qt_hi"
+    for p, ul, uh, tl, th in _ZB_PREDS
+)
+
+ZORDER_BENEFIT_ORACLE = f"""
+WITH z AS ({ZORDER_LAYOUT_ORACLE}),
+preds AS ({_ZB_PREDS_SQL}),
+audit AS (
+  SELECT z.layout, p.pred_id,
+         CASE WHEN z.qu_max < p.qu_lo OR z.qu_min > p.qu_hi
+                OR z.qt_max < p.qt_lo OR z.qt_min > p.qt_hi
+              THEN 0 ELSE 1 END AS scanned,
+         z.n_rows
+  FROM z CROSS JOIN preds p
+)
+SELECT layout, pred_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(scanned) AS BIGINT) AS n_scanned,
+       CAST(sum(scanned * n_rows) AS BIGINT) AS rows_scanned,
+       CAST((count(*) - sum(scanned)) * 1000 // count(*) AS BIGINT)
+         AS prune_permille
+FROM audit GROUP BY layout, pred_id
+"""
+
+
+@query("zorder_benefit", ZORDER_BENEFIT_ORACLE)
+def q_zorder_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The question zorder_layout's spans exist to answer, closed
+    out: per workload predicate, how many files (and rows) a
+    footer-stats-pruned scan reads under the z-order layout vs the
+    time layout — the read-amplification A/B that justifies an
+    OPTIMIZE ZORDER rewrite. A file is skipped iff its (qu, qt)
+    bounding box misses the predicate box.
+
+    Shape: composes the zorder_layout aggregate (<=128 file rows);
+    the predicate catalogue rides as an exploded literal
+    (zone_map_prune's no-join device); the audit aggregate runs over
+    files x |catalogue| rows."""
+    z = q_zorder_layout(spark, sf_dir)
+    preds = F.array(*[
+        F.struct(
+            F.lit(p).alias("pred_id"),
+            F.lit(ul).alias("qu_lo"), F.lit(uh).alias("qu_hi"),
+            F.lit(tl).alias("qt_lo"), F.lit(th).alias("qt_hi"),
+        )
+        for p, ul, uh, tl, th in _ZB_PREDS
+    ])
+    audit = z.select(
+        "layout", "n_rows", "qu_min", "qu_max", "qt_min", "qt_max",
+        F.explode(preds).alias("p"),
+    ).select(
+        "layout", F.col("p.pred_id").alias("pred_id"),
+        F.when(
+            (F.col("qu_max") < F.col("p.qu_lo"))
+            | (F.col("qu_min") > F.col("p.qu_hi"))
+            | (F.col("qt_max") < F.col("p.qt_lo"))
+            | (F.col("qt_min") > F.col("p.qt_hi")),
+            F.lit(0),
+        ).otherwise(F.lit(1)).alias("scanned"),
+        "n_rows",
+    )
+    return audit.groupBy("layout", "pred_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("scanned").cast("long").alias("n_scanned"),
+        F.sum(F.col("scanned") * F.col("n_rows"))
+        .cast("long").alias("rows_scanned"),
+        F.expr(
+            "CAST((count(1) - sum(scanned)) * 1000 div count(1) AS BIGINT)"
+        ).alias("prune_permille"),
+    )

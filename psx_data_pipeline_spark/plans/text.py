@@ -1808,3 +1808,52 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), F.asc("pair"))
         .limit(_BPE_TOP)
     )
+
+
+# --- language-label confusion matrix --------------------------------------------
+
+# The label-quality audit over lang_id: where the stored `lang` label
+# and the marker classifier disagree — rendered as the standard
+# row-normalized confusion matrix, exact in permille. Reuses the
+# lang_id plan verbatim (one scan-side classifier, zero joins); the
+# matrix aggregate is bounded by |langs|² cells.
+LANG_CONFUSION_ORACLE = f"""
+WITH ids AS ({LANG_ID_ORACLE}),
+cells AS (
+  SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM ids GROUP BY lang_true, lang_pred
+)
+SELECT lang_true, lang_pred, n,
+       CAST(n * 1000 // sum(n) OVER (PARTITION BY lang_true) AS BIGINT)
+         AS row_permille,
+       CAST(CASE WHEN lang_true IS NOT DISTINCT FROM lang_pred
+            THEN 1 ELSE 0 END AS BIGINT) AS agree
+FROM cells
+"""
+
+
+@query("lang_confusion", LANG_CONFUSION_ORACLE)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stored label, predicted language) confusion cells with exact
+    row-normalized permille — the audit that finds mislabeled
+    sources before they skew a language-balanced mixing schedule.
+    NULL stored labels form their own row (they are exactly the rows
+    the classifier is FOR); agreement uses null-safe equality.
+
+    Shape: the lang_id classifier rides the scan; one
+    vocabulary-bounded aggregate; the row-normalization window runs
+    over ≤ |langs|+1 partitions of ≤ |langs|+1 rows."""
+    ids = q_lang_id(spark, sf_dir)
+    cells = ids.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return cells.select(
+        "lang_true", "lang_pred", "n",
+        F.expr(
+            "CAST(n * 1000 div sum(n) OVER (PARTITION BY lang_true)"
+            " AS BIGINT)"
+        ).alias("row_permille"),
+        F.when(
+            F.col("lang_true").eqNullSafe(F.col("lang_pred")), 1
+        ).otherwise(0).cast("long").alias("agree"),
+    )

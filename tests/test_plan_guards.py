@@ -65,6 +65,10 @@ BOUNDED_BROADCAST_OK = {
     # the percentile row and the signup-cohort count are both
     # single-row aggregates joined by a bounded broadcast cross join
     "conversion_lag",
+    # the data-borne latest-day scalar rides as one broadcast row
+    "seasonal_baseline",
+    # composes zorder_layout's single quantization-range broadcast
+    "zorder_benefit",
     # cosine_topk's bounded query-set broadcast with the extra
     # label-inequality predicate
     "hard_negatives",
