@@ -105,6 +105,9 @@ HEADLINERS = [
     ("small_order_revenue", "agg-then-broadcast-back correlated join"),
     ("late_order_priority", "left-semi with non-equi late predicate"),
     ("conversion_lag", "co-located user reduction; bucketed lag window"),
+    ("seasonal_baseline", "bounded cell agg; one scalar broadcast"),
+    ("zorder_benefit", "composes layout spans; exploded predicates"),
+    ("lang_confusion", "scan-side classifier; |langs|^2 cells"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)

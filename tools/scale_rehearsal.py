@@ -54,6 +54,7 @@ FAMILIES = {
         "corpus_diff", "bigram_perplexity", "perplexity_buckets",
         "weighted_sample", "inverted_index", "mixing_schedule",
         "winnowing_fingerprints", "retrieval_eval", "histogram_quantiles",
+        "lang_confusion",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
@@ -74,6 +75,7 @@ FAMILIES = {
         "k_anonymity_audit", "pseudonymize", "stream_pseudonymize",
         "l_diversity_audit", "label_vote", "item_cooccurrence",
         "event_transitions", "stream_label_vote", "conversion_lag",
+        "seasonal_baseline", "zorder_benefit",
     ],
     "multimodal": [
         "multimodal_features", "frame_sample", "image_decode",
