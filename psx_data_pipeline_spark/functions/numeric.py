@@ -19,10 +19,25 @@ from pyspark.sql import functions as F
 _PREC = 38
 
 
+# TOTAL-form gate for the decimal cast: NaN / ±Inf crash DuckDB's
+# DECIMAL conversion (and 1e30-scale values would exhaust the 32
+# integer digits within ~100 summed rows), where Spark raises at a
+# different point — a one-sided crash on hostile doubles (round-6
+# relational-probe finding, same class as MILLI_SQL's events fix).
+# BETWEEN is false for NaN and ±Inf in BOTH engines (both order NaN
+# above all values), so the gate maps every non-finite/out-of-range
+# value to SQL NULL — skipped by SUM — identically. 1e24 leaves 10^8
+# rows of worst-case decimal(38,6) headroom and is far beyond any
+# real measure.
+DSUM_BOUND = 1e24
+
+
 def dsum(col: Column | str, scale: int = 6) -> Column:
-    """Exact sum: cast to decimal(38, scale), sum, cast back to double."""
+    """Exact TOTAL sum: non-finite/out-of-range → NULL (skipped),
+    else cast to decimal(38, scale), sum exactly, cast back."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal({_PREC},{scale})")).cast("double")
+    g = F.when(c.between(-DSUM_BOUND, DSUM_BOUND), c)
+    return F.sum(g.cast(f"decimal({_PREC},{scale})")).cast("double")
 
 
 def davg(col: Column | str, scale: int = 6) -> Column:
@@ -33,7 +48,11 @@ def davg(col: Column | str, scale: int = 6) -> Column:
 
 def dsum_sql(expr: str, scale: int = 6) -> str:
     """DuckDB oracle-side twin of dsum()."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({_PREC},{scale}))) AS DOUBLE)"
+    g = (
+        f"CASE WHEN ({expr}) BETWEEN -{DSUM_BOUND:g} AND {DSUM_BOUND:g}"
+        f" THEN ({expr}) END"
+    )
+    return f"CAST(SUM(CAST(({g}) AS DECIMAL({_PREC},{scale}))) AS DOUBLE)"
 
 
 def davg_sql(expr: str, scale: int = 6) -> str:

@@ -29,7 +29,11 @@ _NSYM = 25
 # a trade without a date belongs to no daily bar — and the engines
 # would disagree on where a NULL date sorts in the windowed views
 # anyway (Spark NULLS FIRST, DuckDB NULLS LAST; hostile-probe
-# finding). A trade without a PRICE is equally malformed: it would
+# finding). The price gate is BETWEEN ±1e24: it excludes NULL, NaN
+# and ±Inf identically in both engines (NaN/Inf crash DuckDB's
+# decimal turnover cast and skew percentile hashes — round-6
+# relational-probe finding). A trade without a PRICE is equally
+# malformed: it would
 # make open/close diverge (DuckDB's arg_min skips NULL values,
 # Spark's min_by returns them — generative-fuzz finding). price
 # + 0.0 canonicalizes the sign of zero: -0.0 and 0.0 are IEEE-equal,
@@ -41,7 +45,8 @@ _SERIES_SQL = f"""
          CAST(o_orderdate AS DATE) AS trade_date,
          o_totalprice + 0.0 AS price
   FROM orders
-  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  WHERE o_orderdate IS NOT NULL
+    AND o_totalprice BETWEEN -1e24 AND 1e24
 """
 
 OHLC_SQL = f"""
@@ -61,7 +66,11 @@ def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     return o.where(
         F.col("o_orderdate").isNotNull()
-        & F.col("o_totalprice").isNotNull()
+        # BETWEEN excludes NULL, NaN and ±Inf identically in both
+        # engines (a trade without a FINITE price is malformed —
+        # NaN/Inf crash the decimal turnover cast and percentile
+        # hashes; round-6 relational-probe finding)
+        & F.col("o_totalprice").between(-1e24, 1e24)
     ).select(
         F.col("o_orderkey").alias("trade_id"),
         (F.col("o_custkey") % _NSYM).alias("symbol_id"),

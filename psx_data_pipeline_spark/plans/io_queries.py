@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from psx_data_pipeline_spark.functions.numeric import dsum_sql
 from psx_data_pipeline_spark.plans.registry import query
 from psx_data_pipeline_spark.scratch import scratch_dir
 from psx_data_pipeline_spark.plans.ticker import _cur, _prev
@@ -136,9 +137,9 @@ def q_partitioned_overwrite_idempotent(
         "symbol", "name", "sector", "url"
     )
 
-BUCKETED_JOIN_ORACLE = """
+BUCKETED_JOIN_ORACLE = f"""
 SELECT o_orderpriority,
-       CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority

@@ -168,9 +168,18 @@ _INGEST_SCHEMA = T.StructType([
     T.StructField("o_totalprice", T.DoubleType(), True),
 ])
 
-STREAM_INGEST_ORACLE = """
+# the centi quantization is the TOTAL form (MILLI_SQL's convention):
+# NaN / ±Inf / |v| > 9e13 map to NULL instead of a Spark ANSI long
+# overflow vs DuckDB BIGINT-cast error split (round-6 relational-
+# probe finding); ±9e13 keeps each centi term <= 9e15
+_CENTI_SQL = (
+    "CASE WHEN {0} BETWEEN -9e13 AND 9e13 "
+    "THEN CAST(floor({0} * 100) AS BIGINT) END"
+)
+
+STREAM_INGEST_ORACLE = f"""
 SELECT o_orderstatus, COUNT(*) AS n,
-       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+       CAST(SUM({_CENTI_SQL.format('o_totalprice')}) AS BIGINT) AS price_c
 FROM orders GROUP BY o_orderstatus
 """
 
@@ -202,7 +211,7 @@ def q_stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            F.sum(F.expr(_CENTI_SQL.format("o_totalprice"))).alias(
                 "price_c"
             ),
         )

@@ -70,3 +70,43 @@ def test_ohlc_series_excludes_null_dates(spark, tmp_path):
     # closes are 10 (day 1) and 30 (day 2): the NULL-date 20.0 trade
     # contributes to no bar and no frame
     assert [r.ma7 for r in ma] == [10.0, 20.0]
+
+
+def test_nonfinite_prices_are_malformed(spark, tmp_path):
+    """Round-6 probe find: NaN/Inf prices crashed DuckDB's decimal
+    cast one-sidedly (dsum) and skewed percentile hashes; 1e30
+    overflowed the centi BIGINT on the Spark side only. Pins: the
+    series gate drops non-finite-price trades, and the total-form
+    dsum skips non-finite revenue terms instead of crashing."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, 1, "O", 10.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (2, 1, "O", float("nan"), dt.datetime(2024, 1, 1), "1-URGENT"),
+            (3, 1, "O", float("inf"), dt.datetime(2024, 1, 1), "1-URGENT"),
+            (4, 1, "O", 1e30, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (5, 1, "O", 30.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{sf}/orders.parquet")
+    from psx_data_pipeline_spark.plans import QUERIES
+
+    bars = QUERIES["ohlc_daily"](spark, sf).collect()
+    assert len(bars) == 1
+    b = bars[0]
+    # only the two finite-priced trades form the bar
+    assert b.volume == 2
+    assert b.open == 10.0 and b.close == 30.0
+    assert b.turnover == 40.0
+
+
+def test_dsum_total_form_skips_nonfinite(spark):
+    from psx_data_pipeline_spark.functions.numeric import dsum
+
+    row = spark.createDataFrame(
+        [(1.5,), (float("nan"),), (float("inf",),), (2.5,), (1e30,)],
+        "v double",
+    ).agg(dsum("v").alias("s")).collect()[0]
+    # NaN / Inf / out-of-range terms are NULL (skipped), never a crash
+    assert row.s == 4.0

@@ -75,6 +75,15 @@ def build_corpus() -> None:
         {"o_orderkey": 900004, "o_custkey": 2, "o_orderstatus": "F",
          "o_totalprice": -500.0,
          "o_orderdate": dt.datetime(1899, 12, 31), "o_orderpriority": "3-MEDIUM"},
+        {"o_orderkey": 900006, "o_custkey": 3, "o_orderstatus": "O",
+         "o_totalprice": float("nan"), "o_orderdate": dt.datetime(2024, 1, 6),
+         "o_orderpriority": "3-MEDIUM"},
+        {"o_orderkey": 900007, "o_custkey": 3, "o_orderstatus": "O",
+         "o_totalprice": float("inf"), "o_orderdate": dt.datetime(2024, 1, 7),
+         "o_orderpriority": "3-MEDIUM"},
+        {"o_orderkey": 900008, "o_custkey": 3, "o_orderstatus": "O",
+         "o_totalprice": 1e30, "o_orderdate": dt.datetime(2024, 1, 8),
+         "o_orderpriority": "3-MEDIUM"},
         {"o_orderkey": 900005, "o_custkey": 2, "o_orderstatus": "O",
          "o_totalprice": 0.0,
          "o_orderdate": dt.datetime(2099, 6, 1), "o_orderpriority": "4-LOW"},
@@ -92,6 +101,30 @@ def build_corpus() -> None:
          "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": None,
          "l_discount": None, "l_tax": None, "l_returnflag": "R",
          "l_linestatus": "F", "l_shipdate": dt.datetime(1899, 12, 31)},
+        # non-finite / overflow doubles: the class that one-sided-
+        # crashed four events queries (floor(Inf) errors in DuckDB's
+        # BIGINT cast, overflows differently under Spark ANSI) —
+        # every quantity/price seam must route them through a TOTAL
+        # quantization form or an explicit finite gate
+        {"l_orderkey": 900003, "l_partkey": 2, "l_suppkey": 2,
+         "l_linenumber": 1, "l_quantity": float("nan"),
+         "l_extendedprice": 10.0, "l_discount": 0.0, "l_tax": 0.0,
+         "l_returnflag": "N", "l_linestatus": "O",
+         "l_shipdate": dt.datetime(2024, 1, 13)},
+        {"l_orderkey": 900003, "l_partkey": 2, "l_suppkey": 2,
+         "l_linenumber": 2, "l_quantity": float("inf"),
+         "l_extendedprice": float("inf"), "l_discount": 0.0, "l_tax": 0.0,
+         "l_returnflag": "N", "l_linestatus": "O",
+         "l_shipdate": dt.datetime(2024, 1, 14)},
+        {"l_orderkey": 900003, "l_partkey": 2, "l_suppkey": 2,
+         "l_linenumber": 3, "l_quantity": float("-inf"),
+         "l_extendedprice": -10.0, "l_discount": 0.0, "l_tax": 0.0,
+         "l_returnflag": "N", "l_linestatus": "O",
+         "l_shipdate": dt.datetime(2024, 1, 15)},
+        {"l_orderkey": 900003, "l_partkey": 2, "l_suppkey": 2,
+         "l_linenumber": 4, "l_quantity": 1e30, "l_extendedprice": 1e30,
+         "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+         "l_linestatus": "O", "l_shipdate": dt.datetime(2024, 1, 16)},
     ])
     _append("part", [
         {"p_partkey": 900001, "p_name": None, "p_brand": None,
