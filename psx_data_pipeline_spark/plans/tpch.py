@@ -71,12 +71,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- correlated scalar subquery via the SQL front door ----------------------
 
+# the decimal cast is gated BETWEEN ±1e24 (the dsum total-form
+# convention): a NaN/Inf balance would crash the cast in BOTH engines
+# — same SQL text, but a crash is still a crash; the gate NULLs it
+# out of the sum and the COUNT alike, so the average is over finite
+# balances only
 _ABOVE_AVG_SQL = """
 SELECT c_custkey, c_acctbal, c_mktsegment
 FROM {table} c
 WHERE c_acctbal > (
-  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
-         / COUNT(*)
+  SELECT CAST(SUM(CAST(
+           CASE WHEN c2.c_acctbal BETWEEN -1e24 AND 1e24
+                THEN c2.c_acctbal END AS DECIMAL(38,6))) AS DOUBLE)
+         / COUNT(CASE WHEN c2.c_acctbal BETWEEN -1e24 AND 1e24
+                      THEN c2.c_acctbal END)
   FROM {table} c2
   WHERE c2.c_mktsegment = c.c_mktsegment
 )

@@ -61,6 +61,10 @@ def build_corpus() -> None:
          "c_acctbal": -9999.99, "c_mktsegment": "AUTOMOBILE"},
         {"c_custkey": None, "c_name": "Null Key Inc", "c_nationkey": 3,
          "c_acctbal": 5.0, "c_mktsegment": "MACHINERY"},
+        {"c_custkey": 900005, "c_name": "NaN Balance", "c_nationkey": 1,
+         "c_acctbal": float("nan"), "c_mktsegment": "BUILDING"},
+        {"c_custkey": 900006, "c_name": "Inf Balance", "c_nationkey": 1,
+         "c_acctbal": float("inf"), "c_mktsegment": "BUILDING"},
     ])
     _append("orders", [
         {"o_orderkey": 900001, "o_custkey": None, "o_orderstatus": "O",
