@@ -42,6 +42,11 @@ QUERIES_UNDER_FUZZ = (
     # round-6: bigram LM scoring (shifted-zip bigrams, history
     # normalization, add-one smoothing) over arbitrary unicode
     "bigram_perplexity",
+    # round-6 session 6: per-window array winnowing (k<=grams<w short
+    # docs, all-identical-gram docs), the lang-ID confusion rollup,
+    # and the BM25 acceptance metrics (empty judgment sets, terms
+    # absent from the corpus)
+    "winnowing_fingerprints", "lang_confusion", "retrieval_eval",
 )
 
 _TEXT = st.text(
@@ -242,7 +247,15 @@ def test_event_queries_match_oracle_on_arbitrary_events(
                  # round-6: the IVM signed-delta merge (NULL-user
                  # group, NULL event_ids out of the feed) and the
                  # Morton quantizer (NULL/pre-epoch/far-future ts)
-                 "ivm_user_totals", "zorder_layout"):
+                 "ivm_user_totals", "zorder_layout",
+                 # round-6 session 6: per-user chains on microsecond
+                 # ties, weighted election ties, QI classes over
+                 # non-finite value buckets, epoch-residue calendar
+                 # cells on pre-epoch rows, signup/purchase lags,
+                 # co-occurrence on tiny baskets
+                 "event_transitions", "label_vote", "l_diversity_audit",
+                 "seasonal_baseline", "conversion_lag",
+                 "item_cooccurrence"):
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged on {evs!r}: {msg}"
 
@@ -309,7 +322,10 @@ def test_ohlc_queries_match_oracle_on_arbitrary_orders(
                  "topk_by_volume", "price_percentiles",
                  # round-6: the dyadic-kernel EWMA (lag windows over
                  # arbitrary same-day collisions and -0.0 prices)
-                 "ewma_prices"):
+                 "ewma_prices",
+                 # round-6 session 6: manifest bin packing and the
+                 # retention ledger on arbitrary (date, key) shapes
+                 "compaction_plan", "vacuum_plan"):
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged on {ords!r}: {msg}"
 
@@ -497,6 +513,9 @@ def test_distrib_queries_match_oracle_on_arbitrary_doc_meta(
     for name in ("group_quantiles", "ks_drift", "stratified_sample",
                  # round-6: quantile normalization (arbitrary n_chars
                  # domains, single-doc sources, all-equal scores)
-                 "quantile_calibrate"):
+                 "quantile_calibrate",
+                 # round-6 session 6: the bounded-bin sketch vs exact
+                 # ranks on negative/astronomical lengths
+                 "histogram_quantiles"):
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged on {metas!r}: {msg}"
