@@ -759,3 +759,93 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _WS_M)
         .select("doc_id", "weight", "k", "rank")
     )
+
+
+# --- n-gram novelty of the validation split ------------------------------------
+
+from psx_data_pipeline_spark.plans.dedup import _SHINGLES as _DEDUP_SHINGLES  # noqa: E402
+
+# split_assign audits EXACT-duplicate leakage; novelty is its graded
+# complement: how much of the validation split's 3-gram surface the
+# training split has never seen. Low novelty means validation loss
+# measures memorized text; the per-source breakdown shows WHICH
+# sources leak phrasing across the hash split. Shingles compare as
+# 60-bit md5 hashes (8-byte keys on the wire, never the strings).
+NGRAM_NOVELTY_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, {_SPLIT_SQL} AS split, text
+  FROM documents WHERE doc_id IS NOT NULL
+),
+tr AS (
+  SELECT DISTINCT {md5_long_sql('sh')} AS h
+  FROM (
+    SELECT unnest(list_distinct({_DEDUP_SHINGLES})) AS sh
+    FROM d WHERE split = 'train'
+  )
+),
+va AS (
+  SELECT DISTINCT source, {md5_long_sql('sh')} AS h
+  FROM (
+    SELECT source, unnest(list_distinct({_DEDUP_SHINGLES})) AS sh
+    FROM d WHERE split = 'val'
+  )
+)
+SELECT va.source,
+       CAST(count(*) AS BIGINT) AS n_val_shingles,
+       CAST(sum(CASE WHEN tr.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN tr.h IS NULL THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS novelty_permille
+FROM va LEFT JOIN tr ON va.h = tr.h
+GROUP BY va.source
+"""
+
+
+@query("ngram_novelty", NGRAM_NOVELTY_ORACLE)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: how many distinct 3-gram shingles the validation
+    split contributes and what fraction the training split never
+    contains (permille) — the graded leakage audit next to
+    split_assign's exact-duplicate one. Same split function, same
+    shingle unit as the dedup family.
+
+    Shape: two distinct-shingle-hash reductions (map-side combinable
+    on 8-byte keys) and ONE left anti-style hash join between them —
+    decontaminate's shape with the benchmark replaced by the train
+    split; no strings cross the exchange."""
+    from psx_data_pipeline_spark.functions.textfns import word_shingles
+
+    docs = load_table_parallel(spark, "documents", sf_dir).where(
+        F.col("doc_id").isNotNull()
+    )
+    # native-column twin of _SPLIT_SQL (same device as q_split_assign:
+    # Spark's parser rejects the oracle's bare VARCHAR cast)
+    h = md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":split"))
+    ) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    d = docs.select("source", split.alias("split"), "text")
+    def sh_hashes(df):
+        return df.select(
+            "source",
+            F.explode(F.array_distinct(word_shingles("text"))).alias("sh"),
+        ).select("source", md5_long(F.col("sh")).alias("h"))
+
+    tr = (
+        sh_hashes(d.where(F.col("split") == "train"))
+        .select("h").distinct()
+        .withColumnRenamed("h", "tr_h")
+    )
+    va = sh_hashes(d.where(F.col("split") == "val")).distinct()
+    joined = va.join(tr, va["h"] == tr["tr_h"], "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_val_shingles"),
+        F.sum(F.when(F.col("tr_h").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_novel"),
+        F.expr(
+            "CAST(sum(CASE WHEN tr_h IS NULL THEN 1 ELSE 0 END) * 1000"
+            " div count(1) AS BIGINT)"
+        ).alias("novelty_permille"),
+    )

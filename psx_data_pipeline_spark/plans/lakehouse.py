@@ -141,18 +141,11 @@ FROM latest WHERE op <> 'D'
 """
 
 
-@query("cdc_apply", CDC_APPLY_ORACLE)
-def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered CDC merge: base snapshot (seq 0) unioned with the
-    change log, ONE per-key last-writer-wins reduction (row_number
-    over seq desc — never max_by, whose NULL handling differs across
-    engines), tombstones dropped last so a delete-then-update key
-    correctly resurfaces. This is SCD-1 (plans/ticker.py) generalized
-    to multi-operation batches with total ordering — the shape every
-    log-ingest (Debezium/Kafka) compaction job has.
-
-    Scale: one shuffle on the key; per-key state is the ops for that
-    key in the batch (bounded by batch cadence, not table size)."""
+def cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic change log (module comment above): base
+    snapshot at seq 0 plus the four derived operation batches.
+    Shared by the batch merge below and the streaming twin
+    (streaming/jobs.streaming_cdc_apply)."""
     cust = load_table(spark, "customer", sf_dir)
     base = cust.select(
         F.col("c_custkey").alias("k"), F.lit(0).alias("seq"),
@@ -183,9 +176,24 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("c_name"), F.lit(" v3")).alias("name"),
         F.col("c_mktsegment").alias("segment"),
     )
-    log = base.unionByName(ins).unionByName(dels).unionByName(
+    return base.unionByName(ins).unionByName(dels).unionByName(
         upd2
     ).unionByName(upd3).where(F.col("k").isNotNull())
+
+
+@query("cdc_apply", CDC_APPLY_ORACLE)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered CDC merge: base snapshot (seq 0) unioned with the
+    change log, ONE per-key last-writer-wins reduction (row_number
+    over seq desc — never max_by, whose NULL handling differs across
+    engines), tombstones dropped last so a delete-then-update key
+    correctly resurfaces. This is SCD-1 (plans/ticker.py) generalized
+    to multi-operation batches with total ordering — the shape every
+    log-ingest (Debezium/Kafka) compaction job has.
+
+    Scale: one shuffle on the key; per-key state is the ops for that
+    key in the batch (bounded by batch cadence, not table size)."""
+    log = cdc_log(spark, sf_dir)
     w = Window.partitionBy("k").orderBy(F.desc("seq"))
     latest = (
         log.withColumn("rn", F.row_number().over(w))

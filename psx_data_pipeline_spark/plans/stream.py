@@ -464,3 +464,27 @@ def q_stream_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zone_map_prune) asks, instead of a scan-the-world refresh.
     Batch-equivalent by the manifest oracle."""
     return streaming_zone_maps(spark, sf_dir)
+
+
+# --- streaming CDC upsert --------------------------------------------------------
+
+from psx_data_pipeline_spark.plans.lakehouse import CDC_APPLY_ORACLE  # noqa: E402
+from psx_data_pipeline_spark.streaming.jobs import (  # noqa: E402
+    streaming_cdc_apply,
+)
+
+
+@query("stream_cdc_apply", CDC_APPLY_ORACLE)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-maintained live table as continuous streaming state
+    (streaming/jobs.streaming_cdc_apply): per-key struct-MAX
+    last-writer-wins, tombstones dropped on read. Batch-equivalent by
+    the cdc_apply oracle — the streaming upsert and the batch merge
+    must land the identical table."""
+    live = streaming_cdc_apply(spark, sf_dir)
+    return live.where(F.col("m.op") != "D").select(
+        F.col("k").alias("c_custkey"),
+        F.col("m.name").alias("name"),
+        F.col("m.segment").alias("segment"),
+        F.col("m.seq").cast("long").alias("applied_seq"),
+    )

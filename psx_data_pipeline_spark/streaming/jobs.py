@@ -826,3 +826,29 @@ def streaming_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _pinned_state_shuffle(spark):
         table = run_to_memory(zones, "complete", "zone_maps")
     return spark.table(table)
+
+
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered CDC merge (plans/lakehouse.q_cdc_apply) maintained
+    as streaming state: the change log lands as micro-batches and the
+    live table is a native per-key MAX over struct(seq, ...) — the
+    struct comparison is decided by the leading seq (unique per key),
+    so the aggregate IS last-writer-wins, and being a plain MAX it
+    combines map-side and merges associatively across micro-batches
+    in any arrival order. State = one struct per live key (the table
+    itself, the floor for any streaming upsert); tombstone drops stay
+    batch-side on the bounded result. A replay's final table equals
+    the batch merge."""
+    from psx_data_pipeline_spark.plans.lakehouse import cdc_log
+    from psx_data_pipeline_spark.scratch import scratch_dir
+
+    log = cdc_log(spark, sf_dir)
+    landing = scratch_dir("cdc_landing")
+    log.write.mode("overwrite").parquet(landing)
+    raw = spark.readStream.schema(log.schema).parquet(landing)
+    latest = raw.groupBy("k").agg(
+        F.max(F.struct("seq", "op", "name", "segment")).alias("m")
+    )
+    with _pinned_state_shuffle(spark):
+        table = run_to_memory(latest, "complete", "cdc_live")
+    return spark.table(table)

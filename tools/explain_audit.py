@@ -108,6 +108,7 @@ HEADLINERS = [
     ("seasonal_baseline", "bounded cell agg; one scalar broadcast"),
     ("zorder_benefit", "composes layout spans; exploded predicates"),
     ("lang_confusion", "scan-side classifier; |langs|^2 cells"),
+    ("ngram_novelty", "two 8-byte-key shingle reductions; one hash join"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)
@@ -124,7 +125,7 @@ STREAMING_EXCLUDED = [
     "stream_incremental_ingest", "stream_sync_change_log",
     "stream_vocab_sketch", "stream_heavy_hitters", "stream_video_decode",
     "stream_blocklist", "stream_constraint_audit", "stream_pseudonymize",
-    "stream_label_vote", "stream_zone_maps",
+    "stream_label_vote", "stream_zone_maps", "stream_cdc_apply",
 ]
 
 

@@ -54,7 +54,7 @@ FAMILIES = {
         "corpus_diff", "bigram_perplexity", "perplexity_buckets",
         "weighted_sample", "inverted_index", "mixing_schedule",
         "winnowing_fingerprints", "retrieval_eval", "histogram_quantiles",
-        "lang_confusion",
+        "lang_confusion", "ngram_novelty",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
@@ -98,6 +98,7 @@ FAMILIES = {
         "fuzzy_name_linkage", "bloom_semijoin", "ewma_prices",
     ],
     "ticker": [
+        "stream_cdc_apply",
         "snapshot_diff", "ticker_sync_changes", "rename_detection",
         "rename_detection_parity", "change_log_format", "scd1_merge",
         "scd1_sentinel_merge", "sentinel_parity", "scd2_history",
