@@ -876,14 +876,25 @@ FROM tiled GROUP BY tile
 def q_quality_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-decile bucketing: rank documents by lexical diversity
     and cut into ntile(10) bands — the 'keep the top N% by quality
-    score' curation step. The ORDER BY carries a doc_id tiebreak so
-    tile assignment is total and engine-identical. NOTE the global
-    ntile is a single-partition window — acceptable for a one-off
-    curation cut; the streaming-scale alternative is a two-pass
-    quantile-threshold (approx percentiles then a scan-side filter),
-    which avoids the global sort at the cost of approximate band
-    edges. Per-tile stats are a following map-side-combinable
-    groupBy."""
+    score' curation step — WITHOUT a corpus-cardinality global sort.
+
+    Scale shape (the group_quantiles trick applied globally): the
+    corpus is touched by exactly ONE map-side-combinable
+    groupBy(lex_div) count; everything after runs on the DISTINCT-
+    score table, bounded by the score domain (lex_div is a ratio of
+    two token counts, so |domain| ≤ max_doc_tokens², never corpus
+    rows). Under (lex_div DESC, doc_id) ordering, rows sharing a
+    score occupy the contiguous rank range [n_higher+1,
+    n_higher+cnt], so each distinct score overlaps tiles
+    tile(lo)..tile(hi) — a span of ≤ 10 — and per-tile min/max score
+    come from exploding those spans; per-tile row counts are the
+    ntile closed form itself (q+1 for the first rem tiles, q after).
+    tile(r) with q = n div k, rem = n mod k:  (r-1) div (q+1) + 1
+    when r ≤ rem·(q+1), else rem + (r - rem·(q+1) - 1) div q + 1.
+    The oracle stays a literal ntile(10) window, so the hash-compare
+    proves the closed form reproduces ntile's remainder semantics
+    exactly. No per-document tile assignment, no corpus-cardinality
+    window, no skew on hot scores (e.g. lex_div = 1.0)."""
     docs = load_table(spark, "documents", sf_dir)
     toks = tokens("text")
     scored = docs.where(F.size(toks) > 0).select(
@@ -892,10 +903,47 @@ def q_quality_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lex_div"
         ),
     )
-    w = Window.orderBy(F.desc("lex_div"), F.asc("doc_id"))
-    tiled = scored.withColumn("tile", F.ntile(10).over(w).cast("long"))
-    return tiled.groupBy("tile").agg(
-        F.count(F.lit(1)).alias("n"),
+    # distinct-score counts: the only corpus-cardinality stage
+    vc = scored.groupBy("lex_div").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy(F.desc("lex_div")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vc.select(
+        "lex_div", "cnt",
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("n_higher"),
+        F.sum("cnt").over(w_all).alias("n_rows"),
+    ).select(
+        "lex_div", "cnt", "n_higher",
+        F.expr("n_rows div 10").alias("q"),
+        F.expr("n_rows % 10").alias("rem"),
+    )
+    # closed-form ntile(10); greatest(q,1) keeps the ELSE divisor
+    # total — when q=0, r ≤ n = rem·(q+1) so ELSE is never taken
+    def tile_of(r: str) -> str:
+        return (
+            f"CASE WHEN {r} <= rem * (q + 1)"
+            f"     THEN ({r} - 1) div (q + 1) + 1"
+            f"     ELSE rem + ({r} - rem * (q + 1) - 1)"
+            f"          div greatest(q, 1L) + 1 END"
+        )
+
+    spans = cum.select(
+        "lex_div", "q", "rem",
+        F.expr(tile_of("n_higher + 1")).alias("t_lo"),
+        F.expr(tile_of("n_higher + cnt")).alias("t_hi"),
+    )
+    tiles = spans.select(
+        "lex_div", "q", "rem",
+        F.explode(F.expr("sequence(t_lo, t_hi)")).alias("tile"),
+    )
+    return tiles.groupBy(F.col("tile").cast("long").alias("tile")).agg(
+        F.max(
+            F.when(F.col("tile") <= F.col("rem"), F.col("q") + 1)
+            .otherwise(F.col("q"))
+        ).alias("n"),
         F.min("lex_div").alias("min_div"),
         F.max("lex_div").alias("max_div"),
     )

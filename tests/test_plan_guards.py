@@ -75,12 +75,121 @@ BOUNDED_BROADCAST_OK = {
 }
 
 
+# One DataFrame build per query for the whole module: some builders
+# eagerly localCheckpoint shared subplans, so re-building for every
+# guard would re-execute those, not just re-plan.
+_DF_CACHE: dict[str, object] = {}
+
+
+def _plan_df(spark, name):
+    if name not in _DF_CACHE:
+        _DF_CACHE[name] = QUERIES[name](spark, SF_DIR)
+    return _DF_CACHE[name]
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_scale_killer_join(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
+    df = _plan_df(spark, name)
     plan = df._jdf.queryExecution().executedPlan().toString()
     forbidden = (
         ("CartesianProduct",) if name in BOUNDED_BROADCAST_OK else FORBIDDEN
     )
     for op in forbidden:
         assert op not in plan, f"{name}: {op} in physical plan"
+
+
+# --- unpartitioned-window guard ----------------------------------------------
+#
+# A Window with an empty partitionSpec funnels its whole input through
+# ONE task — the classic silent scale killer (`WindowExec: No
+# Partition Defined`). It is acceptable ONLY when the window's input
+# is bounded by a DOMAIN (a score/value/bin/catalogue cardinality),
+# never by corpus rows. Every admissible case is enumerated below with
+# its bound and the EXACT number of unpartitioned Window nodes its
+# optimized plan carries — a new global window anywhere (including
+# inside a whitelisted query) fails the pin and must be justified
+# here.
+UNPARTITIONED_WINDOW_OK = {
+    # per-brand revenue share: window over the ≤|brands| rollup
+    "brand_revenue_share": 1,
+    # percentile over SECOND-bucketed lags: time-resolution-bounded
+    "conversion_lag": 2,
+    # K=8 centroid seeding/re-labeling rows (K-row windows per round)
+    "kmeans_topics": 16,
+    # fixed KS bin grid (pooled cume + per-source cume)
+    "ks_drift": 2,
+    # source catalogue rows (weights + cumulative mixing schedule)
+    "mixing_schedule": 2,
+    # distinct lex_div scores: ratio-of-token-counts domain
+    "quality_tiles": 2,
+    # 1001-point pooled calibration grid
+    "quantile_calibrate": 2,
+    # source catalogue temperature weights
+    "source_temperature_weights": 1,
+    # salted two-phase top-M: ≤ salts·M survivor rows
+    "weighted_sample": 1,
+}
+
+
+def _unpartitioned_windows(df) -> int:
+    """Count Window nodes with an empty partitionSpec in the
+    optimized logical plan (the physical toString is ambiguous about
+    which trailing bracket group is the partition spec)."""
+
+    count = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                count += 1
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    return count
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unpartitioned_corpus_window(spark, name):
+    df = _plan_df(spark, name)
+    n = _unpartitioned_windows(df)
+    allowed = UNPARTITIONED_WINDOW_OK.get(name, 0)
+    assert n == allowed, (
+        f"{name}: {n} unpartitioned Window node(s) in the optimized "
+        f"plan, whitelist pins {allowed} — a global window funnels "
+        "its input through one task; bound it by a domain (the "
+        "group_quantiles / quality_tiles pattern) or justify a new "
+        "pin in UNPARTITIONED_WINDOW_OK"
+    )
+
+
+# --- stray-collect guard -----------------------------------------------------
+#
+# `.collect()` / `.toPandas()` pulls data onto the driver: at 100 TB
+# that is either an OOM or a hidden serial loop. The ONLY admissible
+# use is a bounded scalar — today that is exactly one site: the
+# connected-components convergence check (one row per iteration,
+# operators/dedup.py). New sites must be argued into this whitelist,
+# not slipped in beside it.
+_COLLECT_WHITELIST = {
+    "operators/dedup.py": 1,  # CC convergence scalar (one-row agg)
+}
+
+
+def test_no_stray_driver_collect():
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "psx_data_pipeline_spark"
+    hits: dict[str, int] = {}
+    for py in sorted(pkg.rglob("*.py")):
+        rel = py.relative_to(pkg).as_posix()
+        for line in py.read_text().splitlines():
+            stripped = line.strip()
+            if stripped.startswith("#"):
+                continue
+            if ".collect(" in stripped or ".toPandas(" in stripped:
+                hits[rel] = hits.get(rel, 0) + 1
+    assert hits == _COLLECT_WHITELIST, (
+        f"driver-side collect/toPandas sites changed: {hits} != "
+        f"{_COLLECT_WHITELIST} — data must stay distributed; a new "
+        "bounded-scalar site needs a whitelist entry with its bound"
+    )
