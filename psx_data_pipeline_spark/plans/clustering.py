@@ -108,16 +108,38 @@ FROM c{_ITERS} c LEFT JOIN stats st ON c.cid = st.cid
 )
 
 
+# The quantized training input, one per (application, sf_dir). The
+# canonical Spark iterative-algorithm pattern (MLlib's KMeans does
+# the same): persist the feature table once, scan the materialized
+# partitions every round instead of re-reading parquet and
+# re-quantizing 4× (3 unrolled rounds + final assignment) — and,
+# because each round's centroids embed the prior rounds' full-corpus
+# aggregates in their lineage, ~8× without it. MEMORY_AND_DISK so a
+# 100 TB corpus spills instead of OOMing; cleared (and unpersisted)
+# by plans.clear_session_memos for benchmark honesty.
+_QUANT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir).where(
-        F.col("vec_id").isNotNull()
-        & indexable_embedding("embedding", _DIM)
-    )
-    q = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
-    )
-    return emb.select("vec_id", q.alias("q"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _QUANT_CACHE.get(key)
+    if hit is None:
+        from pyspark import StorageLevel
+
+        emb = load_table(spark, "embeddings", sf_dir).where(
+            F.col("vec_id").isNotNull()
+            & indexable_embedding("embedding", _DIM)
+        )
+        q = F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
+        )
+        hit = emb.select("vec_id", q.alias("q")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        hit.count()
+        _QUANT_CACHE[key] = hit
+    return hit
 
 
 def _dist(q: Column, c: Column) -> Column:
@@ -180,7 +202,13 @@ def q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_ITERS):
         assigned = _packed_assign(qdf, cents)
-        cents = _update(assigned, cents)
+        # truncate lineage at the K-row table each round: without
+        # this the NEXT round's broadcast side re-embeds (and
+        # re-executes) every prior round's full-corpus aggregate,
+        # and the top-level catalogue join duplicates the whole
+        # tree once more — exactly 4 scans of the persisted input
+        # remain (3 rounds + final assignment)
+        cents = _update(assigned, cents).localCheckpoint(eager=True)
     fin = (
         _packed_assign(qdf, cents)
         .select((F.col("pk") % _K + 1).cast("int").alias("cid"),

@@ -114,8 +114,8 @@ UNPARTITIONED_WINDOW_OK = {
     "brand_revenue_share": 1,
     # percentile over SECOND-bucketed lags: time-resolution-bounded
     "conversion_lag": 2,
-    # K=8 centroid seeding/re-labeling rows (K-row windows per round)
-    "kmeans_topics": 16,
+    # (kmeans_topics' seeding windows live behind the per-round
+    # K-row localCheckpoint truncation now — its final plan pins 0)
     # fixed KS bin grid (pooled cume + per-source cume)
     "ks_drift": 2,
     # source catalogue rows (weights + cumulative mixing schedule)
