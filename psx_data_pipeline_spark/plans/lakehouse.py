@@ -127,12 +127,20 @@ _CDC_SQL = """
   FROM customer WHERE c_custkey % 15 = 0
 """
 
+# The LWW order is TOTAL: seq leads, then (op, name, segment) —
+# exactly the field order of the streaming twin's MAX(struct(...)),
+# where a NULL field compares smallest (= DESC NULLS LAST here). An
+# at-least-once feed can replay a batch and land the same (k, seq)
+# twice with different payloads; without the full tiebreak the pick
+# is order-of-input luck (the hostile relational probe's
+# duplicate-key salt caught the streaming/batch sides disagreeing).
 CDC_APPLY_ORACLE = f"""
 WITH log AS ({_CDC_SQL}),
 latest AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (
-      PARTITION BY k ORDER BY seq DESC) AS rn
+      PARTITION BY k ORDER BY seq DESC, op DESC,
+      name DESC NULLS LAST, segment DESC NULLS LAST) AS rn
     FROM log WHERE k IS NOT NULL
   ) WHERE rn = 1
 )
@@ -189,12 +197,18 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), tombstones dropped last so a delete-then-update key
     correctly resurfaces. This is SCD-1 (plans/ticker.py) generalized
     to multi-operation batches with total ordering — the shape every
-    log-ingest (Debezium/Kafka) compaction job has.
+    log-ingest (Debezium/Kafka) compaction job has. The order is the
+    streaming twin's struct-MAX field order (seq, op, name, segment)
+    so a duplicate-seq replay resolves identically batch-side and
+    stream-side (oracle comment above).
 
     Scale: one shuffle on the key; per-key state is the ops for that
     key in the batch (bounded by batch cadence, not table size)."""
     log = cdc_log(spark, sf_dir)
-    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    w = Window.partitionBy("k").orderBy(
+        F.desc("seq"), F.desc("op"),
+        F.desc_nulls_last("name"), F.desc_nulls_last("segment"),
+    )
     latest = (
         log.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

@@ -163,3 +163,79 @@ def test_milli_quantization_is_total(spark):
         assert by_val[k] is None, k
     assert by_val["1.5"] == 1500 and by_val["-1.5"] == -1500
     assert by_val["9000000000000.0"] == 9_000_000_000_000_000
+
+
+# --- governance audits under degenerate QI cardinalities ---------------------
+
+
+def _events_table(spark, tmp_path, rows):
+    import datetime as dt  # noqa: F401  (callers build timestamps)
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    return sf
+
+
+def test_k_anonymity_single_uniform_class(spark, tmp_path):
+    """Degenerate minimum-cardinality QI: every row lands in ONE
+    equivalence class. With the class at size >= k the audit must
+    report zero risk — a pipeline that counts the giant class as
+    small (or divides by classes-1 somewhere) breaks exactly here."""
+    import datetime as dt
+
+    ts = dt.datetime(2024, 3, 1, 14, 30)
+    rows = [(i, ts, 1, "click", 2.5, None) for i in range(6)]
+    sf = _events_table(spark, tmp_path, rows)
+    from psx_data_pipeline_spark.plans import QUERIES
+
+    [r] = QUERIES["k_anonymity_audit"](spark, sf).collect()
+    assert (r.event_type, r.n_classes, r.min_class_size,
+            r.n_small_classes, r.rows_at_risk) == ("click", 1, 6, 0, 0)
+
+
+def test_k_anonymity_every_row_unique(spark, tmp_path):
+    """Degenerate maximum-cardinality QI: every row is its own
+    class, so every row is at risk — the audit's worst case must
+    count ALL rows, not saturate or skip singletons."""
+    import datetime as dt
+
+    ts = dt.datetime(2024, 3, 1, 14, 30)
+    rows = [(i, ts, 1, "click", float(10 * i), None) for i in range(5)]
+    sf = _events_table(spark, tmp_path, rows)
+    from psx_data_pipeline_spark.plans import QUERIES
+
+    [r] = QUERIES["k_anonymity_audit"](spark, sf).collect()
+    assert (r.n_classes, r.min_class_size,
+            r.n_small_classes, r.rows_at_risk) == (5, 1, 5, 5)
+
+
+def test_l_diversity_homogeneous_class_is_exposed(spark, tmp_path):
+    """k-anonymity's blind spot, pinned: a big crowd that all shares
+    one sensitive value (diversity 1) is fully exposed, while a
+    same-sized mixed crowd is not. Also pins the NULL-sensitive
+    edge: a class whose types are ALL NULL has COUNT(DISTINCT) = 0
+    and must surface as exposed, not vanish."""
+    import datetime as dt
+
+    ts = dt.datetime(2024, 3, 1, 9, 0)
+    rows = (
+        # value bucket 1: 5 rows, all "click" -> diversity 1, exposed
+        [(i, ts, 1, "click", 1.0, None) for i in range(5)]
+        # value bucket 7: 3 distinct types -> diversity 3, safe
+        + [(10, ts, 1, "click", 7.0, None),
+           (11, ts, 1, "view", 7.0, None),
+           (12, ts, 1, "purchase", 7.0, None)]
+        # value bucket 9: only NULL types -> diversity 0, exposed
+        + [(20, ts, 1, None, 9.0, None),
+           (21, ts, 1, None, 9.0, None)]
+    )
+    sf = _events_table(spark, tmp_path, rows)
+    from psx_data_pipeline_spark.plans import QUERIES
+
+    [r] = QUERIES["l_diversity_audit"](spark, sf).collect()
+    assert (r.n_classes, r.min_diversity,
+            r.n_low_diversity, r.rows_exposed) == (3, 0, 2, 7)

@@ -110,3 +110,65 @@ def test_dsum_total_form_skips_nonfinite(spark):
     ).agg(dsum("v").alias("s")).collect()[0]
     # NaN / Inf / out-of-range terms are NULL (skipped), never a crash
     assert row.s == 4.0
+
+
+def test_cdc_duplicate_seq_total_tiebreak(spark, tmp_path):
+    """Round-7 probe find: an at-least-once change feed can land the
+    same (key, seq) twice with different payloads (the probe's
+    duplicate-custkey salt). The streaming struct-MAX resolved the
+    tie by (op, name, segment) while the batch/oracle row_number
+    carried no tiebreak at all — order-of-input luck, and the two
+    sides disagreed. Pins: both sides resolve duplicate-seq ties by
+    the SAME total order and therefore agree row-for-row."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            # 15 is divisible by 3, 5, and 15: its log carries a
+            # delete (seq 2) then updates (seq 3, 4) — and every
+            # entry twice, because the key appears twice
+            (15, "Dup A", 1, 1.0, "BUILDING"),
+            (15, "Dup B", 2, 2.0, "MACHINERY"),
+            (8, "Solo", 3, 3.0, "HOUSEHOLD"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(f"{sf}/customer.parquet")
+    from psx_data_pipeline_spark.plans import QUERIES
+
+    batch = {
+        (r.c_custkey, r.name, r.segment, r.applied_seq)
+        for r in QUERIES["cdc_apply"](spark, sf).collect()
+    }
+    # the delete-then-update key resurfaces at seq 4, and the
+    # duplicate-seq tie resolves to the struct-max payload
+    assert (15, "Dup B v3", "MACHINERY", 4) in batch
+    assert not any(k == 15 and n != "Dup B v3" for (k, n, _, _) in batch)
+    stream = {
+        (r.c_custkey, r.name, r.segment, r.applied_seq)
+        for r in QUERIES["stream_cdc_apply"](spark, sf).collect()
+    }
+    assert stream == batch
+
+
+def test_cdc_all_deletes_yields_empty_table(spark, tmp_path):
+    """Degenerate all-tombstones stream: every key's final op is a
+    delete and nothing resurfaces — the merged table must be EMPTY on
+    both the batch and streaming paths, not carry ghost rows (keys
+    ending in a live seq < the tombstone's) or crash on the
+    zero-survivor aggregate."""
+    sf = str(tmp_path)
+    # keys divisible by 5 but NOT by 3 get a delete at seq 2 and no
+    # later update, so their final state is the tombstone
+    spark.createDataFrame(
+        [
+            (5, "Gone A", 1, 1.0, "BUILDING"),
+            (10, "Gone B", 2, 2.0, "MACHINERY"),
+            (20, "Gone C", 3, 3.0, "HOUSEHOLD"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(f"{sf}/customer.parquet")
+    from psx_data_pipeline_spark.plans import QUERIES
+
+    assert QUERIES["cdc_apply"](spark, sf).count() == 0
+    assert QUERIES["stream_cdc_apply"](spark, sf).count() == 0

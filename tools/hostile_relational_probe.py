@@ -65,6 +65,23 @@ def build_corpus() -> None:
          "c_acctbal": float("nan"), "c_mktsegment": "BUILDING"},
         {"c_custkey": 900006, "c_name": "Inf Balance", "c_nationkey": 1,
          "c_acctbal": float("inf"), "c_mktsegment": "BUILDING"},
+        # DUPLICATE KEY rows: the same custkey appears twice with
+        # different attributes. For the CDC family this manufactures
+        # duplicate (k, seq) log entries — an at-least-once change
+        # feed replaying a batch — where any last-writer-wins pick
+        # without a TOTAL tiebreak is nondeterministic (and therefore
+        # cross-engine divergent). 900015 is divisible by 3 and 5
+        # (dup delete + dup update batches), 900007 by 7 (dup insert
+        # batch); one pair carries a NULL name so the tiebreak's NULL
+        # ordering is exercised too.
+        {"c_custkey": 900015, "c_name": "Dup A", "c_nationkey": 1,
+         "c_acctbal": 1.0, "c_mktsegment": "BUILDING"},
+        {"c_custkey": 900015, "c_name": "Dup B", "c_nationkey": 2,
+         "c_acctbal": 2.0, "c_mktsegment": "MACHINERY"},
+        {"c_custkey": 900007, "c_name": "Dup C", "c_nationkey": 3,
+         "c_acctbal": 3.0, "c_mktsegment": "HOUSEHOLD"},
+        {"c_custkey": 900007, "c_name": None, "c_nationkey": 4,
+         "c_acctbal": 4.0, "c_mktsegment": None},
     ])
     _append("orders", [
         {"o_orderkey": 900001, "o_custkey": None, "o_orderstatus": "O",
