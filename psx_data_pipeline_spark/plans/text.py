@@ -1905,3 +1905,75 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang_true").eqNullSafe(F.col("lang_pred")), 1
         ).otherwise(0).cast("long").alias("agree"),
     )
+
+
+# --- boilerplate / template detection ----------------------------------------
+
+_PREFIX_TOKENS = 8
+
+BOILERPLATE_PREFIX_ORACLE = f"""
+WITH pref AS (
+  SELECT source,
+         array_to_string(({_TOKS})[1:{_PREFIX_TOKENS}], ' ') AS prefix
+  FROM documents WHERE len({_TOKS}) > 0
+),
+pc AS (
+  SELECT source, prefix, count(*) AS cnt
+  FROM pref GROUP BY source, prefix
+),
+sel AS (
+  SELECT source, prefix, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+         row_number() OVER (
+           PARTITION BY source ORDER BY cnt DESC, prefix) AS rn
+  FROM pc
+)
+SELECT source, n_docs, prefix AS top_prefix,
+       CAST(cnt AS BIGINT) AS prefix_docs,
+       CAST(cnt AS BIGINT) * 1000 // n_docs AS share_permille
+FROM sel WHERE rn = 1
+"""
+
+
+@query("boilerplate_prefix", BOILERPLATE_PREFIX_ORACLE)
+def q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection, the C4/RefinedWeb curation
+    step: per source, the most common first-{_PREFIX_TOKENS}-token
+    prefix and the permille of the source's documents that open with
+    it — a high share means the crawler is re-ingesting a templated
+    page (cookie banners, listing shells) and the source needs a
+    strip rule.
+
+    Scale shape: docs collapse to (source, prefix) COUNTS first
+    (map-side combinable — the corpus-cardinality stage is one
+    groupBy), then the top-1 and the per-source total both run as
+    windows over the collapsed count table, partitioned BY source.
+    Ties at the max count break lexicographically so the winner is
+    total. Short docs (< {_PREFIX_TOKENS} tokens) use their full
+    token list; both engines slice inclusively to min(len, k)."""
+    docs = load_table_parallel(spark, "documents", sf_dir)
+    toks = tokens("text")
+    pref = docs.where(F.size(toks) > 0).select(
+        "source",
+        F.array_join(F.slice(toks, 1, _PREFIX_TOKENS), " ").alias("prefix"),
+    )
+    pc = pref.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_tot = Window.partitionBy("source")
+    w_top = Window.partitionBy("source").orderBy(
+        F.desc("cnt"), F.asc("prefix")
+    )
+    sel = pc.select(
+        "source", "prefix", "cnt",
+        F.sum("cnt").over(w_tot).cast("long").alias("n_docs"),
+        F.row_number().over(w_top).alias("rn"),
+    )
+    return sel.where(F.col("rn") == 1).select(
+        "source", "n_docs",
+        F.col("prefix").alias("top_prefix"),
+        F.col("cnt").cast("long").alias("prefix_docs"),
+        F.expr("CAST(cnt AS BIGINT) * 1000 div n_docs").alias(
+            "share_permille"
+        ),
+    )

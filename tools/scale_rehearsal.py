@@ -54,7 +54,7 @@ FAMILIES = {
         "corpus_diff", "bigram_perplexity", "perplexity_buckets",
         "weighted_sample", "inverted_index", "mixing_schedule",
         "winnowing_fingerprints", "retrieval_eval", "histogram_quantiles",
-        "lang_confusion", "ngram_novelty",
+        "lang_confusion", "ngram_novelty", "pii_scan", "boilerplate_prefix",
     ],
     "ann": [
         "cosine_topk", "lsh_bucketed_neighbors", "ivf_topk",
@@ -96,6 +96,7 @@ FAMILIES = {
         "append_cutoff", "ohlc_missing_days", "brand_revenue_share",
         "symbol_rollup", "calendar_range", "bucketed_join",
         "fuzzy_name_linkage", "bloom_semijoin", "ewma_prices",
+        "tpch_q5_local_supply", "tpch_q18_large_orders",
     ],
     "ticker": [
         "stream_cdc_apply",
