@@ -109,6 +109,11 @@ HEADLINERS = [
     ("zorder_benefit", "composes layout spans; exploded predicates"),
     ("lang_confusion", "scan-side classifier; |langs|^2 cells"),
     ("ngram_novelty", "two 8-byte-key shingle reductions; one hash join"),
+    ("quality_tiles", "closed-form ntile on distinct-score counts; no global sort"),
+    ("tpch_q5_local_supply", "two-arm dim join; inter-arm nation equi-tie"),
+    ("tpch_q18_large_orders", "heavy rollup -> broadcast survivors join-back"),
+    ("pii_scan", "3 regexp_counts scan-side; one per-source agg"),
+    ("boilerplate_prefix", "(source,prefix) collapse; source-partitioned windows"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)
@@ -146,6 +151,13 @@ def main() -> int:
 
     lines = [
         "# EXPLAINS — formatted physical plans of the headline queries",
+        "",
+        "> **Deep-dive appendix, deliberately non-exhaustive.** The",
+        "> canonical per-query plan record is `SCALE_SUMMARY.md`",
+        "> (generated from the actual physical plans, covers every",
+        "> registered query). This file keeps full formatted plans +",
+        "> commentary only for the queries whose shape needed arguing;",
+        "> when the two disagree, the generated table wins (see README).",
         "",
         "Generated by `python tools/explain_audit.py` (plan shapes are",
         "data-size independent; captured at sf0.001). The things to read",
