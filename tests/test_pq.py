@@ -85,3 +85,38 @@ def test_pq_recall_reasonable(spark):
     assert rows
     mean = sum(r["recall_milli"] for r in rows) / len(rows)
     assert mean >= 300, f"mean PQ recall collapsed: {mean} milli"
+
+
+def test_qdot_unrolled_matches_fold_form(spark):
+    """The codegen-unrolled fixed-dim qdot must be BIT-identical to
+    the zip_with/aggregate fold it replaces on the PQ hot paths —
+    including float32 single-precision products, negative values,
+    subnormal-ish magnitudes, and the NULL-element poison rule."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from psx_data_pipeline_spark.operators.similarity import (
+        qdot,
+        qdot_unrolled,
+    )
+
+    rows = [
+        (1, [0.1, -0.2, 0.3, 0.4], [0.5, 0.6, -0.7, 0.8]),
+        (2, [1e-8, 2e-8, -3e-8, 0.0], [9.9, -9.9, 9.9, 9.9]),
+        (3, [99.0, -99.0, 99.0, -99.0], [99.0, 99.0, -99.0, -99.0]),
+        (4, [0.25, 0.25, 0.25, 0.25], [0.25, 0.25, 0.25, 0.25]),
+        (5, [0.1, None, 0.3, 0.4], [0.5, 0.6, 0.7, 0.8]),  # NULL poisons
+    ]
+    for typ in ("float", "double"):
+        df = spark.createDataFrame(
+            rows, f"id long, a array<{typ}>, b array<{typ}>"
+        )
+        got = df.select(
+            "id",
+            qdot(F.col("a"), F.col("b")).alias("fold"),
+            qdot_unrolled(F.col("a"), F.col("b"), 4).alias("unrolled"),
+        ).collect()
+        for r in got:
+            assert r.fold == r.unrolled, (typ, r.id, r.fold, r.unrolled)
+        assert [r.fold for r in got if r.id == 5] == [None]
