@@ -185,12 +185,20 @@ def _update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
-@query("kmeans_topics", KMEANS_TOPICS_ORACLE)
-def q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three unrolled integer k-means rounds over the indexable
-    embeddings; output is the K-row cluster catalogue — size,
-    within-cluster squared distance, centroid L1 (module
-    docstring)."""
+# Fitted centroids, one per (application, sf_dir): kmeans_topics and
+# semdedup both consume the same 3-round fit; the memo holds the
+# final K-row localCheckpoint so the second consumer pays zero
+# scans. Cleared by plans.clear_session_memos (the checkpointed
+# table is K rows — the dict drop suffices).
+_CENTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K-row centroid table after the 3 unrolled rounds."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CENTS_CACHE.get(key)
+    if hit is not None:
+        return hit
     qdf = _quantized(spark, sf_dir)
     init = qdf.orderBy("vec_id").limit(_K)
     cents = init.select(
@@ -209,6 +217,18 @@ def q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tree once more — exactly 4 scans of the persisted input
         # remain (3 rounds + final assignment)
         cents = _update(assigned, cents).localCheckpoint(eager=True)
+    _CENTS_CACHE[key] = cents
+    return cents
+
+
+@query("kmeans_topics", KMEANS_TOPICS_ORACLE)
+def q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled integer k-means rounds over the indexable
+    embeddings; output is the K-row cluster catalogue — size,
+    within-cluster squared distance, centroid L1 (module
+    docstring)."""
+    qdf = _quantized(spark, sf_dir)
+    cents = fit_centroids(spark, sf_dir)
     fin = (
         _packed_assign(qdf, cents)
         .select((F.col("pk") % _K + 1).cast("int").alias("cid"),
@@ -235,4 +255,143 @@ def q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("st.wss_q"), F.lit(0).cast("long")).alias("wss_q"),
             l1.cast("long").alias("centroid_l1"),
         )
+    )
+
+
+# --- SemDeDup: cluster-scoped semantic dedup ---------------------------------
+
+# cosine threshold in milli units: a member is a semantic duplicate
+# of its cluster medoid when cos(q, rq) >= 0.95
+_SEM_T_MILLI = 950
+_SEM_T_SQ = _SEM_T_MILLI * _SEM_T_MILLI  # 902500; test works on cos²·10⁶
+
+_IDOT = (
+    "list_sum(list_transform(generate_series(1, " + str(_DIM) + "),"
+    " i -> {0}[i] * {1}[i]))"
+)
+
+SEMDEDUP_ORACLE = (
+    f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND {indexable_embedding_sql('embedding', _DIM)}
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, q AS c
+  FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT {_K})
+),"""
+    + ",".join(_iter_sql(i, f"c{i - 1}") for i in range(1, _ITERS + 1))
+    + f""",
+fin2 AS (
+  SELECT vec_id, q, min({_dist_sql('q', 'c')} * {_K} + (cid - 1)) AS pk
+  FROM v CROSS JOIN c{_ITERS} GROUP BY vec_id, q
+),
+asg AS (
+  SELECT vec_id, q, CAST(pk % {_K} + 1 AS INT) AS cid,
+         pk // {_K} AS dist
+  FROM fin2
+),
+rep AS (
+  SELECT cid, vec_id AS rep_id, q AS rq FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cid ORDER BY dist, vec_id) AS rn
+    FROM asg
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.cid, a.vec_id, r.rep_id,
+         {_IDOT.format('a.q', 'r.rq')} AS dotqr,
+         {_IDOT.format('a.q', 'a.q')} AS nq,
+         {_IDOT.format('r.rq', 'r.rq')} AS nr
+  FROM asg a JOIN rep r USING (cid)
+)
+SELECT cid AS cluster_id, min(rep_id) AS rep_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN vec_id <> rep_id AND dotqr > 0
+                  AND CAST(dotqr AS HUGEINT) * dotqr
+                      >= {_SEM_T_SQ} * (CAST(nq AS HUGEINT) * nr)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+FROM scored GROUP BY cid
+"""
+)
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact integer dot of two milli-quantized vectors (|q| ≤ 1e5,
+    so the 64-term sum ≤ 6.4e11 — far inside int64)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@query("semdedup", SEMDEDUP_ORACLE)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, the cluster-scoped semantic dedup (Abbas et al.'s
+    recipe re-expressed linear): cluster the embedding space (the
+    shared 3-round integer k-means fit), take each cluster's MEDOID
+    (min (dist, vec_id) — map-side-combinable struct-MIN, no
+    per-cluster window/sort), and flag members whose cosine to the
+    medoid clears 0.95 as semantic duplicates. Each member is scored
+    against exactly ONE representative, so the comparison volume is
+    |corpus| — never the within-cluster pairwise square — and the
+    medoid table rides as a K-row broadcast.
+
+    The cosine test is integer-exact on both engines: cos ≥ T ⟺
+    dot > 0 ∧ dot² ≥ T²·nq·nr, evaluated in DECIMAL(38,0) /
+    HUGEINT because dot² reaches ~4e23 (past int64, inside both
+    wide-integer types). Output: per cluster, the medoid id, member
+    count, and duplicates flagged against it."""
+    qdf = _quantized(spark, sf_dir)
+    cents = fit_centroids(spark, sf_dir)
+    asg = (
+        _packed_assign(qdf, cents)
+        .select(
+            "vec_id", "q",
+            (F.col("pk") % _K + 1).cast("int").alias("cid"),
+            F.expr(f"pk div {_K}").alias("dist"),
+        )
+    )
+    rep_ids = asg.groupBy("cid").agg(
+        F.min(F.struct("dist", "vec_id")).alias("mr")
+    ).select(
+        F.col("cid").alias("icid"), F.col("mr.vec_id").alias("rep_id")
+    )
+    rep = (
+        asg.alias("m")
+        .join(
+            F.broadcast(rep_ids).alias("i"),
+            (F.col("m.cid") == F.col("i.icid"))
+            & (F.col("m.vec_id") == F.col("i.rep_id")),
+        )
+        .select(
+            F.col("m.cid").alias("rcid"), F.col("i.rep_id").alias("rep_id"),
+            F.col("m.q").alias("rq"),
+        )
+    )
+    scored = (
+        asg.alias("a")
+        .join(F.broadcast(rep).alias("r"), F.col("a.cid") == F.col("r.rcid"))
+        .select(
+            F.col("a.cid").alias("cid"), F.col("a.vec_id").alias("vec_id"),
+            F.col("r.rep_id").alias("rep_id"),
+            _idot(F.col("a.q"), F.col("r.rq")).alias("dotqr"),
+            _idot(F.col("a.q"), F.col("a.q")).alias("nq"),
+            _idot(F.col("r.rq"), F.col("r.rq")).alias("nr"),
+        )
+    )
+    is_dup = F.expr(
+        "vec_id <> rep_id AND dotqr > 0"
+        " AND CAST(dotqr AS DECIMAL(38,0)) * CAST(dotqr AS DECIMAL(38,0))"
+        f" >= {_SEM_T_SQ} *"
+        " (CAST(nq AS DECIMAL(38,0)) * CAST(nr AS DECIMAL(38,0)))"
+    )
+    return scored.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.min("rep_id").alias("rep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.when(is_dup, 1).otherwise(0)).cast("long").alias("n_dups"),
     )

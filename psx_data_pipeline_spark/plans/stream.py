@@ -488,3 +488,18 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.segment").alias("segment"),
         F.col("m.seq").cast("long").alias("applied_seq"),
     )
+
+
+# --- streaming PII census ----------------------------------------------------
+
+from psx_data_pipeline_spark.plans.pii import PII_SCAN_ORACLE  # noqa: E402
+from psx_data_pipeline_spark.streaming.jobs import streaming_pii_scan  # noqa: E402
+
+
+@query("stream_pii_scan", PII_SCAN_ORACLE)
+def q_stream_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII census at ingest: stateless regexp_counts per
+    micro-batch, then a native bounded-key per-source streaming
+    aggregation (state = one counter row per source). Must agree
+    value-for-value with the batch scan — same oracle."""
+    return streaming_pii_scan(spark, sf_dir)

@@ -283,12 +283,17 @@ def clear_session_memos() -> None:
     for df in _TOPK_CACHE.values():
         df.unpersist()
     _TOPK_CACHE.clear()
-    # kmeans' persisted quantized training input (plans/clustering)
-    from psx_data_pipeline_spark.plans.clustering import _QUANT_CACHE
+    # kmeans' persisted quantized training input + the fitted K-row
+    # centroid memo (plans/clustering)
+    from psx_data_pipeline_spark.plans.clustering import (
+        _CENTS_CACHE,
+        _QUANT_CACHE,
+    )
 
     for df in _QUANT_CACHE.values():
         df.unpersist()
     _QUANT_CACHE.clear()
+    _CENTS_CACHE.clear()
 
 
 # The materialized change table, one per (application, sf_dir). The

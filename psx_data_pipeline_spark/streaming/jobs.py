@@ -852,3 +852,50 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _pinned_state_shuffle(spark):
         table = run_to_memory(latest, "complete", "cdc_live")
     return spark.table(table)
+
+
+def streaming_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII pattern census (plans/pii.q_pii_scan is the batch
+    twin) as filter-on-ingest plus a NATIVE bounded-key streaming
+    aggregation: the three regexp_counts run as stateless per-row
+    expressions in each micro-batch (scan-side, no Python), and the
+    per-source rollup is an incremental groupBy over the bounded
+    |sources| key space — partial aggregation combines map-side, the
+    state store holds one counter row per source forever, and
+    'complete' mode re-emits the bounded table each trigger so a
+    replay's final table equals the batch census (the shared oracle
+    pins it)."""
+    from psx_data_pipeline_spark.plans.pii import (
+        _ENRICH_SQL,
+        _P_EMAIL,
+        _P_IPV4,
+        _P_PHONE,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    body = F.expr(_ENRICH_SQL)
+    counted = raw.select(
+        "source",
+        F.regexp_count(body, F.lit(_P_EMAIL)).alias("n_email"),
+        F.regexp_count(body, F.lit(_P_PHONE)).alias("n_phone"),
+        F.regexp_count(body, F.lit(_P_IPV4)).alias("n_ipv4"),
+    )
+    out = counted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") > 0, 1
+            ).otherwise(0)
+        ).cast("long").alias("docs_with_pii"),
+        F.sum("n_email").cast("long").alias("emails"),
+        F.sum("n_phone").cast("long").alias("phones"),
+        F.sum("n_ipv4").cast("long").alias("ipv4s"),
+    )
+    with _pinned_state_shuffle(spark):
+        table = run_to_memory(out, "complete", "pii_census")
+    return spark.table(table)

@@ -61,7 +61,8 @@ BOUNDED_BROADCAST_OK = {
     "mixing_schedule",
     # the K=8-row centroid table rides each assignment round as a
     # bounded broadcast; the corpus is never the build side
-    "kmeans_topics",
+    # (semdedup composes the same assignment + a K-row medoid join)
+    "kmeans_topics", "semdedup",
     # the percentile row and the signup-cohort count are both
     # single-row aggregates joined by a bounded broadcast cross join
     "conversion_lag",
@@ -72,6 +73,9 @@ BOUNDED_BROADCAST_OK = {
     # cosine_topk's bounded query-set broadcast with the extra
     # label-inequality predicate
     "hard_negatives",
+    # each edge's three single-row aggregates assemble via bounded
+    # broadcast cross joins (conversion_lag's shape, ×4 edges)
+    "fk_orphan_audit",
 }
 
 

@@ -62,6 +62,7 @@ FAMILIES = {
         "ann_recall", "neighbor_triangles", "pagerank_sim",
         "pq_adc_topk", "pq_recall", "minhash_calibration",
         "kmeans_topics", "hard_negatives", "embedding_outliers",
+        "semdedup",
     ],
     "events": [
         "sessionize_events", "detect_gaps", "asof_join_clicks",
@@ -97,6 +98,7 @@ FAMILIES = {
         "symbol_rollup", "calendar_range", "bucketed_join",
         "fuzzy_name_linkage", "bloom_semijoin", "ewma_prices",
         "tpch_q5_local_supply", "tpch_q18_large_orders",
+        "fk_orphan_audit",
     ],
     "ticker": [
         "stream_cdc_apply",
@@ -108,7 +110,7 @@ FAMILIES = {
     ],
     "streamjobs": [
         "stream_incremental_ingest", "stream_sync_change_log",
-        "stream_vocab_sketch", "stream_blocklist",
+        "stream_vocab_sketch", "stream_blocklist", "stream_pii_scan",
     ],
     "io": [
         "csv_sink_roundtrip", "json_snapshot_latest",
