@@ -93,8 +93,11 @@ def main() -> int:
     # the owning stage, which bench runs first in registration order.
     from psx_data_pipeline_spark.plans import clear_session_memos
 
+    # kmeans_topics owns the quantized-input persist + centroid-fit
+    # memos (plans/clustering); semdedup is its consumer view and
+    # deliberately measures warm, like ann_recall/change_log_format
     _MEMOIZED = {"ticker_sync_changes", "cosine_topk", "ivf_topk",
-                 "pq_adc_topk"}
+                 "pq_adc_topk", "kmeans_topics"}
     # >1.0 s (not 2.0): the committed-floor regression guard
     # (tests/test_bench_regression.py) holds every >1 s query to
     # 1.5x, so every number it judges must be min-of-two — single
