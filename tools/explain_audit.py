@@ -114,6 +114,8 @@ HEADLINERS = [
     ("tpch_q18_large_orders", "heavy rollup -> broadcast survivors join-back"),
     ("pii_scan", "3 regexp_counts scan-side; one per-source agg"),
     ("boilerplate_prefix", "(source,prefix) collapse; source-partitioned windows"),
+    ("fk_orphan_audit", "per-edge anti-joins on the FK key; single-row assembly"),
+    ("semdedup", "shared k-means fit; medoid struct-MIN; K-row broadcast score"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)
