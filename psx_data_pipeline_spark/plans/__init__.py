@@ -51,6 +51,7 @@ from psx_data_pipeline_spark.plans import seasonal  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import supply  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import pii  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import integrity  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import temporal  # noqa: F401,E402
 
 # Benchmark hook: drops plan-layer memos (and their Spark cache
 # entries) so a memoized query's re-run measures the plan, not the

@@ -90,7 +90,7 @@ FAMILIES = {
     "relational": [
         "constraint_audit", "compaction_plan", "cdc_apply", "zone_map_prune",
         "vacuum_plan", "min_cost_supplier", "join_skew_audit",
-        "small_order_revenue", "late_order_priority", "stream_zone_maps",
+        "small_order_revenue", "late_order_priority", "stream_zone_maps", "run_compress", "pit_enrich",
         "pricing_summary", "above_segment_avg", "top_building_orders",
         "regional_revenue", "ohlc_daily", "daily_returns", "moving_avg",
         "rolling_range_7d", "topk_by_volume", "price_percentiles",
