@@ -255,7 +255,10 @@ def test_event_queries_match_oracle_on_arbitrary_events(
                  # co-occurrence on tiny baskets
                  "event_transitions", "label_vote", "l_diversity_audit",
                  "seasonal_baseline", "conversion_lag",
-                 "item_cooccurrence"):
+                 "item_cooccurrence",
+                 # round-7: per-user run chains under NULL types,
+                 # NULL ts and microsecond ties
+                 "run_compress"):
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged on {evs!r}: {msg}"
 
@@ -325,7 +328,12 @@ def test_ohlc_queries_match_oracle_on_arbitrary_orders(
                  "ewma_prices",
                  # round-6 session 6: manifest bin packing and the
                  # retention ledger on arbitrary (date, key) shapes
-                 "compaction_plan", "vacuum_plan"):
+                 "compaction_plan", "vacuum_plan",
+                 # round-7: dangling/NULL custkeys through the FK
+                 # census, validity-range joins on NULL/extreme
+                 # dates, heavy-survivor join-back vs orphan keys
+                 "fk_orphan_audit", "pit_enrich",
+                 "tpch_q18_large_orders", "tpch_q5_local_supply"):
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged on {ords!r}: {msg}"
 
