@@ -260,10 +260,17 @@ def q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SemDeDup: cluster-scoped semantic dedup ---------------------------------
 
-# cosine threshold in milli units: a member is a semantic duplicate
-# of its cluster medoid when cos(q, rq) >= 0.95
-_SEM_T_MILLI = 950
-_SEM_T_SQ = _SEM_T_MILLI * _SEM_T_MILLI  # 902500; test works on cos²·10⁶
+# cosine threshold in milli units: a member counts as a semantic
+# duplicate of its cluster medoid when cos(q, rq) >= T/1000.
+# Production SemDeDup runs T ≈ 950; the fixture's embeddings are
+# near-random (measured max member→medoid cosine 0.493 at sf0.01),
+# so the committed audit runs T = 300 — low enough that BOTH branches
+# of the flag execute under the oracle hash-compare (a threshold no
+# row can reach makes the dedup leg untestable — round-7 review
+# found exactly that: a missing 10⁶ scale factor survived because
+# n_dups was identically zero either way).
+_SEM_T_MILLI = 300
+_SEM_T_SQ = _SEM_T_MILLI * _SEM_T_MILLI  # 90000; test works on cos²·10⁶
 
 _IDOT = (
     "list_sum(list_transform(generate_series(1, " + str(_DIM) + "),"
@@ -297,7 +304,7 @@ asg AS (
 rep AS (
   SELECT cid, vec_id AS rep_id, q AS rq FROM (
     SELECT *, row_number() OVER (
-      PARTITION BY cid ORDER BY dist, vec_id) AS rn
+      PARTITION BY cid ORDER BY dist, vec_id, q) AS rn
     FROM asg
   ) WHERE rn = 1
 ),
@@ -311,7 +318,7 @@ scored AS (
 SELECT cid AS cluster_id, min(rep_id) AS rep_id,
        CAST(count(*) AS BIGINT) AS n_members,
        CAST(sum(CASE WHEN vec_id <> rep_id AND dotqr > 0
-                  AND CAST(dotqr AS HUGEINT) * dotqr
+                  AND 1000000 * (CAST(dotqr AS HUGEINT) * dotqr)
                       >= {_SEM_T_SQ} * (CAST(nq AS HUGEINT) * nr)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
 FROM scored GROUP BY cid
@@ -356,22 +363,17 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"pk div {_K}").alias("dist"),
         )
     )
-    rep_ids = asg.groupBy("cid").agg(
-        F.min(F.struct("dist", "vec_id")).alias("mr")
+    # single-stage total pick: the struct-MIN carries q itself, so a
+    # duplicated vec_id (at-least-once replay) cannot fan the rep out
+    # to two rows through a join-back — the tie falls through to the
+    # lexicographic array compare, matching the oracle's ORDER BY
+    # dist, vec_id, q exactly
+    rep = asg.groupBy("cid").agg(
+        F.min(F.struct("dist", "vec_id", "q")).alias("mr")
     ).select(
-        F.col("cid").alias("icid"), F.col("mr.vec_id").alias("rep_id")
-    )
-    rep = (
-        asg.alias("m")
-        .join(
-            F.broadcast(rep_ids).alias("i"),
-            (F.col("m.cid") == F.col("i.icid"))
-            & (F.col("m.vec_id") == F.col("i.rep_id")),
-        )
-        .select(
-            F.col("m.cid").alias("rcid"), F.col("i.rep_id").alias("rep_id"),
-            F.col("m.q").alias("rq"),
-        )
+        F.col("cid").alias("rcid"),
+        F.col("mr.vec_id").alias("rep_id"),
+        F.col("mr.q").alias("rq"),
     )
     scored = (
         asg.alias("a")
@@ -384,9 +386,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _idot(F.col("r.rq"), F.col("r.rq")).alias("nr"),
         )
     )
+    # cos ≥ T/1000  ⟺  dot > 0 ∧ 10⁶·dot² ≥ T²·nq·nr  (the 10⁶ is
+    # the milli-scale square — dropping it makes the test
+    # unsatisfiable by Cauchy-Schwarz, caught in round-7 review)
     is_dup = F.expr(
         "vec_id <> rep_id AND dotqr > 0"
-        " AND CAST(dotqr AS DECIMAL(38,0)) * CAST(dotqr AS DECIMAL(38,0))"
+        " AND 1000000 * (CAST(dotqr AS DECIMAL(38,0))"
+        " * CAST(dotqr AS DECIMAL(38,0)))"
         f" >= {_SEM_T_SQ} *"
         " (CAST(nq AS DECIMAL(38,0)) * CAST(nr AS DECIMAL(38,0)))"
     )

@@ -79,21 +79,23 @@ FROM counted GROUP BY source
 """
 
 
-@query("pii_scan", PII_SCAN_ORACLE)
-def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source PII census over the deterministically enriched
-    corpus: document count, documents with any hit, and per-pattern
-    totals (module docstring). concat() is NULL-total via the
-    COALESCE, so NULL-text docs still count in n_docs with zero
-    natural hits."""
-    docs = load_table(spark, "documents", sf_dir)
+def pii_counts(docs: DataFrame) -> DataFrame:
+    """(source, n_email, n_phone, n_ipv4) per document — the shared
+    scan-side projection. Batch and streaming MUST build on this one
+    helper (and pii_census below): they share one oracle, so a
+    drifted copy would silently break batch/stream agreement."""
     body = F.expr(_ENRICH_SQL)
-    counted = docs.select(
+    return docs.select(
         "source",
         F.regexp_count(body, F.lit(_P_EMAIL)).alias("n_email"),
         F.regexp_count(body, F.lit(_P_PHONE)).alias("n_phone"),
         F.regexp_count(body, F.lit(_P_IPV4)).alias("n_ipv4"),
     )
+
+
+def pii_census(counted: DataFrame) -> DataFrame:
+    """The per-source rollup over pii_counts() rows (bounded by
+    |sources|; map-side combinable, batch and streaming alike)."""
     return counted.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(
@@ -105,3 +107,13 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phone").cast("long").alias("phones"),
         F.sum("n_ipv4").cast("long").alias("ipv4s"),
     )
+
+
+@query("pii_scan", PII_SCAN_ORACLE)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII census over the deterministically enriched
+    corpus: document count, documents with any hit, and per-pattern
+    totals (module docstring). concat() is NULL-total via the
+    COALESCE, so NULL-text docs still count in n_docs with zero
+    natural hits."""
+    return pii_census(pii_counts(load_table(spark, "documents", sf_dir)))

@@ -108,7 +108,11 @@ _SCD2_SQL = f"""
          DATE '1992-01-01' AS valid_from, DATE '{_PIT_SPLIT}' AS valid_to
   FROM customer WHERE c_custkey IS NOT NULL
   UNION ALL
-  SELECT c_custkey, concat(c_mktsegment, '/v2'),
+  -- || not concat(): DuckDB's concat SKIPS NULLs (NULL segment would
+  -- become '/v2') while Spark's F.concat propagates them — the
+  -- NULL-propagating || matches Spark exactly (the _CDC_SQL
+  -- precedent in plans/lakehouse.py)
+  SELECT c_custkey, c_mktsegment || '/v2',
          DATE '{_PIT_SPLIT}', DATE '9999-01-01'
   FROM customer WHERE c_custkey IS NOT NULL
 """

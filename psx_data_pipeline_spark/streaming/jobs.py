@@ -865,12 +865,7 @@ def streaming_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     'complete' mode re-emits the bounded table each trigger so a
     replay's final table equals the batch census (the shared oracle
     pins it)."""
-    from psx_data_pipeline_spark.plans.pii import (
-        _ENRICH_SQL,
-        _P_EMAIL,
-        _P_IPV4,
-        _P_PHONE,
-    )
+    from psx_data_pipeline_spark.plans.pii import pii_census, pii_counts
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     raw = (
@@ -878,24 +873,7 @@ def streaming_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    body = F.expr(_ENRICH_SQL)
-    counted = raw.select(
-        "source",
-        F.regexp_count(body, F.lit(_P_EMAIL)).alias("n_email"),
-        F.regexp_count(body, F.lit(_P_PHONE)).alias("n_phone"),
-        F.regexp_count(body, F.lit(_P_IPV4)).alias("n_ipv4"),
-    )
-    out = counted.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(
-            F.when(
-                F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") > 0, 1
-            ).otherwise(0)
-        ).cast("long").alias("docs_with_pii"),
-        F.sum("n_email").cast("long").alias("emails"),
-        F.sum("n_phone").cast("long").alias("phones"),
-        F.sum("n_ipv4").cast("long").alias("ipv4s"),
-    )
+    out = pii_census(pii_counts(raw))
     with _pinned_state_shuffle(spark):
         table = run_to_memory(out, "complete", "pii_census")
     return spark.table(table)

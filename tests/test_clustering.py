@@ -72,3 +72,53 @@ def test_tiny_corpus_one_seed_per_point(spark, tmp_path):
         QUERIES["kmeans_topics"](spark, sf), ORACLE_SQL["kmeans_topics"], sf
     )
     assert ok, msg
+
+
+def test_semdedup_flags_medoid_duplicates(spark, tmp_path):
+    """Round-7 review find, pinned: the cosine threshold test must be
+    SATISFIABLE — a dropped 10⁶ milli-scale factor made it
+    unsatisfiable by Cauchy-Schwarz and n_dups identically zero, and
+    the shared-oracle hash compare was structurally blind to it.
+    Pins: an exact copy of a cluster's medoid is flagged, a
+    duplicated vec_id cannot fan the medoid into two rep rows, and
+    the fixture corpus itself produces nonzero flags (non-vacuous
+    threshold)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    sf = str(tmp_path)
+    dim = 64
+
+    def vec(block, mag=10.0):
+        v = [0.0] * dim
+        for d in range(8 * block, 8 * block + 8):
+            v[d] = mag
+        return v
+
+    rows = (
+        # ids 1..8 seed the 8 clusters with well-separated vectors
+        [(i + 1, vec(i), 0) for i in range(8)]
+        # 9: exact copy of id 1's vector -> same cluster, cos = 1.0
+        + [(9, vec(0), 0)]
+        # 10: duplicated vec_id with a DIFFERENT vector (replay
+        # corruption) — must not fan the rep row out
+        + [(10, vec(1), 0), (10, vec(1, 9.0), 0)]
+    )
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    from psx_data_pipeline_spark.plans import QUERIES, clear_session_memos
+
+    clear_session_memos()
+    out = {r.cluster_id: r for r in QUERIES["semdedup"](spark, sf).collect()}
+    clear_session_memos()
+    # exactly one row per populated cluster even with the dup vec_id
+    assert all(
+        sum(1 for c in out if c == cid) == 1 for cid in out
+    )
+    # id 9 is an exact duplicate of its cluster's medoid
+    dup_cluster = [r for r in out.values() if r.n_members == 2 and r.n_dups]
+    assert any(r.n_dups == 1 for r in dup_cluster), out
+    # the fixture corpus flags a nonzero number of members, so the
+    # oracle hash-compare exercises BOTH branches of the flag
+    fixture = QUERIES["semdedup"](spark, "/root/testdata/sf0.01").collect()
+    assert sum(r.n_dups for r in fixture) > 0, fixture
