@@ -63,8 +63,9 @@ blocks AS (
 )
 SELECT term, CAST(block_idx AS BIGINT) AS block_idx, n_docs,
        docs[1] AS first_doc_id, docs[n_docs] AS last_doc_id, max_tf,
-       list_transform(generate_series(1, CAST(n_docs AS INT)),
-         i -> docs[i] - coalesce(docs[i - 1], 0)) AS gaps
+       coalesce(array_to_string(
+         list_transform(generate_series(1, CAST(n_docs AS INT)),
+           i -> docs[i] - coalesce(docs[i - 1], 0)), ','), '') AS gaps
 FROM blocks
 """
 
@@ -114,5 +115,17 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("docs", 1).alias("first_doc_id"),
         F.element_at("docs", -1).alias("last_doc_id"),
         "max_tf",
-        F.zip_with(F.col("docs"), shifted, lambda a, b: a - b).alias("gaps"),
+        # serialized gap list, not ArrayType: the driver's pandas
+        # canonicalizer cannot hash list cells, so the posting-list
+        # payload ships as the comma-joined string a skip-block codec
+        # would parse back (empty-array NULL-vs-'' divergence is moot
+        # here — every block holds >= 1 doc — but concat_ws's '' is
+        # the Spark side of the coalesced DuckDB array_to_string)
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.zip_with(F.col("docs"), shifted, lambda a, b: a - b),
+                lambda g: g.cast("string"),
+            ),
+        ).alias("gaps"),
     )

@@ -51,7 +51,7 @@ winnowed AS (
 )
 SELECT doc_id, n_grams,
        CAST(len(fingerprints) AS BIGINT) AS n_fingerprints,
-       fingerprints
+       coalesce(array_to_string(fingerprints, ','), '') AS fingerprints
 FROM winnowed
 """
 
@@ -107,5 +107,12 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowed.select(
         "doc_id", "n_grams",
         F.size("fingerprints").cast("long").alias("n_fingerprints"),
-        "fingerprints",
+        # serialized, not ArrayType: the driver's pandas canonicalizer
+        # cannot hash list cells; >= 1 fingerprint always exists (the
+        # size >= k filter guarantees >= 1 gram) so the coalesced
+        # DuckDB empty-array NULL never fires, but both sides agree
+        F.concat_ws(
+            ",",
+            F.transform("fingerprints", lambda x: x.cast("string")),
+        ).alias("fingerprints"),
     )

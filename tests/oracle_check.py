@@ -51,8 +51,19 @@ def _canon(v):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, dt.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict, set)):
+        # The DRIVER's pandas canonicalizer crashes on list cells
+        # ("unhashable type: 'list'"), so the local gate must reject
+        # them too — round 7 shipped two driver-red queries because
+        # this branch used to stringify lists and pass. Serialize
+        # arrays in the final projection on BOTH sides instead
+        # (concat_ws vs array_to_string; coalesce the empty-array
+        # NULL-vs-'' divergence).
+        raise TypeError(
+            f"driver-unhashable container cell {type(v).__name__}: "
+            "registered queries must serialize array/map/struct "
+            "outputs to strings in the final projection"
+        )
     return str(v)
 
 

@@ -24,11 +24,13 @@ def test_posting_blocks_reconstruct_exactly(spark):
     per_term = defaultdict(list)
     for r in rows:
         assert 1 <= r.n_docs <= _BLOCK
-        assert len(r.gaps) == r.n_docs
+        # gaps ship serialized (driver-hashable string, not ArrayType)
+        gaps = [int(g) for g in r.gaps.split(",")]
+        assert len(gaps) == r.n_docs
         # gaps decode to a strictly increasing doc list matching the
         # skip metadata
         docs, acc = [], 0
-        for g in r.gaps:
+        for g in gaps:
             assert g > 0 or (not docs and g >= 0)
             acc += g
             docs.append(acc)

@@ -166,6 +166,55 @@ def test_no_unpartitioned_corpus_window(spark, name):
     )
 
 
+# --- driver-hashable output-schema guard --------------------------------------
+#
+# The driver's oracle compare canonicalizes results through
+# pandas.sort_values, which raises "unhashable type: 'list'" on any
+# ArrayType cell (round 7: inverted_index / winnowing_fingerprints
+# went driver-RED while the local gate passed). No registered query
+# may emit a top-level Array/Map/Struct column — serialize to a
+# string in the final projection on both sides (concat_ws vs
+# array_to_string, coalescing DuckDB's empty-array NULL).
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_output_schema_is_driver_hashable(spark, name):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = _plan_df(spark, name)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: top-level container column(s) {bad} — the driver's "
+        "pandas canonicalizer cannot hash list cells; serialize to a "
+        "string in the final projection on BOTH engine sides"
+    )
+
+
+def test_container_guards_catch_a_deliberate_array(spark):
+    """Negative control: the schema predicate flags an ArrayType
+    column, and the local canonicalizer refuses list cells (it used
+    to stringify them, letting the local gate pass what the driver
+    rejects)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from tests.oracle_check import _canon
+
+    df = spark.range(1).select(F.array(F.lit(1), F.lit(2)).alias("a"))
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert bad == ["a"]
+    with pytest.raises(TypeError, match="driver-unhashable"):
+        _canon([1, 2])
+
+
 # --- stray-collect guard -----------------------------------------------------
 #
 # `.collect()` / `.toPandas()` pulls data onto the driver: at 100 TB

@@ -35,7 +35,7 @@ def test_shared_run_guarantees_shared_fingerprint(spark, tmp_path):
         f"seven eight nine ten {shared} eleven twelve",
         "totally unrelated words with no common run at all here",
     ])
-    rows = {r.doc_id: set(r.fingerprints)
+    rows = {r.doc_id: set(r.fingerprints.split(","))
             for r in QUERIES["winnowing_fingerprints"](
                 spark, str(tmp_path)).collect()}
     assert rows[1] & rows[2], "guaranteed shared fingerprint missing"
@@ -64,7 +64,7 @@ def test_position_shift_preserves_fingerprints(spark, tmp_path):
     content-anchored property positional rolling hashes lack."""
     body = " ".join(f"tok{i}" for i in range(40))
     _write_docs(tmp_path, [body, "prefix words here " + body])
-    rows = {r.doc_id: set(r.fingerprints)
+    rows = {r.doc_id: set(r.fingerprints.split(","))
             for r in QUERIES["winnowing_fingerprints"](
                 spark, str(tmp_path)).collect()}
     # every fingerprint of the original body except possibly those
