@@ -75,8 +75,14 @@ def qdot_unrolled(a: Column, b: Column, dim: int) -> Column:
     (x·y)·scale association, same per-element floor→BIGINT, integer
     addition (associative, exact), and a NULL element poisons the
     sum to NULL exactly as the fold does. Callers must guarantee
-    dim — a shorter array yields NULL (out-of-range getItem), where
-    qdot() would silently sum the zip_with-padded NULLs to NULL too."""
+    size(a) = size(b) = dim exactly: a SHORTER array yields NULL
+    (out-of-range getItem; qdot() sums the zip_with-padded NULLs to
+    NULL too, so the forms agree), but a LONGER array silently
+    DIVERGES — this chain sums only the first dim elements while
+    qdot()'s fold sums them all and returns a different non-NULL
+    value. Every call site gates its input on the exact-dim
+    predicate (indexable_embedding / the PQ subspace slicer), which
+    is why no runtime size() guard is paid per row here."""
     terms = [
         F.floor(a[i] * b[i] * F.lit(_SCALE)) for i in range(dim)
     ]

@@ -267,7 +267,10 @@ def q_top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # no broadcast hint: customer scales with SF (SF·150k rows),
+        # so the strategy is AQE's call — broadcast at small SF,
+        # shuffle hash at 100 TB instead of a forced-broadcast OOM
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("order_date"),

