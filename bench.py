@@ -91,13 +91,10 @@ def main() -> int:
     # measuring the memo. Consumer views of a memo (change_log_format,
     # ann_recall) deliberately measure WARM: the plan cost belongs to
     # the owning stage, which bench runs first in registration order.
-    from psx_data_pipeline_spark.plans import clear_session_memos
-
-    # kmeans_topics owns the quantized-input persist + centroid-fit
-    # memos (plans/clustering); semdedup is its consumer view and
-    # deliberately measures warm, like ann_recall/change_log_format
-    _MEMOIZED = {"ticker_sync_changes", "cosine_topk", "ivf_topk",
-                 "pq_adc_topk", "kmeans_topics"}
+    from psx_data_pipeline_spark.plans import (
+        MEMO_OWNERS as _MEMOIZED,
+        clear_session_memos,
+    )
     # >1.0 s (not 2.0): the committed-floor regression guard
     # (tests/test_bench_regression.py) holds every >1 s query to
     # 1.5x, so every number it judges must be min-of-two — single

@@ -52,8 +52,26 @@ from psx_data_pipeline_spark.plans import supply  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import pii  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import integrity  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import temporal  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import tpch_more  # noqa: F401,E402
 
 # Benchmark hook: drops plan-layer memos (and their Spark cache
 # entries) so a memoized query's re-run measures the plan, not the
 # memo. Extend here if another plan module grows a session memo.
 from psx_data_pipeline_spark.plans.ticker import clear_session_memos  # noqa: F401,E402
+
+# Memo ownership — the single declaration bench.py and
+# tools/scale_summary.py read. OWNERS build a session memo as part of
+# their plan (bench clears memos before their min-of-two re-run, so
+# their recorded wall is COLD); CONSUMERS read a memo an upstream
+# owner built (bench runs registration order, so their recorded wall
+# is deliberately WARM — the build cost belongs to the owner). Any
+# cross-run wall-time comparison (the SCALE_SUMMARY growth column)
+# must mark these: a warm 1× against a cold 10× reads as a
+# scale-killer that is not there (round-7 verdict: semdedup "19.2×").
+MEMO_OWNERS = frozenset({
+    "ticker_sync_changes", "cosine_topk", "ivf_topk", "pq_adc_topk",
+    "kmeans_topics",
+})
+MEMO_CONSUMERS = frozenset({
+    "change_log_format", "ann_recall", "pq_recall", "semdedup",
+})

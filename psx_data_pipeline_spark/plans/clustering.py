@@ -149,8 +149,10 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             _QUANT_CACHE.pop(oldest).unpersist()
         _QUANT_CACHE[key] = hit
     else:
-        # refresh LRU recency (dict preserves insertion order)
-        _QUANT_CACHE.pop(key)
+        # refresh LRU recency (dict preserves insertion order);
+        # pop-with-default so a concurrent refresh of the same key
+        # (the parallel oracle sweep) cannot KeyError
+        _QUANT_CACHE.pop(key, None)
         _QUANT_CACHE[key] = hit
     return hit
 

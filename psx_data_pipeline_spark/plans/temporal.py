@@ -19,8 +19,14 @@ registry did not yet carry.
   fixture (the cdc_log precedent).
 
 NULL-ts events are out of scope for run ordering (the governance
-convention); ties at the same microsecond break by event_id so the
-run structure is total and engine-identical.
+convention); ties at the same microsecond break by event_id, and a
+duplicated (ts, event_id) pair — at-least-once replay landing the
+same event twice, possibly with a corrupted payload — breaks by
+event_type (NULLS FIRST on both engines: Spark's ASC default,
+explicit in the DuckDB window). The order is TOTAL over every column
+the lag chain reads, so the run census cannot depend on either
+engine's sort-internal tie order (the round-7 stream_cdc_apply
+lesson; pinned in tests/test_hostile_temporal.py).
 """
 
 from __future__ import annotations
@@ -42,12 +48,15 @@ flagged AS (
          CASE WHEN event_type IS DISTINCT FROM
                    lag(event_type) OVER w
               THEN 1 ELSE 0 END AS changed
-  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+  FROM ev WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts_us, event_id,
+                                event_type NULLS FIRST)
 ),
 runs AS (
   SELECT user_id,
          sum(changed) OVER (
-           PARTITION BY user_id ORDER BY ts_us, event_id
+           PARTITION BY user_id
+           ORDER BY ts_us, event_id, event_type NULLS FIRST
            ROWS UNBOUNDED PRECEDING) AS run_id
   FROM flagged
 ),
@@ -73,7 +82,11 @@ def q_run_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.withColumn("ts_us", ts_us_expr(ev)).where(
         F.col("ts_us").isNotNull()
     ).select("user_id", "event_id", "event_type", "ts_us")
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # event_type closes the total order for duplicated (ts, id) pairs
+    # (asc = NULLS FIRST, matching the oracle's explicit NULLS FIRST)
+    w = Window.partitionBy("user_id").orderBy(
+        "ts_us", "event_id", F.col("event_type").asc_nulls_first()
+    )
     flagged = ev.withColumn(
         "changed",
         F.when(

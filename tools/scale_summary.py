@@ -79,7 +79,12 @@ def main() -> int:
         "SCALE_SUMMARY.md"))
     args = ap.parse_args()
 
-    from psx_data_pipeline_spark.plans import QUERIES, clear_session_memos
+    from psx_data_pipeline_spark.plans import (
+        MEMO_CONSUMERS,
+        MEMO_OWNERS,
+        QUERIES,
+        clear_session_memos,
+    )
     from psx_data_pipeline_spark.session import get_spark
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -116,13 +121,27 @@ def main() -> int:
             except Exception as exc:  # noqa: BLE001 — audit keeps going
                 shuffles, bcasts, py = "?", "?", "?"
                 note = f"plan build failed: {type(exc).__name__}"
+        memo = (
+            "owner" if name in MEMO_OWNERS
+            else "warm" if name in MEMO_CONSUMERS
+            else ""
+        )
         growth = (
             f"{t10 / t1:.1f}×" if t1 and t10 else ""
         )
+        if memo == "warm" and growth:
+            # a warm 1× (memo-hit) against a possibly-cold 10× is not
+            # a scale ratio — round 7's semdedup printed "19.2×" while
+            # the like-for-like cold/cold growth (SCALE.md) was 1.4×
+            growth = f"({growth})"
+            note = (note + "; " if note else "") + (
+                "1× is a memo-hit wall — growth not like-for-like, "
+                "see SCALE.md for the cold/cold ratio"
+            )
         rows.append((name, fam, shuffles, bcasts, py,
                      f"{t1:.2f}" if t1 is not None else "",
                      f"{t10:.1f}" if t10 is not None else "",
-                     growth, note))
+                     growth, memo, note))
 
     lines = [
         "# SCALE_SUMMARY — the one-page 100 TB posture",
@@ -143,10 +162,16 @@ def main() -> int:
         "1× baselines where scheduling noise dominates the ratio —",
         "the per-round rehearsals in SCALE.md track these",
         "case-by-case. Per-family state-bound arguments follow the",
-        "table; long-form evidence lives in SCALE.md.",
+        "table; long-form evidence lives in SCALE.md. The `memo`",
+        "column marks session-memo participants (plans.MEMO_OWNERS /",
+        "MEMO_CONSUMERS): `owner` walls are measured COLD (bench",
+        "clears memos before the re-run), `warm` walls are consumer",
+        "views measured against the owner's memo — their growth",
+        "ratio is parenthesized because the 1×/10× memo states can",
+        "differ and the number is NOT a like-for-like scale ratio.",
         "",
-        "| query | family | shuffles | broadcasts | py | 1× s | 10× s | growth | note |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | family | shuffles | broadcasts | py | 1× s | 10× s | growth | memo | note |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append("| " + " | ".join(str(x) for x in r) + " |")
@@ -157,7 +182,7 @@ def main() -> int:
 
     with open(args.out, "w") as fh:
         fh.write("\n".join(lines))
-    n_miss = sum(1 for r in rows if r[8])
+    n_miss = sum(1 for r in rows if r[9])
     print(f"wrote {args.out}: {len(rows)} queries, {n_miss} notes")
     return 0
 
