@@ -116,6 +116,9 @@ HEADLINERS = [
     ("boilerplate_prefix", "(source,prefix) collapse; source-partitioned windows"),
     ("fk_orphan_audit", "per-edge anti-joins on the FK key; single-row assembly"),
     ("semdedup", "shared k-means fit; medoid struct-MIN; K-row broadcast score"),
+    ("tpch_q7_volume_shipping", "two-arm nation pair; cross-arm inequality; AQE dims"),
+    ("tpch_q21_waiting_supplier", "EXISTS/NOT-EXISTS as order-key-local semi+anti self-joins"),
+    ("brand_supplier_diversity", "NULL-safe exclusion anti-join; (brand,supp) distinct"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)

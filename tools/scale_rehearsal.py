@@ -98,6 +98,8 @@ FAMILIES = {
         "symbol_rollup", "calendar_range", "bucketed_join",
         "fuzzy_name_linkage", "bloom_semijoin", "ewma_prices",
         "tpch_q5_local_supply", "tpch_q18_large_orders",
+        "tpch_q7_volume_shipping", "tpch_q10_returned_items",
+        "tpch_q21_waiting_supplier", "brand_supplier_diversity",
         "fk_orphan_audit",
     ],
     "ticker": [
