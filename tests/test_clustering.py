@@ -60,10 +60,7 @@ def test_tiny_corpus_one_seed_per_point(spark, tmp_path):
     for t in TABLES:  # oracle views for the untouched tables
         dst = f"{sf}/{t}.parquet"
         if not os.path.exists(dst):
-            try:
-                os.link(f"{_BASE}/{t}.parquet", dst)
-            except OSError:
-                shutil.copy(f"{_BASE}/{t}.parquet", dst)
+            shutil.copy(f"{_BASE}/{t}.parquet", dst)
     out = QUERIES["kmeans_topics"](spark, sf).collect()
     assert len(out) == 3
     assert sum(r.n_members for r in out) == 3

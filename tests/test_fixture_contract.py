@@ -124,3 +124,32 @@ def test_ts_us_seam_exact_rows(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_testdata_checksums_unchanged():
+    """The driver-generated fixtures are READ-ONLY inputs; every
+    registered hash and floor derives from them. Round 8 proved they
+    are corruptible from tests anyway: a test overwrote a HARD-LINKED
+    base-table path, truncating the shared inode under the read-only
+    sf0.01 part.parquet (restored from the hostile-probe corpus
+    copies, byte-verified against two independent snapshots). The
+    committed manifest pins every fixture file's md5 so any future
+    mutation fails the suite immediately instead of silently skewing
+    every oracle comparison after it."""
+    import hashlib
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    manifest = json.load(open(os.path.join(here, "testdata_manifest.json")))
+    bad = []
+    for rel, want in manifest.items():
+        path = f"/root/testdata/{rel}"
+        got = hashlib.md5(open(path, "rb").read()).hexdigest()
+        if got != want:
+            bad.append((rel, want, got))
+    assert not bad, (
+        f"fixture files changed on disk: {bad} — /root/testdata is "
+        "read-only input; find and fix the writer (a test writing "
+        "over a linked/copied base path?), then restore the bytes"
+    )

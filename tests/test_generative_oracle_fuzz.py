@@ -87,10 +87,7 @@ def test_text_queries_match_oracle_on_arbitrary_unicode(
     for t in TABLES:  # hardlinks: per-example dir for pennies
         dst = f"{sf}/{t}.parquet"
         if not os.path.exists(dst):
-            try:
-                os.link(f"{BASE}/{t}.parquet", dst)
-            except OSError:
-                shutil.copy(f"{BASE}/{t}.parquet", dst)
+            shutil.copy(f"{BASE}/{t}.parquet", dst)
     pq.write_table(
         pa.table({
             "doc_id": list(range(len(texts))),
@@ -137,10 +134,7 @@ def test_embedding_queries_match_oracle_on_arbitrary_vectors(
             continue
         dst = f"{sf}/{t}.parquet"
         if not os.path.exists(dst):
-            try:
-                os.link(f"{BASE}/{t}.parquet", dst)
-            except OSError:
-                shutil.copy(f"{BASE}/{t}.parquet", dst)
+            shutil.copy(f"{BASE}/{t}.parquet", dst)
     pq.write_table(
         pa.table({
             "vec_id": list(range(len(vecs))),
@@ -226,10 +220,7 @@ def test_event_queries_match_oracle_on_arbitrary_events(
             continue
         dst = f"{sf}/{t}.parquet"
         if not os.path.exists(dst):
-            try:
-                os.link(f"{BASE}/{t}.parquet", dst)
-            except OSError:
-                shutil.copy(f"{BASE}/{t}.parquet", dst)
+            shutil.copy(f"{BASE}/{t}.parquet", dst)
     pq.write_table(
         pa.table({
             "event_id": pa.array(range(len(evs)), type=pa.int64()),
@@ -302,10 +293,7 @@ def test_ohlc_queries_match_oracle_on_arbitrary_orders(
             continue
         dst = f"{sf}/{t}.parquet"
         if not os.path.exists(dst):
-            try:
-                os.link(f"{BASE}/{t}.parquet", dst)
-            except OSError:
-                shutil.copy(f"{BASE}/{t}.parquet", dst)
+            shutil.copy(f"{BASE}/{t}.parquet", dst)
     pq.write_table(
         pa.table({
             "o_orderkey": pa.array(range(len(ords)), type=pa.int64()),
@@ -369,10 +357,7 @@ def test_ticker_sync_matches_oracle_on_arbitrary_names(
             continue
         dst = f"{sf}/{t}.parquet"
         if not os.path.exists(dst):
-            try:
-                os.link(f"{BASE}/{t}.parquet", dst)
-            except OSError:
-                shutil.copy(f"{BASE}/{t}.parquet", dst)
+            shutil.copy(f"{BASE}/{t}.parquet", dst)
     n = len(names)
     pq.write_table(
         pa.table({
@@ -437,10 +422,7 @@ def test_pricing_summary_matches_oracle_on_arbitrary_lineitems(
             continue
         dst = f"{sf}/{t}.parquet"
         if not os.path.exists(dst):
-            try:
-                os.link(f"{BASE}/{t}.parquet", dst)
-            except OSError:
-                shutil.copy(f"{BASE}/{t}.parquet", dst)
+            shutil.copy(f"{BASE}/{t}.parquet", dst)
     n = len(lis)
     pq.write_table(
         pa.table({
@@ -504,10 +486,7 @@ def test_distrib_queries_match_oracle_on_arbitrary_doc_meta(
     for t in TABLES:
         dst = f"{sf}/{t}.parquet"
         if not os.path.exists(dst):
-            try:
-                os.link(f"{BASE}/{t}.parquet", dst)
-            except OSError:
-                shutil.copy(f"{BASE}/{t}.parquet", dst)
+            shutil.copy(f"{BASE}/{t}.parquet", dst)
     pq.write_table(
         pa.table({
             "doc_id": pa.array([m[0] for m in metas], type=pa.int64()),

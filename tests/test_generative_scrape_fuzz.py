@@ -76,10 +76,7 @@ def test_scrape_queries_match_oracle_on_arbitrary_cells(
     for t in TABLES:
         dst = f"{sf}/{t}.parquet"
         if not os.path.exists(dst):
-            try:
-                os.link(f"{BASE}/{t}.parquet", dst)
-            except OSError:
-                shutil.copy(f"{BASE}/{t}.parquet", dst)
+            shutil.copy(f"{BASE}/{t}.parquet", dst)
     pq.write_table(
         pa.table({
             "c_custkey": pa.array(range(len(rows)), type=pa.int64()),

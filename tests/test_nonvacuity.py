@@ -41,6 +41,9 @@ FIXTURE_BOTH: dict[str, list[tuple[str, str]]] = {
     "doc_repetition": [("dup_token_frac", "posneg"), ("keep", "bool")],
     "dup_span_fraction": [("dup_toks", "posneg"), ("dup_frac", "posneg")],
     "embedding_dedup": [("is_survivor", "bool")],
+    # threshold calibrated to the fixture's measured cosine range
+    # (plans/drift.py module docstring) so both branches execute
+    "embedding_centroid_drift": [("drifted", "bool")],
     "event_funnel": [("clicked_after", "bool"), ("purchased_after", "bool")],
     "scd1_merge": [("name_updated", "bool"), ("sector_updated", "bool")],
     "scd1_sentinel_merge": [
@@ -229,9 +232,12 @@ def test_embedding_stats_invalid_branch(spark, tmp_path):
 
 
 def _link_base(sf: str) -> None:
-    """Hard-link the untouched sf0.01 tables so the oracle's
-    ten-view registration finds every table (same pattern as
-    test_rules._write_hostile)."""
+    """COPY the untouched sf0.01 tables so the oracle's ten-view
+    registration finds every table. Copies, never hard links: a
+    test that overwrites a linked path truncates the SHARED inode —
+    round 8 corrupted the read-only fixture's part.parquet exactly
+    this way (restored from the hostile-probe corpus copies; the
+    checksum manifest in test_fixture_contract.py now guards it)."""
     import os
     import shutil
 
@@ -240,10 +246,7 @@ def _link_base(sf: str) -> None:
     for t in TABLES:
         dst = f"{sf}/{t}.parquet"
         if not os.path.exists(dst):
-            try:
-                os.link(f"{SF}/{t}.parquet", dst)
-            except OSError:
-                shutil.copy(f"{SF}/{t}.parquet", dst)
+            shutil.copy(f"{SF}/{t}.parquet", dst)
 
 
 def _write_events(tmp_path, rows):

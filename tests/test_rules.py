@@ -81,10 +81,7 @@ def _write_hostile(sf: str) -> None:
     for t in TABLES:  # link the untouched base tables for the oracle views
         dst = f"{sf}/{t}.parquet"
         if not os.path.exists(dst):
-            try:
-                os.link(f"{_BASE}/{t}.parquet", dst)
-            except OSError:
-                shutil.copy(f"{_BASE}/{t}.parquet", dst)
+            shutil.copy(f"{_BASE}/{t}.parquet", dst)
 
 
 def test_every_rule_class_fires_with_exact_counts(spark, tmp_path):
