@@ -76,6 +76,10 @@ BOUNDED_BROADCAST_OK = {
     # each edge's three single-row aggregates assemble via bounded
     # broadcast cross joins (conversion_lag's shape, ×4 edges)
     "fk_orphan_audit",
+    # Q22's scalar threshold (the positive-balance floor-average) is
+    # ONE broadcast row cross-joined onto the candidate scan —
+    # conversion_lag's shape
+    "tpch_q22_sales_opportunity",
 }
 
 
