@@ -119,6 +119,8 @@ HEADLINERS = [
     ("tpch_q7_volume_shipping", "two-arm nation pair; cross-arm inequality; AQE dims"),
     ("tpch_q21_waiting_supplier", "EXISTS/NOT-EXISTS as order-key-local semi+anti self-joins"),
     ("brand_supplier_diversity", "NULL-safe exclusion anti-join; (brand,supp) distinct"),
+    ("tpch_q22_sales_opportunity", "scalar threshold broadcast + left-anti never-ordered"),
+    ("embedding_centroid_drift", "(label,split,dim) agg; bounded centroid self-join"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)

@@ -62,7 +62,7 @@ FAMILIES = {
         "ann_recall", "neighbor_triangles", "pagerank_sim",
         "pq_adc_topk", "pq_recall", "minhash_calibration",
         "kmeans_topics", "hard_negatives", "embedding_outliers",
-        "semdedup",
+        "semdedup", "embedding_centroid_drift",
     ],
     "events": [
         "sessionize_events", "detect_gaps", "asof_join_clicks",
@@ -100,6 +100,9 @@ FAMILIES = {
         "tpch_q5_local_supply", "tpch_q18_large_orders",
         "tpch_q7_volume_shipping", "tpch_q10_returned_items",
         "tpch_q21_waiting_supplier", "brand_supplier_diversity",
+        "tpch_q8_market_share", "tpch_q13_customer_distribution",
+        "tpch_q14_promo_share", "tpch_q19_discounted_revenue",
+        "tpch_q22_sales_opportunity",
         "fk_orphan_audit",
     ],
     "ticker": [
