@@ -69,8 +69,13 @@ def _edge_audit(
     parent = load_table(spark, pt, sf_dir)
     base = child.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0))
-        .cast("long").alias("n_null_refs"),
+        # coalesce: SUM over an EMPTY child table is NULL where the
+        # oracle's filtered COUNT(*) is 0 — found by the round-8
+        # empty-corpus probe; an audit must report 0, never NULL
+        F.coalesce(
+            F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_null_refs"),
     )
     orphans = (
         child.where(F.col(ck).isNotNull())

@@ -133,9 +133,11 @@ def q_partitioned_overwrite_idempotent(
     write_partitioned_parquet(prev, base)
     write_partitioned_parquet(cur, base)
     write_partitioned_parquet(cur, base)  # idempotent re-run of day 2
-    return read_partitioned_parquet(spark, base, "2024-01-02").select(
-        "symbol", "name", "sector", "url"
-    )
+    # explicit schema: an empty input writes ZERO files and the
+    # schema-less read of the empty table would crash (probe finding)
+    return read_partitioned_parquet(
+        spark, base, "2024-01-02", schema=cur.schema
+    ).select("symbol", "name", "sector", "url")
 
 BUCKETED_JOIN_ORACLE = f"""
 SELECT o_orderpriority,

@@ -120,12 +120,20 @@ def write_partitioned_parquet(
 
 
 def read_partitioned_parquet(
-    spark: SparkSession, path: str, snapshot_date: str | None = None
+    spark: SparkSession, path: str, snapshot_date: str | None = None,
+    schema=None,
 ) -> DataFrame:
     """Partition-pruned read: the ``snapshot_date`` filter is resolved
     against directory names (PartitionFilters in the scan — zero data
-    files of other partitions are opened)."""
-    df = spark.read.parquet(path)
+    files of other partitions are opened). Pass ``schema`` (the
+    writer's schema + the partition column) when the table may hold
+    ZERO files — a dynamic-partition overwrite of an empty input
+    writes nothing, and a schema-less read of the empty directory
+    raises UNABLE_TO_INFER_SCHEMA (round-8 empty-corpus probe)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
     if snapshot_date is not None:
         df = df.where(df.snapshot_date == snapshot_date)
     return df
