@@ -88,3 +88,21 @@ def milli(col: str) -> Column:
     if not isinstance(col, str):
         raise TypeError("milli() takes a column NAME (shared SQL template)")
     return F.expr(MILLI_SQL.format(col))
+
+
+# Centi-int twin for 2-decimal money columns (account balances):
+# same TOTAL form and bound as MILLI_SQL, scale 100. One template
+# consumed verbatim by both engines — hand-spelling the gate twice
+# is how the engines silently desynchronize (round-8 review find).
+CENTI_SQL = (
+    "CASE WHEN {0} IS NULL OR isnan({0}) "
+    f"OR {{0}} NOT BETWEEN -{MILLI_BOUND:g} AND {MILLI_BOUND:g} THEN NULL "
+    "ELSE CAST(floor({0} * 100) AS BIGINT) END"
+)
+
+
+def centi(col: str) -> Column:
+    """Spark twin of CENTI_SQL (same expression text, same NULLs)."""
+    if not isinstance(col, str):
+        raise TypeError("centi() takes a column NAME (shared SQL template)")
+    return F.expr(CENTI_SQL.format(col))

@@ -129,31 +129,40 @@ _QUANT_CACHE_MAX = 2
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _QUANT_CACHE.get(key)
-    if hit is None:
-        from pyspark import StorageLevel
+    if hit is not None:
+        # Deliberately NO recency refresh on hit: a pop-then-reinsert
+        # opens a window where a concurrent caller (the parallel
+        # oracle sweeps run consumers on a thread pool) sees a miss,
+        # rebuilds and re-persists the corpus, and the losing
+        # DataFrame is orphaned — persisted but unreachable by both
+        # eviction and clear_session_memos (round-8 review find).
+        # FIFO eviction is fine at a cap of 2.
+        return hit
+    from pyspark import StorageLevel
 
-        emb = load_table(spark, "embeddings", sf_dir).where(
-            F.col("vec_id").isNotNull()
-            & indexable_embedding("embedding", _DIM)
-        )
-        q = F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
-        )
-        hit = emb.select("vec_id", q.alias("q")).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        hit.count()
-        while len(_QUANT_CACHE) >= _QUANT_CACHE_MAX:
-            oldest = next(iter(_QUANT_CACHE))
-            _QUANT_CACHE.pop(oldest).unpersist()
-        _QUANT_CACHE[key] = hit
-    else:
-        # refresh LRU recency (dict preserves insertion order);
-        # pop-with-default so a concurrent refresh of the same key
-        # (the parallel oracle sweep) cannot KeyError
-        _QUANT_CACHE.pop(key, None)
-        _QUANT_CACHE[key] = hit
+    emb = load_table(spark, "embeddings", sf_dir).where(
+        F.col("vec_id").isNotNull()
+        & indexable_embedding("embedding", _DIM)
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
+    )
+    hit = emb.select("vec_id", q.alias("q")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hit.count()
+    # a concurrent miss may have built and inserted while this thread
+    # materialized: keep the registered one and release ours, so no
+    # persisted DataFrame ever leaves the dict unpersisted
+    raced = _QUANT_CACHE.get(key)
+    if raced is not None:
+        hit.unpersist()
+        return raced
+    while len(_QUANT_CACHE) >= _QUANT_CACHE_MAX:
+        oldest = next(iter(_QUANT_CACHE))
+        _QUANT_CACHE.pop(oldest).unpersist()
+    _QUANT_CACHE[key] = hit
     return hit
 
 

@@ -22,11 +22,13 @@ NULL-ts events are out of scope for run ordering (the governance
 convention); ties at the same microsecond break by event_id, and a
 duplicated (ts, event_id) pair — at-least-once replay landing the
 same event twice, possibly with a corrupted payload — breaks by
-event_type (NULLS FIRST on both engines: Spark's ASC default,
-explicit in the DuckDB window). The order is TOTAL over every column
-the lag chain reads, so the run census cannot depend on either
-engine's sort-internal tie order (the round-7 stream_cdc_apply
-lesson; pinned in tests/test_hostile_temporal.py).
+event_type. NULLS FIRST is explicit on BOTH tiebreak columns in both
+engines (Spark's ASC default is NULLS FIRST, DuckDB's is NULLS
+LAST — a NULL event_id tied on ts diverged until pinned). The order
+is TOTAL over every column the lag chain reads, so the run census
+cannot depend on either engine's sort-internal tie order (the
+round-7 stream_cdc_apply lesson; pinned in
+tests/test_hostile_temporal.py).
 """
 
 from __future__ import annotations
@@ -49,14 +51,15 @@ flagged AS (
                    lag(event_type) OVER w
               THEN 1 ELSE 0 END AS changed
   FROM ev WINDOW w AS (PARTITION BY user_id
-                       ORDER BY ts_us, event_id,
+                       ORDER BY ts_us, event_id NULLS FIRST,
                                 event_type NULLS FIRST)
 ),
 runs AS (
   SELECT user_id,
          sum(changed) OVER (
            PARTITION BY user_id
-           ORDER BY ts_us, event_id, event_type NULLS FIRST
+           ORDER BY ts_us, event_id NULLS FIRST,
+                    event_type NULLS FIRST
            ROWS UNBOUNDED PRECEDING) AS run_id
   FROM flagged
 ),
@@ -82,10 +85,16 @@ def q_run_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.withColumn("ts_us", ts_us_expr(ev)).where(
         F.col("ts_us").isNotNull()
     ).select("user_id", "event_id", "event_type", "ts_us")
-    # event_type closes the total order for duplicated (ts, id) pairs
-    # (asc = NULLS FIRST, matching the oracle's explicit NULLS FIRST)
+    # event_type closes the total order for duplicated (ts, id) pairs;
+    # NULLS FIRST explicit on BOTH tiebreak columns: Spark's ASC
+    # default is NULLS FIRST but DuckDB's is NULLS LAST, so a NULL
+    # event_id tied on ts ordered differently per engine until the
+    # oracle pinned it (round-8 review find, pinned in
+    # tests/test_hostile_temporal.py)
     w = Window.partitionBy("user_id").orderBy(
-        "ts_us", "event_id", F.col("event_type").asc_nulls_first()
+        "ts_us",
+        F.col("event_id").asc_nulls_first(),
+        F.col("event_type").asc_nulls_first(),
     )
     flagged = ev.withColumn(
         "changed",

@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from psx_data_pipeline_spark.functions.numeric import dsum, dsum_sql
+from psx_data_pipeline_spark.functions.numeric import (
+    CENTI_SQL,
+    centi,
+    dsum,
+    dsum_sql,
+)
 from psx_data_pipeline_spark.plans.registry import query
 from psx_data_pipeline_spark.sources.fixtures import load_table
 
@@ -199,7 +204,11 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q19_CLAUSES = [
     ("Brand#12", 1, 5, 1.0, 11.0),
     ("Brand#23", 1, 10, 10.0, 20.0),
-    ("Brand#34", 1, 15, 20.0, 30.0),
+    # Brand#24, not the classic Brand#34: no fixture part has
+    # Brand#34, which left the third disjunct VACUOUS under the
+    # sf0.01 oracle gate (round-8 review find; the non-vacuity
+    # principle applies to disjuncts too)
+    ("Brand#24", 1, 15, 20.0, 30.0),
 ]
 
 
@@ -265,16 +274,11 @@ def q_tpch_q19_discounted_revenue(
 # floor-average of positive balances — no float mean crosses engines.
 _Q22_NATIONS = (0, 3, 7, 11, 17, 21, 24)
 
-_CENTI = (
-    "CASE WHEN {0} IS NOT NULL AND isfinite(CAST({0} AS DOUBLE))"
-    " AND abs(CAST({0} AS DOUBLE)) <= 9e13"
-    " THEN CAST(floor(CAST({0} AS DOUBLE) * 100) AS BIGINT) END"
-)
 
 TPCH_Q22_ORACLE = f"""
 WITH bal AS (
   SELECT c_custkey, c_nationkey,
-         {_CENTI.format('c_acctbal')} AS bal_centi
+         {CENTI_SQL.format('c_acctbal')} AS bal_centi
   FROM customer WHERE c_custkey IS NOT NULL
 ),
 thr AS (
@@ -308,13 +312,7 @@ def q_tpch_q22_sales_opportunity(
         .select(
             "c_custkey",
             "c_nationkey",
-            F.expr(
-                "CASE WHEN c_acctbal IS NOT NULL"
-                " AND NOT isnan(CAST(c_acctbal AS DOUBLE))"
-                " AND abs(CAST(c_acctbal AS DOUBLE)) <= 9e13"
-                " THEN CAST(floor(CAST(c_acctbal AS DOUBLE) * 100)"
-                " AS BIGINT) END"
-            ).alias("bal_centi"),
+            centi("c_acctbal").alias("bal_centi"),
         )
     )
     thr = (

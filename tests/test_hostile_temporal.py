@@ -173,3 +173,27 @@ def test_pit_enrich_null_attr_orphans_and_out_of_range(spark, tmp_path):
         ORACLE_SQL["pit_enrich"], str(tmp_path),
     )
     assert ok, msg
+
+
+def test_run_compress_null_event_id_tie_is_total(spark, tmp_path):
+    """Round-8 review find, pinned: a NULL event_id tied on ts sorts
+    FIRST in Spark (ASC default NULLS FIRST) but LAST in DuckDB
+    (default NULLS LAST) — with different event types on the tied
+    rows the run census depended on the engines' default null order
+    until the oracle pinned NULLS FIRST explicitly. Layout: click,
+    then the ts-tied pair {NULL-id view, id-5 click}: NULLS FIRST
+    gives click | view | click = 3 runs; NULLS LAST gave 2."""
+    rows = [
+        (1, _at(0), 9, "click"),
+        (None, _at(1), 9, "view"),   # NULL id, tied ts ...
+        (5, _at(1), 9, "click"),     # ... with a different type
+    ]
+    _write_events(tmp_path, rows)
+    got = {r.user_id: r for r in QUERIES["run_compress"](
+        spark, str(tmp_path)).collect()}
+    assert (got[9].n_events, got[9].n_runs, got[9].longest_run) == (3, 3, 1)
+    ok, msg = compare(
+        QUERIES["run_compress"](spark, str(tmp_path)),
+        ORACLE_SQL["run_compress"], str(tmp_path),
+    )
+    assert ok, msg

@@ -161,7 +161,6 @@ def test_registry_covers_every_flag_column(spark):
 def test_both_branches_fire_on_fixture(spark, name):
     from pyspark.sql import functions as F
 
-    df = QUERIES[name](spark, SF)
     aggs = []
     for col, kind in FIXTURE_BOTH[name]:
         if kind == "bool":

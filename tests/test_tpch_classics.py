@@ -73,7 +73,7 @@ def test_q22_threshold_and_anti_join(spark, tmp_path):
 def test_q19_clause_brand_qty_coupling(spark, tmp_path):
     """A line matches only when its quantity band belongs to ITS
     part's brand clause — brand#12 with qty 25 must not leak in
-    through brand#34's band."""
+    through brand#24's band."""
     import pyspark.sql.functions as F  # noqa: F401
 
     d = dt.datetime(1996, 6, 1)
@@ -84,13 +84,13 @@ def test_q19_clause_brand_qty_coupling(spark, tmp_path):
         supplier=[(10, "s", 0, 1.0)],
     )
     li = pq.read_table(f"{tmp_path}/lineitem.parquet").to_pydict()
-    li["l_quantity"] = [5.0, 25.0, 25.0]   # rows: q12-band, leak, q34-band
+    li["l_quantity"] = [5.0, 25.0, 25.0]   # rows: q12-band, leak, q24-band
     pq.write_table(pa.table(li), f"{tmp_path}/lineitem.parquet")
     pq.write_table(
         pa.table({
             "p_partkey": pa.array([1, 2, 3], pa.int64()),
             "p_name": pa.array(["a", "b", "c"]),
-            "p_brand": pa.array(["Brand#12", "Brand#12", "Brand#34"]),
+            "p_brand": pa.array(["Brand#12", "Brand#12", "Brand#24"]),
             "p_type": pa.array(["PROMO"] * 3),
             "p_size": pa.array([3, 3, 12], pa.int32()),
             "p_retailprice": pa.array([1.0] * 3),
@@ -100,7 +100,7 @@ def test_q19_clause_brand_qty_coupling(spark, tmp_path):
     _link_base(str(tmp_path))
     row = QUERIES["tpch_q19_discounted_revenue"](
         spark, str(tmp_path)).collect()[0]
-    assert row.n_lines == 2  # the 5.0@Brand#12 and 25.0@Brand#34 rows
+    assert row.n_lines == 2  # the 5.0@Brand#12 and 25.0@Brand#24 rows
     ok, msg = compare(
         QUERIES["tpch_q19_discounted_revenue"](spark, str(tmp_path)),
         ORACLE_SQL["tpch_q19_discounted_revenue"], str(tmp_path),
