@@ -54,6 +54,7 @@ from psx_data_pipeline_spark.plans import integrity  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import temporal  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import tpch_more  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import tpch_classics  # noqa: F401,E402
+from psx_data_pipeline_spark.plans import tpch_final  # noqa: F401,E402
 from psx_data_pipeline_spark.plans import drift  # noqa: F401,E402
 
 # Benchmark hook: drops plan-layer memos (and their Spark cache

@@ -80,6 +80,10 @@ BOUNDED_BROADCAST_OK = {
     # ONE broadcast row cross-joined onto the candidate scan —
     # conversion_lag's shape
     "tpch_q22_sales_opportunity",
+    # Q11's global revenue total and Q15's global argmax each ride as
+    # ONE broadcast row cross-joined onto the group rollup — the same
+    # whitelisted scalar-threshold shape as Q22
+    "tpch_q11_important_parts", "tpch_q15_top_supplier",
 }
 
 
