@@ -38,7 +38,7 @@ an integer multiply, so no rational division ever crosses engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from psx_data_pipeline_spark.functions.numeric import (
@@ -368,15 +368,15 @@ ps AS (
   SELECT l_partkey, l_suppkey, CAST(sum(qm) AS BIGINT) AS q_ps
   FROM li GROUP BY l_partkey, l_suppkey
 ),
-pt AS (
-  SELECT l_partkey AS pt_partkey, CAST(sum(q_ps) AS BIGINT) AS q_p
-  FROM ps GROUP BY l_partkey
+shares AS (
+  SELECT l_suppkey, q_ps,
+         CAST(sum(q_ps) OVER (PARTITION BY l_partkey) AS BIGINT) AS q_p
+  FROM ps
 ),
 qual AS (
-  SELECT ps.l_suppkey, CAST(count(*) AS BIGINT) AS n_parts
-  FROM ps JOIN pt ON pt.pt_partkey = ps.l_partkey
-  WHERE {_Q20_SHARE_DENOM} * ps.q_ps > pt.q_p
-  GROUP BY ps.l_suppkey
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts
+  FROM shares WHERE {_Q20_SHARE_DENOM} * q_ps > q_p
+  GROUP BY l_suppkey
 )
 SELECT s.s_suppkey AS suppkey, s.s_name, q.n_parts
 FROM qual q JOIN supplier s ON s.s_suppkey = q.l_suppkey
@@ -389,12 +389,14 @@ def q_tpch_q20_surplus_suppliers(
 ) -> DataFrame:
     """TPC-H Q20: suppliers dominating the shipped volume of at least
     one product-family part — the nested correlated-aggregate
-    threshold. The fact shuffles ONCE on the (part, supplier) pair;
-    the per-part total is the sum of the pair sums (derived from the
-    rollup, not a second scan) and its join back is co-located on the
-    part key. The share test multiplies instead of dividing, so the
-    compare is exact int64 (qm <= 9e15 per term keeps the x8 product
-    in range)."""
+    threshold. The fact shuffles ONCE (explicit repartition on the
+    part key, which subset-satisfies the pair-key aggregate); the
+    per-part total is then a part-PARTITIONED window sum over the
+    pair rollup — no self-join, no second scan, and the window
+    reuses the same partitioning (its group size is the per-part
+    supplier cadence, never corpus rows). The share test multiplies
+    instead of dividing, so the compare is exact int64 (qm <= 9e15
+    per term keeps the x8 product in range)."""
     li = (
         load_table(spark, "lineitem", sf_dir)
         .where(F.col("l_suppkey").isNotNull())
@@ -405,15 +407,20 @@ def q_tpch_q20_surplus_suppliers(
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("l_partkey", "l_suppkey", milli("l_quantity").alias("qm"))
+        # ONE explicit exchange on the part key: partkey-only hash
+        # partitioning satisfies the pair agg (subset clustering),
+        # the part-total agg, AND the ps-vs-pt join below — without
+        # it Catalyst inserts three exchanges (pair keys, part key,
+        # join key). Part cardinality is corpus-scaled, so the
+        # partkey hash spreads; no single part dominates a shard.
+        .repartition(F.col("l_partkey"))
     )
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("qm").cast("long").alias("q_ps")
     )
-    pt = ps.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
-        F.sum("q_ps").cast("long").alias("q_p")
-    )
+    w = Window.partitionBy("l_partkey")
     qual = (
-        ps.join(pt, F.col("pt_partkey") == F.col("l_partkey"))
+        ps.withColumn("q_p", F.sum("q_ps").over(w).cast("long"))
         .where(F.lit(_Q20_SHARE_DENOM) * F.col("q_ps") > F.col("q_p"))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))

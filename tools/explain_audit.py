@@ -120,6 +120,8 @@ HEADLINERS = [
     ("tpch_q21_waiting_supplier", "EXISTS/NOT-EXISTS as order-key-local semi+anti self-joins"),
     ("brand_supplier_diversity", "NULL-safe exclusion anti-join; (brand,supp) distinct"),
     ("tpch_q22_sales_opportunity", "scalar threshold broadcast + left-anti never-ordered"),
+    ("tpch_q6_forecast_revenue", "pure scan-aggregate: every predicate pushed, 4-column read"),
+    ("tpch_q20_surplus_suppliers", "one part-key exchange feeds pair agg + part-total window (no self-join)"),
     ("embedding_centroid_drift", "(label,split,dim) agg; bounded centroid self-join"),
 ]
 

@@ -103,6 +103,9 @@ FAMILIES = {
         "tpch_q8_market_share", "tpch_q13_customer_distribution",
         "tpch_q14_promo_share", "tpch_q19_discounted_revenue",
         "tpch_q22_sales_opportunity",
+        "tpch_q6_forecast_revenue", "tpch_q9_product_profit",
+        "tpch_q11_important_parts", "tpch_q12_lateness_priority",
+        "tpch_q15_top_supplier", "tpch_q20_surplus_suppliers",
         "fk_orphan_audit",
     ],
     "ticker": [
