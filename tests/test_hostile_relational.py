@@ -172,3 +172,84 @@ def test_cdc_all_deletes_yields_empty_table(spark, tmp_path):
 
     assert QUERIES["cdc_apply"](spark, sf).count() == 0
     assert QUERIES["stream_cdc_apply"](spark, sf).count() == 0
+
+
+def test_q9_nonfinite_retailprice_gated(spark, tmp_path):
+    """A NaN/Inf p_retailprice poisons the profit term for ITS line
+    only — the dsum TOTAL gate maps it to SQL NULL (skipped)
+    identically in both engines, so the group survives with the
+    finite lines' profit (round-8 probe class: non-finite values in
+    a DIM column crossing an arithmetic seam)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+    from tests.test_tpch_more import _write_rel
+
+    d = dt.datetime(1996, 6, 1)
+    _write_rel(
+        tmp_path,
+        orders=[(1, 1, d)],
+        lineitem=[(1, 10, d, 1), (1, 10, d, 2), (1, 10, d, 3)],
+        supplier=[(10, "s3", 3, 1.0)],
+    )
+    pq.write_table(
+        pa.table({
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_name": pa.array(["red ok", "red nan", "red inf"]),
+            "p_brand": pa.array(["Brand#12"] * 3),
+            "p_type": pa.array(["PROMO"] * 3),
+            "p_size": pa.array([3] * 3, pa.int32()),
+            "p_retailprice": pa.array([10.0, float("nan"), float("inf")]),
+        }),
+        f"{tmp_path}/part.parquet",
+    )
+    got = {r.supp_nation: r for r in QUERIES["tpch_q9_product_profit"](
+        spark, str(tmp_path)).collect()}
+    # all three lines keep their rows (n_lines counts them) but only
+    # the finite-retailprice line contributes profit: 10 - 0.6*10*1 = 4
+    assert got["NATION_3"].n_lines == 3
+    assert got["NATION_3"].profit == 4.0
+    ok, msg = compare(
+        QUERIES["tpch_q9_product_profit"](spark, str(tmp_path)),
+        ORACLE_SQL["tpch_q9_product_profit"], str(tmp_path),
+    )
+    assert ok, msg
+
+
+def test_q15_duplicate_supplier_dim_fans_out_identically(spark, tmp_path):
+    """A duplicate s_suppkey in the supplier dim fans the argmax
+    join-back out to one row per dim copy — in BOTH engines, or the
+    hash diverges (round-8 probe class: dim-PK violation)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+    from tests.test_tpch_more import _write_rel
+
+    d = dt.datetime(1996, 2, 1)
+    _write_rel(
+        tmp_path,
+        orders=[(1, 1, d)],
+        lineitem=[(1, 10, d, 1), (1, 20, d, 1)],
+        supplier=[(10, "winner", 0, 1.0), (20, "loser", 0, 1.0)],
+    )
+    li = pq.read_table(f"{tmp_path}/lineitem.parquet").to_pydict()
+    li["l_extendedprice"] = [100.0, 50.0]
+    pq.write_table(pa.table(li), f"{tmp_path}/lineitem.parquet")
+    sup = pq.read_table(f"{tmp_path}/supplier.parquet").to_pydict()
+    sup["s_suppkey"] = sup["s_suppkey"] + [10]
+    sup["s_name"] = sup["s_name"] + ["winner-dup"]
+    sup["s_nationkey"] = sup["s_nationkey"] + [1]
+    sup["s_acctbal"] = sup["s_acctbal"] + [2.0]
+    pq.write_table(pa.table(sup), f"{tmp_path}/supplier.parquet")
+    rows = QUERIES["tpch_q15_top_supplier"](spark, str(tmp_path)).collect()
+    assert sorted(r.s_name for r in rows) == ["winner", "winner-dup"]
+    assert all(r.rev_centi == 10000 for r in rows)
+    ok, msg = compare(
+        QUERIES["tpch_q15_top_supplier"](spark, str(tmp_path)),
+        ORACLE_SQL["tpch_q15_top_supplier"], str(tmp_path),
+    )
+    assert ok, msg

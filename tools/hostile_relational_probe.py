@@ -29,7 +29,7 @@ from hostile_common import BASE, copy_untouched, run_probe  # noqa: E402
 
 OUT = "/tmp/hostile_relational_corpus"
 
-_SALTED = ("customer", "orders", "lineitem", "part")
+_SALTED = ("customer", "orders", "lineitem", "part", "supplier")
 
 
 def _append(table: str, rows: list[dict]) -> None:
@@ -152,6 +152,30 @@ def build_corpus() -> None:
          "p_type": None, "p_size": None, "p_retailprice": None},
         {"p_partkey": 900002, "p_name": "hostile part", "p_brand": "Brand#H",
          "p_type": "HOSTILE", "p_size": -1, "p_retailprice": -1.0},
+        # non-finite retail prices flow into Q9's profit expression
+        # (extprice·(1-disc) − 0.6·retailprice·qty): the whole term
+        # must route through the dsum TOTAL gate, not crash one
+        # engine's decimal cast
+        {"p_partkey": 900003, "p_name": "red hostile", "p_brand": "Brand#H",
+         "p_type": "HOSTILE", "p_size": 1, "p_retailprice": float("nan")},
+        {"p_partkey": 900004, "p_name": "red hostile inf",
+         "p_brand": "Brand#H", "p_type": "HOSTILE", "p_size": 1,
+         "p_retailprice": float("inf")},
+        # DUPLICATE partkey: a dim-PK violation fans the fact join
+        # out — both engines must fan out (and gate) identically
+        {"p_partkey": 1, "p_name": "small dup", "p_brand": "Brand#D",
+         "p_type": "DUP", "p_size": 2, "p_retailprice": 5.0},
+    ])
+    _append("supplier", [
+        # NULL key never equi-joins; NULL name must survive output
+        {"s_suppkey": None, "s_name": "Null Key Supplies",
+         "s_nationkey": 1, "s_acctbal": 1.0},
+        {"s_suppkey": 900001, "s_name": None, "s_nationkey": None,
+         "s_acctbal": float("nan")},
+        # DUPLICATE suppkey: Q15/Q20's join-back to the supplier dim
+        # fans out — identically in both engines or not at all
+        {"s_suppkey": 1, "s_name": "Dup Supplier", "s_nationkey": 2,
+         "s_acctbal": -5.0},
     ])
 
 
