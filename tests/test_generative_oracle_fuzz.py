@@ -506,3 +506,121 @@ def test_distrib_queries_match_oracle_on_arbitrary_doc_meta(
                  "histogram_quantiles"):
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged on {metas!r}: {msg}"
+
+
+# round-8 batch 3: the six remaining TPC-H shapes under ARBITRARY
+# relational content — NULL keys/dates/prices everywhere, non-finite
+# retail prices crossing Q9's profit arithmetic, negative revenues
+# driving Q11's global threshold negative, duplicate (part, supplier)
+# pairs exercising Q20's window shares and Q15's exact-tie argmax.
+_TPCH_B3 = (
+    "tpch_q6_forecast_revenue", "tpch_q9_product_profit",
+    "tpch_q11_important_parts", "tpch_q12_lateness_priority",
+    "tpch_q15_top_supplier", "tpch_q20_surplus_suppliers",
+)
+
+_B3_LI = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=1, max_value=3)),  # partkey
+    st.one_of(st.none(), st.integers(min_value=1, max_value=2)),  # suppkey
+    st.integers(min_value=0, max_value=4),                        # orderkey
+    _PRICE, _PRICE,                            # quantity, extendedprice
+    st.one_of(st.none(), st.floats(
+        min_value=-1.0, max_value=2.0, allow_nan=False)),  # discount
+    st.one_of(st.none(), st.datetimes(
+        min_value=dt.datetime(1995, 1, 1),
+        max_value=dt.datetime(2000, 1, 1))),   # shipdate
+)
+_B3_ORDER = st.tuples(
+    st.one_of(st.none(), st.datetimes(
+        min_value=dt.datetime(1995, 1, 1),
+        max_value=dt.datetime(2000, 1, 1))),   # orderdate
+    st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW",
+                     "5-LOW", None]),          # priority
+)
+_B3_RETAIL = st.sampled_from(
+    [None, 10.0, -1.0, 0.0, float("nan"), float("inf"), 1e30]
+)
+
+
+@settings(
+    max_examples=_N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_B3_LI, min_size=1, max_size=15),
+    st.lists(_B3_ORDER, min_size=5, max_size=5),
+    st.lists(_B3_RETAIL, min_size=3, max_size=3),
+)
+def test_tpch_b3_match_oracle_on_arbitrary_relations(
+    spark, fuzz_root, lis, orders, retail
+):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    _counter[0] += 1
+    sf = os.path.join(fuzz_root, f"b3_{_counter[0]}")
+    os.makedirs(sf, exist_ok=True)
+    n = len(lis)
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array(
+                [int(x[2]) for x in lis], type=pa.int64()),
+            "l_partkey": pa.array([x[0] for x in lis], type=pa.int64()),
+            "l_suppkey": pa.array([x[1] for x in lis], type=pa.int64()),
+            "l_linenumber": pa.array([1] * n, type=pa.int32()),
+            "l_quantity": pa.array([x[3] for x in lis], type=pa.float64()),
+            "l_extendedprice": pa.array(
+                [x[4] for x in lis], type=pa.float64()),
+            "l_discount": pa.array([x[5] for x in lis], type=pa.float64()),
+            "l_tax": pa.array([0.0] * n, type=pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, type=pa.string()),
+            "l_linestatus": pa.array(["O"] * n, type=pa.string()),
+            "l_shipdate": pa.array(
+                [x[6] for x in lis], type=pa.timestamp("us")),
+        }),
+        f"{sf}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array(range(5), type=pa.int64()),
+            "o_custkey": pa.array([1] * 5, type=pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 5, type=pa.string()),
+            "o_totalprice": pa.array([100.0] * 5, type=pa.float64()),
+            "o_orderdate": pa.array(
+                [o[0] for o in orders], type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(
+                [o[1] for o in orders], type=pa.string()),
+        }),
+        f"{sf}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+            "p_name": pa.array(["red widget", "small bolt", None]),
+            "p_brand": pa.array(["Brand#12"] * 3, type=pa.string()),
+            "p_type": pa.array(["PROMO"] * 3, type=pa.string()),
+            "p_size": pa.array([3] * 3, type=pa.int32()),
+            "p_retailprice": pa.array(retail, type=pa.float64()),
+        }),
+        f"{sf}/part.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "s_suppkey": pa.array([1, 2], type=pa.int64()),
+            "s_name": pa.array(["s-one", None], type=pa.string()),
+            "s_nationkey": pa.array([1, None], type=pa.int32()),
+            "s_acctbal": pa.array([1.0, 2.0], type=pa.float64()),
+        }),
+        f"{sf}/supplier.parquet",
+    )
+    for t in TABLES + ("documents",):
+        dst = f"{sf}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copy(f"{BASE}/{t}.parquet", dst)
+    for name in _TPCH_B3:
+        ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
+        assert ok, f"{name} diverged: {msg}\nlis={lis!r}\nretail={retail!r}"
