@@ -39,6 +39,29 @@ STATE_BOUNDS = {
 
 _STREAM_PREFIX = "stream_"
 
+# Why a ≥8× growth ratio is the ANSWER growing, not the plan
+# degrading — curated from SCALE.md's rehearsal analyses. Every
+# high-growth row must either carry one of these or be a memo/stream
+# artifact; the generator warns otherwise so a new scale-killer can't
+# hide in the table.
+OUTPUT_BOUND = {
+    "lsh_bucketed_neighbors": (
+        "output-bound: the rehearsal corpus duplicates every vector "
+        "10×, so every copy-pair is a true near-dup — answer volume "
+        "grows with the SQUARE of duplication (SCALE.md)"
+    ),
+    "pq_adc_topk": (
+        "output-bound: top-k pair expansion under the 10×-duplicated "
+        "corpus; the ADC scan itself is linear per row (SCALE.md)"
+    ),
+    "range_join_binned": (
+        "pair density per time bin grows with the duplicated corpus; "
+        "the keyless bin explode parallelizes it across bins "
+        "(SCALE.md)"
+    ),
+}
+_GROWTH_NOTE_BAR = 8.0
+
 
 def _plan_counts(df) -> tuple[int, int, bool]:
     """Count exchanges as UNIQUE stripped plan lines: cached subtrees
@@ -138,6 +161,13 @@ def main() -> int:
                 "1× is a memo-hit wall — growth not like-for-like, "
                 "see SCALE.md for the cold/cold ratio"
             )
+        if name in OUTPUT_BOUND:
+            note = (note + "; " if note else "") + OUTPUT_BOUND[name]
+        elif (t1 and t10 and t10 / t1 >= _GROWTH_NOTE_BAR
+                and memo != "warm" and not note):
+            note = "UNEXPLAINED ≥8× growth — investigate before shipping"
+            print(f"WARNING: {name} grew {t10 / t1:.1f}× with no "
+                  "output-bound justification", file=sys.stderr)
         rows.append((name, fam, shuffles, bcasts, py,
                      f"{t1:.2f}" if t1 is not None else "",
                      f"{t10:.1f}" if t10 is not None else "",
