@@ -32,8 +32,10 @@ shuffles once on the pair key and the part-total join is co-located
 on the part key.
 
 Exactness: revenues/profits sum through DECIMAL(38,6) dsum; Q11/Q15
-compare centi-int floors; Q20 compares milli-int quantity shares with
-an integer multiply, so no rational division ever crosses engines.
+compare centi-int floors; Q20 compares milli-int quantity shares via
+a truncating integer div of the part total (overflow-free where a x8
+multiply on the pair sum is not), so no rational division ever
+crosses engines.
 """
 
 from __future__ import annotations
@@ -202,8 +204,10 @@ def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle builds the per-part rollup; the corpus total is the
     SUM OF THE GROUP SUMS (no second fact scan) and rides back as one
     broadcast row; the threshold compare is integer (centi floors,
-    truncating div — identical in both engines for the positive
-    total)."""
+    truncating div — DuckDB ``//`` and Spark ``div`` both truncate
+    toward zero, verified for NEGATIVE totals too, e.g. -1501//1500
+    = -1 in both, so an all-negative-revenue corpus — the generative
+    fuzz drives this — stays cross-engine identical)."""
     v = (
         load_table(spark, "lineitem", sf_dir)
         .where(F.col("l_partkey").isNotNull())
@@ -352,7 +356,8 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shipped volume of 'forest%' parts; without partsupp the stand-in
 # test is a SHARE threshold — the supplier carries more than 1/8 of
 # a 'small %' part's total shipped quantity (33 of 100 fixture
-# suppliers qualify; the integer-multiply compare is exact).
+# suppliers qualify; the truncating-div compare is exact and
+# overflow-free).
 _Q20_NAME_PREFIX = "small "
 _Q20_SHARE_DENOM = 8
 
@@ -375,7 +380,7 @@ shares AS (
 ),
 qual AS (
   SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts
-  FROM shares WHERE {_Q20_SHARE_DENOM} * q_ps > q_p
+  FROM shares WHERE q_ps > q_p // {_Q20_SHARE_DENOM}
   GROUP BY l_suppkey
 )
 SELECT s.s_suppkey AS suppkey, s.s_name, q.n_parts
@@ -394,9 +399,15 @@ def q_tpch_q20_surplus_suppliers(
     per-part total is then a part-PARTITIONED window sum over the
     pair rollup — no self-join, no second scan, and the window
     reuses the same partitioning (its group size is the per-part
-    supplier cadence, never corpus rows). The share test multiplies
-    instead of dividing, so the compare is exact int64 (qm <= 9e15
-    per term keeps the x8 product in range)."""
+    supplier cadence, never corpus rows). The share test divides the
+    PART TOTAL (q_ps > q_p div 8) instead of multiplying the pair
+    sum: a x8 multiply on a SUM overflows int64 after only ~129
+    gate-max milli terms — DuckDB raises where non-ANSI Spark wraps,
+    a one-sided crash (round-8 review find) — while the truncating
+    div only shrinks. For positive totals the div form is exactly
+    equivalent to 8*q_ps > q_p; both engines truncate toward zero
+    for negative (degenerate) totals too, so the compare is
+    cross-engine identical for all signs."""
     li = (
         load_table(spark, "lineitem", sf_dir)
         .where(F.col("l_suppkey").isNotNull())
@@ -421,7 +432,7 @@ def q_tpch_q20_surplus_suppliers(
     w = Window.partitionBy("l_partkey")
     qual = (
         ps.withColumn("q_p", F.sum("q_ps").over(w).cast("long"))
-        .where(F.lit(_Q20_SHARE_DENOM) * F.col("q_ps") > F.col("q_p"))
+        .where(F.col("q_ps") > F.expr(f"q_p div {_Q20_SHARE_DENOM}"))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
     )

@@ -14,8 +14,6 @@ from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
 from tests.oracle_check import compare
 from tests.test_tpch_more import _write_rel
 
-SF = "/root/testdata/sf0.01"
-
 
 def _check(spark, name, sf):
     ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
@@ -104,26 +102,31 @@ def test_q11_threshold_splits_parts(spark, tmp_path):
 
 
 def test_q12_band_edges_and_null_priority(spark, tmp_path):
-    """Lags 10/60/200 land in FAST/NORMAL/SLOW; a NULL priority
-    counts as low (the CASE ELSE arm) in both engines."""
+    """The EXACT band boundaries: lag 30 is still FAST and lag 90 is
+    still NORMAL (both comparisons are <=), 31/91 fall over the edge;
+    a NULL priority counts as low (the CASE ELSE arm) in both
+    engines."""
     base = dt.datetime(1996, 1, 1)
-    ships = [base + dt.timedelta(days=g) for g in (10, 10, 60, 200)]
+    lags = (10, 30, 31, 90, 91, 200)
+    ships = [base + dt.timedelta(days=g) for g in lags]
     _write_rel(
         tmp_path,
-        orders=[(1, 1, base), (2, 1, base), (3, 1, base), (4, 1, base)],
-        lineitem=[(1, 10, ships[0], 1), (2, 10, ships[1], 1),
-                  (3, 10, ships[2], 1), (4, 10, ships[3], 1)],
+        orders=[(k, 1, base) for k in range(1, 7)],
+        lineitem=[(k, 10, ships[k - 1], 1) for k in range(1, 7)],
         supplier=[(10, "s", 0, 1.0)],
     )
     t = pq.read_table(f"{tmp_path}/orders.parquet").to_pydict()
-    t["o_orderpriority"] = ["1-URGENT", None, "5-LOW", "2-HIGH"]
+    #                  10        30(edge) 31      90(edge)   91    200
+    t["o_orderpriority"] = [
+        "1-URGENT", "2-HIGH", None, "5-LOW", "1-URGENT", "2-HIGH"]
     pq.write_table(pa.table(t), f"{tmp_path}/orders.parquet")
     got = {r.ship_band: r for r in QUERIES["tpch_q12_lateness_priority"](
         spark, str(tmp_path)).collect()}
-    assert (got["FAST"].high_line_count, got["FAST"].low_line_count) == (1, 1)
+    # FAST = lags 10, 30 (boundary in); NORMAL = 31, 90; SLOW = 91, 200
+    assert (got["FAST"].high_line_count, got["FAST"].low_line_count) == (2, 0)
     assert (got["NORMAL"].high_line_count,
-            got["NORMAL"].low_line_count) == (0, 1)
-    assert (got["SLOW"].high_line_count, got["SLOW"].low_line_count) == (1, 0)
+            got["NORMAL"].low_line_count) == (0, 2)
+    assert (got["SLOW"].high_line_count, got["SLOW"].low_line_count) == (2, 0)
     _check(spark, "tpch_q12_lateness_priority", str(tmp_path))
 
 

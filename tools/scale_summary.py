@@ -161,13 +161,22 @@ def main() -> int:
                 "1× is a memo-hit wall — growth not like-for-like, "
                 "see SCALE.md for the cold/cold ratio"
             )
-        if name in OUTPUT_BOUND:
-            note = (note + "; " if note else "") + OUTPUT_BOUND[name]
-        elif (t1 and t10 and t10 / t1 >= _GROWTH_NOTE_BAR
-                and memo != "warm" and not note):
-            note = "UNEXPLAINED ≥8× growth — investigate before shipping"
-            print(f"WARNING: {name} grew {t10 / t1:.1f}× with no "
-                  "output-bound justification", file=sys.stderr)
+        high_growth = bool(
+            t1 and t10 and t10 / t1 >= _GROWTH_NOTE_BAR and memo != "warm"
+        )
+        if high_growth:
+            # the curated justification only covers the KNOWN
+            # output-bound ratio; a later, larger regression must
+            # still trip the warning instead of hiding behind it
+            if name in OUTPUT_BOUND and t10 / t1 < 2 * _GROWTH_NOTE_BAR:
+                note = (note + "; " if note else "") + OUTPUT_BOUND[name]
+            else:
+                note = (note + "; " if note else "") + (
+                    "UNEXPLAINED ≥8× growth — investigate before shipping"
+                )
+                print(f"WARNING: {name} grew {t10 / t1:.1f}× with no "
+                      "(current) output-bound justification",
+                      file=sys.stderr)
         rows.append((name, fam, shuffles, bcasts, py,
                      f"{t1:.2f}" if t1 is not None else "",
                      f"{t10:.1f}" if t10 is not None else "",
@@ -184,8 +193,10 @@ def main() -> int:
         "deliberate Arrow `mapInPandas` stage (codec seam only).",
         "Shuffle counts are of the true first-run plan (session memos",
         "cleared), unique-operator deduped across cached-subtree",
-        "reprints. Growth well under 10× = sub-linear. Entries above",
-        "10× are either OUTPUT-bound under the corpus's 10×",
+        "reprints. Growth well under 10× = sub-linear. Entries at or",
+        "above 8× carry a curated justification in the note column or",
+        "an UNEXPLAINED flag; they are either OUTPUT-bound under the",
+        "corpus's 10×",
         "content/timestamp duplication (a binned range join's pair",
         "count is quadratic in per-bin density — the output itself",
         "grows ~100×; near-dup pair expansion likewise) or sub-second",
