@@ -172,3 +172,28 @@ def test_q20_share_boundary_is_strict(spark, tmp_path):
         spark, str(tmp_path)).collect()
     assert [(r.suppkey, r.n_parts) for r in rows] == [(20, 1)]
     _check(spark, "tpch_q20_surplus_suppliers", str(tmp_path))
+
+
+def test_q20_gate_max_sums_do_not_overflow(spark, tmp_path):
+    """150 gate-max quantity lines (9e12 each → q_ps ≈ 1.35e18) for
+    one (part, supplier): the retired x8-multiply form would push
+    8·q_ps past int64 — DuckDB raises OutOfRange where non-ANSI
+    Spark wraps negative (one-sided crash) — while the div-form
+    compare only shrinks. The dominant supplier must still qualify
+    and the tiny co-supplier must not."""
+    d = dt.datetime(1996, 6, 1)
+    n = 150
+    _write_rel(
+        tmp_path,
+        orders=[(1, 1, d)],
+        lineitem=[(1, 10, d, 1)] * n + [(1, 20, d, 1)],
+        supplier=[(10, "whale", 0, 1.0), (20, "minnow", 0, 1.0)],
+    )
+    li = pq.read_table(f"{tmp_path}/lineitem.parquet").to_pydict()
+    li["l_quantity"] = [9e12] * n + [1.0]
+    pq.write_table(pa.table(li), f"{tmp_path}/lineitem.parquet")
+    _write_part(tmp_path, [(1, "small giant", 10.0)])
+    rows = QUERIES["tpch_q20_surplus_suppliers"](
+        spark, str(tmp_path)).collect()
+    assert [(r.s_name, r.n_parts) for r in rows] == [("whale", 1)]
+    _check(spark, "tpch_q20_surplus_suppliers", str(tmp_path))
