@@ -106,3 +106,36 @@ def centi(col: str) -> Column:
     if not isinstance(col, str):
         raise TypeError("centi() takes a column NAME (shared SQL template)")
     return F.expr(CENTI_SQL.format(col))
+
+
+# --- exact BIGINT sum through DECIMAL(38,0) -------------------------------------
+
+# SUM of already-quantized centi/milli BIGINT terms into a plain long
+# wraps silently in non-ANSI Spark where DuckDB's BIGINT sum raises —
+# the one-sided crash class the hostile probes hunt, reachable after
+# only ~10^4 worst-case gated centi terms (9e14 each). Summing
+# through DECIMAL(38,0) is exact for any feasible corpus (>10^22
+# worst-case rows of headroom), and the final BIGINT cast is TOTAL:
+# a beyond-int64 total degrades to NULL identically in both engines
+# (NULL then propagates through compares/filters the same way).
+# Deliberately NOT a decimal division helper: DECIMAL `div`/`//`
+# rounding diverges between the engines (measured: 1.8e16 div 1500
+# is 11999999999999 in Spark, 12000000000000 in DuckDB), so callers
+# must divide AFTER this gate, on BIGINT, where both truncate alike.
+BSUM_GATE = 9e18  # just inside int64 max (9.223e18)
+
+
+def bsum_sql(expr: str) -> str:
+    """Exact gated BIGINT sum — one SQL template for both engines."""
+    s = f"SUM(CAST(({expr}) AS DECIMAL(38,0)))"
+    return (
+        f"CAST(CASE WHEN {s} BETWEEN -{BSUM_GATE:g} AND {BSUM_GATE:g} "
+        f"THEN {s} END AS BIGINT)"
+    )
+
+
+def bsum(expr: str) -> Column:
+    """Spark twin of bsum_sql (identical expression text)."""
+    if not isinstance(expr, str):
+        raise TypeError("bsum() takes SQL text (shared template)")
+    return F.expr(bsum_sql(expr))

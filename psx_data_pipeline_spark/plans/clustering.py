@@ -29,6 +29,8 @@ a centroid).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -124,6 +126,13 @@ FROM c{_ITERS} c LEFT JOIN stats st ON c.cid = st.cid
 # legitimate working set.
 _QUANT_CACHE: dict[tuple[str, str], DataFrame] = {}
 _QUANT_CACHE_MAX = 2
+# Serializes the insert/evict section only (the expensive persist +
+# count happens outside it). Without the lock, two threads of the
+# parallel oracle sweep can both observe a miss, both build, and the
+# second's plain dict insert would overwrite the first's entry
+# without unpersisting it — a persisted DataFrame unreachable by
+# both eviction and clear_session_memos (round-8 advice find).
+_QUANT_LOCK = threading.Lock()
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,16 +162,21 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit.count()
     # a concurrent miss may have built and inserted while this thread
-    # materialized: keep the registered one and release ours, so no
-    # persisted DataFrame ever leaves the dict unpersisted
-    raced = _QUANT_CACHE.get(key)
+    # materialized: under the lock, keep the registered one and
+    # release ours, so no persisted DataFrame ever leaves the dict
+    # unpersisted (a lock-free re-check still left a window where
+    # both builders observed None and the second insert orphaned the
+    # first entry)
+    with _QUANT_LOCK:
+        raced = _QUANT_CACHE.get(key)
+        if raced is None:
+            while len(_QUANT_CACHE) >= _QUANT_CACHE_MAX:
+                oldest = next(iter(_QUANT_CACHE))
+                _QUANT_CACHE.pop(oldest).unpersist()
+            _QUANT_CACHE[key] = hit
     if raced is not None:
         hit.unpersist()
         return raced
-    while len(_QUANT_CACHE) >= _QUANT_CACHE_MAX:
-        oldest = next(iter(_QUANT_CACHE))
-        _QUANT_CACHE.pop(oldest).unpersist()
-    _QUANT_CACHE[key] = hit
     return hit
 
 

@@ -32,7 +32,9 @@ shuffles once on the pair key and the part-total join is co-located
 on the part key.
 
 Exactness: revenues/profits sum through DECIMAL(38,6) dsum; Q11/Q15
-compare centi-int floors; Q20 compares milli-int quantity shares via
+compare centi-int floors whose rollups sum through DECIMAL(38,0)
+bsum (total-form BIGINT cast — NULL beyond int64 in BOTH engines,
+never wrap-vs-raise); Q20 compares milli-int quantity shares via
 a truncating integer div of the part total (overflow-free where a x8
 multiply on the pair sum is not), so no rational division ever
 crosses engines.
@@ -46,7 +48,8 @@ from pyspark.sql import functions as F
 from psx_data_pipeline_spark.functions.numeric import (
     CENTI_SQL,
     MILLI_SQL,
-    centi,
+    bsum,
+    bsum_sql,
     dsum,
     dsum_sql,
     milli,
@@ -183,13 +186,12 @@ _Q11_DENOM = 1500
 TPCH_Q11_ORACLE = f"""
 WITH v AS (
   SELECT l_partkey,
-         CAST(sum({CENTI_SQL.format('l_extendedprice')}) AS BIGINT)
-           AS val_centi
+         {bsum_sql(CENTI_SQL.format('l_extendedprice'))} AS val_centi
   FROM lineitem WHERE l_partkey IS NOT NULL
   GROUP BY l_partkey
 ),
 t AS (
-  SELECT CAST(sum(val_centi) AS BIGINT) // {_Q11_DENOM} AS thr FROM v
+  SELECT {bsum_sql('val_centi')} // {_Q11_DENOM} AS thr FROM v
 )
 SELECT v.l_partkey AS partkey, v.val_centi
 FROM v CROSS JOIN t
@@ -207,18 +209,23 @@ def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating div — DuckDB ``//`` and Spark ``div`` both truncate
     toward zero, verified for NEGATIVE totals too, e.g. -1501//1500
     = -1 in both, so an all-negative-revenue corpus — the generative
-    fuzz drives this — stays cross-engine identical)."""
+    fuzz drives this — stays cross-engine identical). Both sum
+    levels run through bsum's DECIMAL(38,0) (round-8 advice find: a
+    plain long sum of gated centi terms has only ~10^4 worst-case
+    rows of headroom before non-ANSI Spark wraps where DuckDB
+    raises); the div stays on the gated BIGINT because DECIMAL
+    div/``//`` rounding diverges between engines."""
     v = (
         load_table(spark, "lineitem", sf_dir)
         .where(F.col("l_partkey").isNotNull())
         .groupBy("l_partkey")
         .agg(
-            F.sum(centi("l_extendedprice")).cast("long").alias("val_centi")
+            bsum(CENTI_SQL.format("l_extendedprice")).alias("val_centi")
         )
     )
     thr = v.agg(
         F.expr(
-            f"CAST(sum(val_centi) AS BIGINT) div {_Q11_DENOM}"
+            f"{bsum_sql('val_centi')} div {_Q11_DENOM}"
         ).alias("thr")
     )
     return (
@@ -304,7 +311,7 @@ _Q15_REV = CENTI_SQL.format("(l_extendedprice * (1 - l_discount))")
 
 TPCH_Q15_ORACLE = f"""
 WITH rev AS (
-  SELECT l_suppkey, CAST(sum({_Q15_REV}) AS BIGINT) AS rev_centi
+  SELECT l_suppkey, {bsum_sql(_Q15_REV)} AS rev_centi
   FROM lineitem
   WHERE l_suppkey IS NOT NULL
     AND CAST(l_shipdate AS DATE) >= DATE '{_Q15_LO}'
@@ -338,7 +345,9 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate").cast("date") < F.lit(_Q15_HI).cast("date"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(F.expr(_Q15_REV)).cast("long").alias("rev_centi"))
+        # bsum (DECIMAL(38,0) sum, total-form BIGINT cast): same
+        # overflow-headroom fix as Q11 — see its docstring
+        .agg(bsum(_Q15_REV).alias("rev_centi"))
     )
     m = rev.agg(F.max("rev_centi").alias("max_rev"))
     s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")

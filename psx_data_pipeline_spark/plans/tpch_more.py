@@ -136,7 +136,7 @@ WHERE l.l_returnflag = 'R'
   AND CAST(o.o_orderdate AS DATE) >= DATE '{_Q10_LO}'
   AND CAST(o.o_orderdate AS DATE) <  DATE '{_Q10_HI}'
 GROUP BY c.c_custkey, c.c_name, n.n_name
-ORDER BY revenue DESC, c.c_custkey
+ORDER BY revenue DESC, c.c_custkey, c.c_name, n.n_name
 LIMIT {_Q10_N}
 """
 
@@ -146,9 +146,12 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: the top-20 (_Q10_N) customers who returned the most
     revenue in one quarter. The rollup keys on the customer; the
     top-N lowers to TakeOrderedAndProject (per-partition heaps of
-    _Q10_N rows — no global sort at any scale), with c_custkey as
-    the total tiebreak so both engines select the identical set
-    when revenues tie (revenue is the exact DECIMAL(38,6) sum)."""
+    _Q10_N rows — no global sort at any scale). The sort carries the
+    FULL group key (c_custkey, c_name, nation) after revenue so the
+    cut is a total order even under a hostile duplicate-custkey
+    customer dim (round-8 advice find: revenue+custkey alone lets
+    two same-key groups tie at the LIMIT boundary and each engine
+    keep a different one); revenue is the exact DECIMAL(38,6) sum."""
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir).where(
         (F.col("o_orderdate").cast("date") >= F.lit(_Q10_LO).cast("date"))
@@ -170,7 +173,12 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .orderBy(
+            F.desc("revenue"),
+            F.asc("c_custkey"),
+            F.asc("c_name"),
+            F.asc("nation"),
+        )
         .limit(_Q10_N)
     )
 
