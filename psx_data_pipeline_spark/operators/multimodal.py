@@ -60,12 +60,12 @@ _FRAME_CHARS = 256  # fake frame = 256-char slice of the payload
 _FRAME_STRIDE = 10  # keep every 10th frame
 
 
-def _decode_bmp(b: bytes) -> dict:
-    """Uncompressed 24bpp BMP (BITMAPINFOHEADER or later). Pixel rows
-    are stored bottom-up (unless height < 0) with 4-byte padding; the
-    digest is over the UNPADDED bytes reassembled top-down, in the
-    file's stored channel order (BGR) — a canonical form that is
-    independent of padding and row direction."""
+def _bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
+    """Parse an uncompressed 24bpp BMP (BITMAPINFOHEADER or later)
+    into (width, height, channels, pixels) with pixels as UNPADDED
+    bytes reassembled top-down in the file's stored channel order
+    (BGR) — a canonical form independent of padding and the stored
+    row direction (bottom-up unless height < 0)."""
     if len(b) < 54:
         raise ValueError("truncated BMP header")
     (pixel_off,) = struct.unpack_from("<I", b, 10)
@@ -91,20 +91,28 @@ def _decode_bmp(b: bytes) -> dict:
     ]
     if not top_down:
         rows.reverse()
+    return width, h, 3, b"".join(rows)
+
+
+def _decode_bmp(b: bytes) -> dict:
+    """Uncompressed 24bpp BMP → metadata + md5 over the canonical
+    pixel bytes (see _bmp_pixels)."""
+    width, h, channels, px = _bmp_pixels(b)
     return {
         "format": "bmp",
         "width": width,
         "height": h,
-        "channels": 3,
-        "pixel_digest": hashlib.md5(b"".join(rows)).hexdigest(),
+        "channels": channels,
+        "pixel_digest": hashlib.md5(px).hexdigest(),
     }
 
 
-def _decode_netpbm(b: bytes) -> dict:
-    """Binary netpbm: P6 (RGB) / P5 (gray), 8-bit. Header is magic +
-    three whitespace-separated ints (width, height, maxval) with
+def _netpbm_pixels(b: bytes) -> tuple[int, int, int, bytes]:
+    """Parse binary netpbm (P6 RGB / P5 gray, 8-bit) into
+    (width, height, channels, pixels). Header is magic + three
+    whitespace-separated ints (width, height, maxval) with
     '#'-comment lines allowed, then ONE whitespace byte, then raw
-    pixel bytes."""
+    top-down row-major pixel bytes."""
     magic = b[:2]
     idx = 2
     vals: list[int] = []
@@ -132,6 +140,12 @@ def _decode_netpbm(b: bytes) -> dict:
     px = b[idx : idx + need]
     if len(px) < need:
         raise ValueError("truncated netpbm pixel data")
+    return width, height, channels, px
+
+
+def _decode_netpbm(b: bytes) -> dict:
+    """Binary netpbm → metadata + md5 over the raw pixel bytes."""
+    width, height, channels, px = _netpbm_pixels(b)
     return {
         "format": "ppm" if channels == 3 else "pgm",
         "width": width,
@@ -233,6 +247,242 @@ def encode_ppm(width: int, height: int, fill: int) -> bytes:
     return (b"P6\n%d %d\n255\n" % (width, height)) + bytes([fill]) * (
         width * height * 3
     )
+
+
+def encode_bmp_px(width: int, height: int, px: bytes) -> bytes:
+    """Uncompressed 24bpp bottom-up BMP around explicit pixel bytes
+    (``px`` = top-down row-major triplets): the non-uniform sibling of
+    encode_bmp — rows are re-ordered bottom-up and stride-padded, so
+    decoding through _bmp_pixels round-trips to ``px`` exactly."""
+    row = width * 3
+    stride = (row + 3) & ~3
+    header = struct.pack("<2sIHHI", b"BM", 54 + stride * height, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height,
+        2835, 2835, 0, 0,
+    )
+    pad = b"\x00" * (stride - row)
+    body = b"".join(
+        px[r * row : (r + 1) * row] + pad for r in reversed(range(height))
+    )
+    return header + info + body
+
+
+def encode_ppm_px(width: int, height: int, px: bytes) -> bytes:
+    """Binary P6 PPM around explicit top-down pixel bytes."""
+    return (b"P6\n%d %d\n255\n" % (width, height)) + px
+
+
+# --- Perceptual hashing (dHash) ----------------------------------------------
+#
+# dHash: sample the decoded image to a 9×8 grayscale grid (nearest
+# neighbor), emit bit (r,c) = grid[r][c+1] > grid[r][c] — 64 gradient
+# bits that survive re-encoding, container changes, and small global
+# brightness shifts. The 64 bits are packed as FOUR 16-bit integer
+# bands so (a) no int64 sign-bit gymnastics and (b) the bands ARE the
+# pigeonhole blocking key: Hamming(x, y) ≤ 3 ⇒ at least one of the 4
+# bands is bit-identical, so an equi-join on (band_idx, band_value)
+# is a LOSSLESS candidate generator — never an all-pairs comparison.
+
+DHASH_COLS = 9  # sampled grid columns (8 horizontal comparisons/row)
+DHASH_ROWS = 8
+
+
+def dhash_bands(width: int, height: int, channels: int, px: bytes) -> list[int]:
+    """Four 16-bit dHash bands over canonical top-down pixel bytes.
+
+    Grid sample (r, c) reads source pixel (c·w//9, r·h//8); grayscale
+    is the integer mean of the stored channels (order-independent, so
+    BMP's BGR and PPM's RGB hash identically). Bit j = r·8+c lands in
+    band j//16 at position j%16."""
+    if width < DHASH_COLS or height < DHASH_ROWS:
+        raise ValueError("image smaller than the dhash sample grid")
+    bands = [0, 0, 0, 0]
+    for r in range(DHASH_ROWS):
+        sy = (r * height) // DHASH_ROWS
+        row_off = sy * width * channels
+        grid = []
+        for c in range(DHASH_COLS):
+            o = row_off + ((c * width) // DHASH_COLS) * channels
+            grid.append(sum(px[o : o + channels]) // channels)
+        for c in range(DHASH_COLS - 1):
+            if grid[c + 1] > grid[c]:
+                j = r * 8 + c
+                bands[j // 16] |= 1 << (j % 16)
+    return bands
+
+
+def pattern_params(i: int) -> tuple[int, int, int, int, int, int]:
+    """Closed-form pattern parameters for the image fixtures:
+    (width, height, ax, ay, bx, phase) with pixel value
+    P(x, y) = (ax·x² + ay·y² + bx·x + phase) % 256 on all 3 channels.
+    QUADRATIC on purpose: a linear ramp dHashes to near-all-ones
+    (every non-wrap step ascends), which collided almost every doc
+    with every other (measured 12.7k pairs / 500 docs); the quadratic
+    wraps mod 256 at varying rates so hashes carry real entropy
+    (122 pairs / 500 docs, all true near-dups, linear in corpus size).
+
+    Docs form groups of 4 (g = i//4): members 0 and 1 differ only by
+    a +1 phase shift (a near-identical image — dHash bits flip only
+    where a mod-256 wrap crosses a sampled cell), member 2 bumps the
+    quadratic coefficient (far), member 3 swaps the axis coefficients
+    and shifts phase (far). The oracle states the same arithmetic in
+    SQL (plans/multimodal.IMAGE_NEAR_DUP_ORACLE)."""
+    g, m = divmod(i, 4)
+    w, h = 12 + g % 9, 10 + g % 7
+    ax, ay, bx, ph = 7 + g % 11, 3 + g % 5, 1 + g % 13, (5 * g) % 256
+    if m == 1:
+        return w, h, ax, ay, bx, (ph + 1) % 256
+    if m == 2:
+        return w, h, ax + 1, ay, bx, ph
+    if m == 3:
+        return w, h, ay, ax, bx, (ph + 101) % 256
+    return w, h, ax, ay, bx, ph
+
+
+def synth_patterned_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic NON-uniform real-container fixtures: one gradient
+    image per row (pattern_params closed form), BMP for even ids /
+    PPM for odd — so a near-dup pair (group members 0/1) always
+    crosses container formats and the hash must be container-blind.
+    Stands in for raw bytes ingested from an object store."""
+    import numpy as np  # noqa: PLC0415 — worker-side import
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h, ax, ay, bx, ph = pattern_params(i)
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                v = (ax * x * x + ay * y * y + bx * x + ph) % 256
+                px = np.repeat(v.astype(np.uint8), 3).tobytes()
+                payloads.append(
+                    encode_bmp_px(w, h, px) if i % 2 == 0
+                    else encode_ppm_px(w, h, px)
+                )
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "payload": pd.array(payloads, dtype=object),
+            })
+
+    return df.mapInPandas(batches, PAYLOAD_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), True),
+    T.StructField("b0", T.LongType(), True),
+    T.StructField("b1", T.LongType(), True),
+    T.StructField("b2", T.LongType(), True),
+    T.StructField("b3", T.LongType(), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def _phash_real(payload: bytes, modality: str) -> dict:
+    """Decode a real image container and dHash it (bands dict)."""
+    if payload[:2] == b"BM":
+        w, h, ch, px = _bmp_pixels(payload)
+    elif payload[:2] in (b"P5", b"P6"):
+        w, h, ch, px = _netpbm_pixels(payload)
+    else:
+        raise ValueError("unsupported image container (need BMP24/P5/P6)")
+    b0, b1, b2, b3 = dhash_bands(w, h, ch, px)
+    return {"b0": b0, "b1": b1, "b2": b2, "b3": b3}
+
+
+def perceptual_hash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """dHash an opaque binary image column, Arrow batch by Arrow batch
+    (narrow — no shuffle; payloads never on the driver). One row per
+    image: four 16-bit hash bands + per-row contained error."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in PHASH_SCHEMA}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d, err = _contained(_phash_real, payload, "image")
+                out["doc_id"].append(int(doc_id))
+                for k in ("b0", "b1", "b2", "b3"):
+                    out[k].append(d.get(k))
+                out["error"].append(err)
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "b0": pd.array(out["b0"], dtype="Int64"),
+                "b1": pd.array(out["b1"], dtype="Int64"),
+                "b2": pd.array(out["b2"], dtype="Int64"),
+                "b3": pd.array(out["b3"], dtype="Int64"),
+                "error": pd.array(out["error"], dtype="object"),
+            })
+
+    return df.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance.
+
+    Same scale shape as operators/dedup.simhash_near_pairs: exact
+    hash duplicates collapse to a min-id representative first (a
+    duplicated corpus would otherwise make every band bucket
+    quadratic in the duplication factor), candidates come from a
+    LOSSLESS pigeonhole equi-join on (band_idx, band_value) — 4 bands
+    > max_hamming 3 ⇒ any qualifying pair shares a band — and
+    verification is the exact 64-bit Hamming distance via per-band
+    bit_count(xor). The rep-pair set and the id→rep map are small and
+    checkpointed; the final expansion is output-bound and lazy."""
+    from pyspark.sql import Window  # noqa: PLC0415 — keep module header lean
+    from psx_data_pipeline_spark.operators.dedup import (  # noqa: PLC0415
+        _expand_dup_pairs,
+    )
+
+    bcols = ["b0", "b1", "b2", "b3"]
+    grouped = (
+        hashes.where(F.col("error").isNull())
+        .select("doc_id", *bcols)
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy(*bcols)))
+        .persist()
+    )
+    reps = grouped.where(F.col("doc_id") == F.col("rep")).select("doc_id", *bcols)
+    members = grouped.select(F.col("doc_id").alias("id"), "rep")
+    bands = reps.select(
+        "doc_id", *bcols,
+        F.posexplode(F.array(*bcols)).alias("band", "bval"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("rep_a"),
+        *[F.col(c).alias(f"a{k}") for k, c in enumerate(bcols)],
+        "band", "bval",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("rep_b"),
+        *[F.col(c).alias(f"x{k}") for k, c in enumerate(bcols)],
+        "band", "bval",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"x{k}"))) for k in range(4)
+    ).cast("long")
+    rep_pairs = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b", *[f"a{k}" for k in range(4)],
+                *[f"x{k}" for k in range(4)])
+        .distinct()
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("rep_a", "rep_b", "hamming")
+        .localCheckpoint(eager=True)  # small: qualifying rep pairs only
+    )
+    members_ck = members.localCheckpoint(eager=True)  # small: id → rep
+    out = _expand_dup_pairs(
+        rep_pairs, members_ck, ["hamming"],
+        {"hamming": F.lit(0).cast("long")},
+    )
+    grouped.unpersist()
+    return out
 
 
 def encode_wav(sample_rate: int, samples) -> bytes:

@@ -15,9 +15,12 @@ from psx_data_pipeline_spark.operators.multimodal import (
     decode_video_frames,
     synth_video_payloads,
     extract_features,
+    perceptual_hash,
+    phash_near_pairs,
     sample_frames,
     synth_audio_payloads,
     synth_image_payloads,
+    synth_patterned_images,
 )
 from psx_data_pipeline_spark.plans.registry import query
 from psx_data_pipeline_spark.sources.fixtures import load_table
@@ -139,6 +142,86 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the well-formed fixtures here)."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
     return decode_audio(synth_audio_payloads(docs))
+
+
+# The patterned fixtures have a closed pixel form (operators/
+# multimodal.pattern_params): P(x,y) = (ax·x² + ay·y² + bx·x + ph)
+# % 256 on all three channels, so the oracle can restate the ENTIRE
+# pipeline — 9×8 grid sample, dHash gradient bits, 16-bit band
+# packing, pigeonhole band join, Hamming verify — as integer SQL.
+# The Spark side truly decodes the BMP/PPM containers (header parse,
+# bottom-up reassembly, stride strip) before hashing; container
+# round-trip of non-uniform pixels is pinned by tests/test_phash.py.
+IMAGE_NEAR_DUP_ORACLE = """
+WITH q AS (
+  SELECT doc_id,
+         12 + (doc_id // 4) % 9 AS w,
+         10 + (doc_id // 4) % 7 AS h,
+         CASE doc_id % 4
+           WHEN 2 THEN 8 + (doc_id // 4) % 11
+           WHEN 3 THEN 3 + (doc_id // 4) % 5
+           ELSE 7 + (doc_id // 4) % 11 END AS ax,
+         CASE doc_id % 4
+           WHEN 3 THEN 7 + (doc_id // 4) % 11
+           ELSE 3 + (doc_id // 4) % 5 END AS ay,
+         1 + (doc_id // 4) % 13 AS bx,
+         CASE doc_id % 4
+           WHEN 1 THEN ((5 * (doc_id // 4)) % 256 + 1) % 256
+           WHEN 3 THEN ((5 * (doc_id // 4)) % 256 + 101) % 256
+           ELSE (5 * (doc_id // 4)) % 256 END AS ph
+  FROM documents
+), grid AS (
+  SELECT doc_id, r.r AS r, c.c AS c,
+         (ax * ((c.c * w) // 9) * ((c.c * w) // 9)
+          + ay * ((r.r * h) // 8) * ((r.r * h) // 8)
+          + bx * ((c.c * w) // 9) + ph) % 256 AS gv
+  FROM q, range(8) r(r), range(9) c(c)
+), bits AS (
+  SELECT a.doc_id, a.r * 8 + a.c AS j,
+         CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit
+  FROM grid a
+  JOIN grid b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.c < 8
+), bands AS (
+  SELECT doc_id, j // 16 AS band,
+         CAST(SUM(bit * (1 << (j % 16))) AS BIGINT) AS bval
+  FROM bits GROUP BY doc_id, j // 16
+), hv AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band = 0 THEN bval END) AS b0,
+         MAX(CASE WHEN band = 1 THEN bval END) AS b1,
+         MAX(CASE WHEN band = 2 THEN bval END) AS b2,
+         MAX(CASE WHEN band = 3 THEN bval END) AS b3
+  FROM bands GROUP BY doc_id
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bval = y.bval
+  WHERE x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT c.id_a, c.id_b,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+           AS BIGINT) AS hamming
+  FROM cand c
+  JOIN hv a ON a.doc_id = c.id_a
+  JOIN hv b ON b.doc_id = c.id_b
+) WHERE hamming <= 3
+"""
+
+
+@query("image_near_dup", IMAGE_NEAR_DUP_ORACLE)
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup dedup — the multimodal × dedup
+    intersection: synthesize one real gradient BMP/PPM container per
+    document (group members 0/1 are near-identical images in
+    DIFFERENT container formats), decode + dHash inside Arrow-batched
+    mapInPandas (operators/multimodal.perceptual_hash), then find
+    pairs with Hamming ≤ 3 via the lossless 4-band pigeonhole
+    equi-join + exact bit_count verify (phash_near_pairs — same scale
+    shape as SimHash: collapse, block, verify, output-bound expand)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return phash_near_pairs(perceptual_hash(synth_patterned_images(docs)))
 
 
 # The fixture clips (operators/multimodal.synth_video_payloads):

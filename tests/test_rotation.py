@@ -131,3 +131,29 @@ def test_rehearsal_families_cover_every_registered_query():
         sorted(set(QUERIES) - in_families),
         sorted(in_families - set(QUERIES)),
     )
+
+
+def test_explains_covers_every_registered_query():
+    """EXPLAINS.md is a complete generated record: one `## name`
+    section per registered batch query, streaming names in the
+    exclusion list — a registry addition without a regenerated
+    EXPLAINS (python tools/explain_audit.py) fails here, so the
+    appendix can no longer rot silently."""
+    import os
+    import re
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    from explain_audit import STREAMING_EXCLUDED
+
+    from psx_data_pipeline_spark.plans import QUERIES
+
+    text = open(os.path.join(here, "EXPLAINS.md")).read()
+    sections = set(re.findall(r"^## (\S+)$", text, re.M))
+    sections.discard("Streaming")  # the exclusion section's heading
+    expected = set(QUERIES) - set(STREAMING_EXCLUDED)
+    assert sections == expected, (
+        sorted(expected - sections), sorted(sections - expected),
+    )
+    assert set(STREAMING_EXCLUDED) <= set(QUERIES)

@@ -19,9 +19,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# One representative per plan family — chosen for the decisions worth
-# auditing (join strategy, pushdown, window partitioning, explode
-# blocking), not for count.
+# Curated one-line "what to read for" notes, per query. Every
+# registered non-streaming query gets a section (completeness is
+# asserted at generation time and pinned by tests/test_rotation.py's
+# EXPLAINS freshness check); queries without a curated note get a
+# default pointer to their SCALE_SUMMARY row.
 HEADLINERS = [
     ("pricing_summary", "scan pushdown + partial aggregation"),
     ("ticker_sync_changes", "full sync pipeline: anti-joins + blocked rename join"),
@@ -123,6 +125,7 @@ HEADLINERS = [
     ("tpch_q6_forecast_revenue", "pure scan-aggregate: every predicate pushed, 4-column read"),
     ("tpch_q20_surplus_suppliers", "one part-key exchange feeds pair agg + part-total window (no self-join)"),
     ("embedding_centroid_drift", "(label,split,dim) agg; bounded centroid self-join"),
+    ("image_near_dup", "Arrow dHash + lossless 4-band pigeonhole equi-join"),
 ]
 
 # Structured Streaming queries (plans/stream.py, streaming/jobs.py)
@@ -140,6 +143,7 @@ STREAMING_EXCLUDED = [
     "stream_vocab_sketch", "stream_heavy_hitters", "stream_video_decode",
     "stream_blocklist", "stream_constraint_audit", "stream_pseudonymize",
     "stream_label_vote", "stream_zone_maps", "stream_cdc_apply",
+    "stream_pii_scan",
 ]
 
 
@@ -158,15 +162,26 @@ def main() -> int:
     spark = get_spark("explain_audit")
     spark.sparkContext.setLogLevel("ERROR")
 
+    curated = dict(HEADLINERS)
+    batch_names = [n for n in QUERIES if n not in STREAMING_EXCLUDED]
+    missing_stream = [
+        n for n in QUERIES
+        if n.startswith("stream_") and n not in STREAMING_EXCLUDED
+    ]
+    if missing_stream:
+        print(f"new streaming queries need an exclusion entry: "
+              f"{missing_stream}", file=sys.stderr)
+        return 1
+
     lines = [
-        "# EXPLAINS — formatted physical plans of the headline queries",
+        "# EXPLAINS — formatted physical plans, every registered query",
         "",
-        "> **Deep-dive appendix, deliberately non-exhaustive.** The",
-        "> canonical per-query plan record is `SCALE_SUMMARY.md`",
-        "> (generated from the actual physical plans, covers every",
-        "> registered query). This file keeps full formatted plans +",
-        "> commentary only for the queries whose shape needed arguing;",
-        "> when the two disagree, the generated table wins (see README).",
+        "> **Complete generated record.** One section per registered",
+        "> batch query (completeness asserted at generation time);",
+        "> streaming queries are excluded with the reason below. The",
+        "> one-line-per-query index with shuffle/broadcast counts and",
+        "> measured walls is `SCALE_SUMMARY.md`; this file is the full",
+        "> operator tree for reading an individual plan.",
         "",
         "Generated by `python tools/explain_audit.py` (plan shapes are",
         "data-size independent; captured at sf0.001). The things to read",
@@ -178,7 +193,13 @@ def main() -> int:
         "`WholeStageCodegen` spans covering the hot expressions.",
         "",
     ]
-    for name, why in HEADLINERS:
+    from psx_data_pipeline_spark.plans import clear_session_memos
+
+    for name in batch_names:
+        why = curated.get(
+            name, "see the SCALE_SUMMARY.md row for this query's counts"
+        )
+        clear_session_memos()  # dump the true first-run plan
         df = QUERIES[name](spark, args.sf_dir)
         plan = (
             df._jdf.queryExecution().explainString(
@@ -203,7 +224,8 @@ def main() -> int:
 
     with open(args.out, "w") as fh:
         fh.write("\n".join(lines))
-    print(f"wrote {args.out} ({len(HEADLINERS)} plans)")
+    print(f"wrote {args.out} ({len(batch_names)} plans, "
+          f"{len(STREAMING_EXCLUDED)} streaming exclusions)")
     return 0
 
 

@@ -108,6 +108,23 @@ def build_corpus() -> None:
         {"o_orderkey": 900005, "o_custkey": 2, "o_orderstatus": "O",
          "o_totalprice": 0.0,
          "o_orderdate": dt.datetime(2099, 6, 1), "o_orderpriority": "4-LOW"},
+        # DUPLICATE orderkey: a fact-PK violation — the lineitem ↔
+        # orders joins (Q4/Q12/Q21's exists/anti shapes, Q13's counts)
+        # must fan out identically in both engines, and any
+        # keep-one-per-key pick must carry a TOTAL tiebreak
+        {"o_orderkey": 900010, "o_custkey": 4, "o_orderstatus": "O",
+         "o_totalprice": 10.0,
+         "o_orderdate": dt.datetime(2024, 2, 1), "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 900010, "o_custkey": 5, "o_orderstatus": "F",
+         "o_totalprice": 20.0,
+         "o_orderdate": dt.datetime(2024, 2, 2), "o_orderpriority": "5-LOW"},
+        # timestamp-domain maximum: 9999-12-31 must stay a plain
+        # comparable date (band predicates put it in the last band,
+        # never overflow a date cast) in BOTH engines
+        {"o_orderkey": 900011, "o_custkey": 4, "o_orderstatus": "O",
+         "o_totalprice": 30.0,
+         "o_orderdate": dt.datetime(9999, 12, 31),
+         "o_orderpriority": "2-HIGH"},
     ])
     _append("lineitem", [
         {"l_orderkey": 900001, "l_partkey": 1, "l_suppkey": 1,
@@ -146,6 +163,27 @@ def build_corpus() -> None:
          "l_linenumber": 4, "l_quantity": 1e30, "l_extendedprice": 1e30,
          "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
          "l_linestatus": "O", "l_shipdate": dt.datetime(2024, 1, 16)},
+        # shipdate at the timestamp-domain maximum (see orders 900011)
+        {"l_orderkey": 900004, "l_partkey": 2, "l_suppkey": 2,
+         "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 10.0,
+         "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+         "l_linestatus": "O", "l_shipdate": dt.datetime(9999, 12, 31)},
+        # Q15 FORCED MULTI-WAY TIE: suppliers 900021/900022 each ship
+        # exactly one line in the Q15 quarter with identical revenue
+        # (1e7·100 = 1e9 centi, exact in double, far above any
+        # fixture supplier's quarter) — the max-equality join must
+        # return BOTH co-leaders in both engines, and the bsum centi
+        # quantization must make the tie exact, never float-fuzzy
+        {"l_orderkey": 900020, "l_partkey": 3, "l_suppkey": 900021,
+         "l_linenumber": 1, "l_quantity": 1.0,
+         "l_extendedprice": 10000000.0, "l_discount": 0.0, "l_tax": 0.0,
+         "l_returnflag": "N", "l_linestatus": "O",
+         "l_shipdate": dt.datetime(1996, 2, 15)},
+        {"l_orderkey": 900020, "l_partkey": 3, "l_suppkey": 900022,
+         "l_linenumber": 2, "l_quantity": 1.0,
+         "l_extendedprice": 10000000.0, "l_discount": 0.0, "l_tax": 0.0,
+         "l_returnflag": "N", "l_linestatus": "O",
+         "l_shipdate": dt.datetime(1996, 2, 16)},
     ])
     _append("part", [
         {"p_partkey": 900001, "p_name": None, "p_brand": None,
@@ -176,6 +214,11 @@ def build_corpus() -> None:
         # fans out — identically in both engines or not at all
         {"s_suppkey": 1, "s_name": "Dup Supplier", "s_nationkey": 2,
          "s_acctbal": -5.0},
+        # the Q15 forced-tie co-leaders (see lineitem 900020)
+        {"s_suppkey": 900021, "s_name": "Tie Supplier A",
+         "s_nationkey": 1, "s_acctbal": 0.0},
+        {"s_suppkey": 900022, "s_name": "Tie Supplier B",
+         "s_nationkey": 2, "s_acctbal": 0.0},
     ])
 
 

@@ -39,28 +39,66 @@ STATE_BOUNDS = {
 
 _STREAM_PREFIX = "stream_"
 
-# Why a ≥8× growth ratio is the ANSWER growing, not the plan
-# degrading — curated from SCALE.md's rehearsal analyses. Every
-# high-growth row must either carry one of these or be a memo/stream
-# artifact; the generator warns otherwise so a new scale-killer can't
-# hide in the table.
-OUTPUT_BOUND = {
-    "lsh_bucketed_neighbors": (
+# Why a ≥5× growth ratio is the ANSWER or the WORKLOAD growing, not
+# the plan degrading — curated from SCALE.md's rehearsal analyses.
+# Each entry is (note, cap): growth past the cap trips UNEXPLAINED
+# even for a curated name, so a later, larger regression can't hide
+# behind an old justification. Caps: output-bound answers may grow
+# with the SQUARE of the rehearsal's 10× duplication (cap 16, the
+# historical 2×8 envelope); linear-scan work is capped at 10 (at or
+# below linear IS the claim); micro-batch streams get 12 for their
+# measured ±60-70 % batch-scheduling jitter.
+GROWTH_NOTES: dict[str, tuple[str, float]] = {
+    "lsh_bucketed_neighbors": ((
         "output-bound: the rehearsal corpus duplicates every vector "
         "10×, so every copy-pair is a true near-dup — answer volume "
         "grows with the SQUARE of duplication (SCALE.md)"
-    ),
-    "pq_adc_topk": (
+    ), 16.0),
+    "pq_adc_topk": ((
         "output-bound: top-k pair expansion under the 10×-duplicated "
         "corpus; the ADC scan itself is linear per row (SCALE.md)"
-    ),
-    "range_join_binned": (
+    ), 16.0),
+    "range_join_binned": ((
         "pair density per time bin grows with the duplicated corpus; "
         "the keyless bin explode parallelizes it across bins "
         "(SCALE.md)"
-    ),
+    ), 16.0),
+    "cosine_topk": ((
+        "brute-force baseline is linear in the corpus BY DEFINITION; "
+        "sub-linear measured growth on a ~1.2 s 1× wall that sits in "
+        "the pinned jitter class (BENCH_FLOOR re-pin, 1.18-1.77 s)"
+    ), 10.0),
+    "ivf_topk": ((
+        "probed-cell scan grows with the corpus; cell pruning keeps "
+        "it sub-linear (5.3× at 10×) — the scale path vs cosine_topk"
+    ), 10.0),
+    "embedding_dedup": ((
+        "hash-group on the quantized vector is linear in the corpus; "
+        "10× duplication inflates group sizes, not candidates — "
+        "survivors stay constant"
+    ), 10.0),
+    "pricing_summary": ((
+        "TPC-H Q1 full-scan aggregation — work is linear in lineitem "
+        "by definition; 5.6× at 10× rows is sub-linear"
+    ), 10.0),
+    "tpch_q7_volume_shipping": ((
+        "multi-dim equi-join + agg, work linear in lineitem; "
+        "sub-linear measured (dims broadcast, partial aggs combine)"
+    ), 10.0),
+    "tpch_q8_market_share": ((
+        "same shape as Q7: lineitem-linear join tree behind partial "
+        "aggregation; sub-linear measured"
+    ), 10.0),
+    "stream_pseudonymize": ((
+        "per-row micro-batch map, linear; wall dominated by batch "
+        "scheduling — stream jitter class (±60-70 %, SCALE.md)"
+    ), 12.0),
+    "stream_pii_scan": ((
+        "per-row regexp_count micro-batch scan, linear; stream "
+        "jitter class (±60-70 %, SCALE.md)"
+    ), 12.0),
 }
-_GROWTH_NOTE_BAR = 8.0
+_GROWTH_NOTE_BAR = 5.0
 
 
 def _plan_counts(df) -> tuple[int, int, bool]:
@@ -165,17 +203,19 @@ def main() -> int:
             t1 and t10 and t10 / t1 >= _GROWTH_NOTE_BAR and memo != "warm"
         )
         if high_growth:
-            # the curated justification only covers the KNOWN
-            # output-bound ratio; a later, larger regression must
-            # still trip the warning instead of hiding behind it
-            if name in OUTPUT_BOUND and t10 / t1 < 2 * _GROWTH_NOTE_BAR:
-                note = (note + "; " if note else "") + OUTPUT_BOUND[name]
+            # the curated justification only covers the KNOWN ratio
+            # up to its cap; a later, larger regression must still
+            # trip the warning instead of hiding behind it
+            curated = GROWTH_NOTES.get(name)
+            if curated and t10 / t1 <= curated[1]:
+                note = (note + "; " if note else "") + curated[0]
             else:
                 note = (note + "; " if note else "") + (
-                    "UNEXPLAINED ≥8× growth — investigate before shipping"
+                    f"UNEXPLAINED ≥{_GROWTH_NOTE_BAR:.0f}× growth — "
+                    "investigate before shipping"
                 )
                 print(f"WARNING: {name} grew {t10 / t1:.1f}× with no "
-                      "(current) output-bound justification",
+                      "(current) justification covering that ratio",
                       file=sys.stderr)
         rows.append((name, fam, shuffles, bcasts, py,
                      f"{t1:.2f}" if t1 is not None else "",
@@ -194,12 +234,15 @@ def main() -> int:
         "Shuffle counts are of the true first-run plan (session memos",
         "cleared), unique-operator deduped across cached-subtree",
         "reprints. Growth well under 10× = sub-linear. Entries at or",
-        "above 8× carry a curated justification in the note column or",
-        "an UNEXPLAINED flag; they are either OUTPUT-bound under the",
+        "above 5× carry a curated justification in the note column or",
+        "an UNEXPLAINED flag, each with a per-name growth cap past",
+        "which the flag fires anyway; they are OUTPUT-bound under the",
         "corpus's 10×",
         "content/timestamp duplication (a binned range join's pair",
         "count is quadratic in per-bin density — the output itself",
-        "grows ~100×; near-dup pair expansion likewise) or sub-second",
+        "grows ~100×; near-dup pair expansion likewise), plain",
+        "linear-scan work (at-or-below-linear is the claim, cap 10),",
+        "or sub-second",
         "1× baselines where scheduling noise dominates the ratio —",
         "the per-round rehearsals in SCALE.md track these",
         "case-by-case. Per-family state-bound arguments follow the",
