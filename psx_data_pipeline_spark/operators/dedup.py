@@ -129,31 +129,61 @@ def dedup_latest(df: DataFrame, key: str, order_col: str, tiebreak: str) -> Data
 
 # --- MinHash + LSH ----------------------------------------------------------
 
-def minhash_signatures(
+def minhash_signature_array(
     df: DataFrame, text_col: str, id_col: str, k: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """Per-document MinHash signature as (id, i, minv) rows.
+    """Per-document MinHash signature as ONE (id, sig: array<long>)
+    row — the wide min-aggregation without a stack-to-rows step.
 
-    Shingle hashing is an array expression (no explode); the k
-    permutations are a broadcast-joined constants table; min per
-    (doc, perm) is a map-side-combinable aggregate.
+    Shingle hashing is an array expression (no explode of the hash
+    step); the k permutation mins are k agg columns over the shingle
+    rows, so shuffle volume is k longs per doc after map-side
+    combine, not k × |shingles| rows; a·h+b stays in int64
+    (a, b, h < 2³¹). Downstream band signatures and component
+    agreement become ARRAY PROJECTIONS (slice / zip_with) instead of
+    re-aggregations — minhash_lsh_pairs drops its collect_list bsig
+    shuffle, minhash_calibration its 16×-pair explode + groupBy.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh"),
     ).withColumn("h", md5_long(F.col("sh")) % HASH_P)
-    # One WIDE aggregation — k min-columns over the shingle rows —
-    # instead of a k-way row multiplication (perms broadcast-join ×
-    # groupBy(id, i)): shuffle volume is k longs per doc after
-    # map-side combine, not k × |shingles| rows. a·h+b stays in int64
-    # (a, b, h < 2³¹).
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_P).alias(f"m{i}")
         for i, a, b in minhash_perms(k)
     ]
     wide = sh.groupBy("id").agg(*aggs)
-    stack = ", ".join(f"{i}, m{i}" for i in range(k))
-    return wide.selectExpr("id", f"stack({k}, {stack}) AS (i, minv)")
+    return wide.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature as (id, i, minv) rows — the
+    row-form view of minhash_signature_array for callers that join on
+    the component index (incremental index probes)."""
+    arr = minhash_signature_array(df, text_col, id_col, k, shingle_n)
+    return arr.select("id", F.posexplode("sig").alias("i", "minv"))
+
+
+def band_signatures(sig_arr: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bsig) from array signatures: a pure projection —
+    explode the band index, slice the signature, join the slice as a
+    comma string. No aggregation, no extra shuffle."""
+    return sig_arr.select(
+        "id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        "id",
+        "band",
+        F.expr(
+            f"concat_ws(',', transform(slice(sig, band * {rows_per_band} + 1,"
+            f" {rows_per_band}), x -> CAST(x AS STRING)))"
+        ).alias("bsig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -176,23 +206,15 @@ def minhash_lsh_pairs(
     with DISTINCT texts and the expansion is output-bound."""
     grouped, reps, members = _dup_collapse(df, text_col, id_col)
     rows_per_band = k // bands
-    sig = minhash_signatures(
+    sig = minhash_signature_array(
         reps.select(F.col("id").alias(id_col), F.col("__txt").alias(text_col)),
         text_col, id_col, k, shingle_n,
-    ).withColumn(
-        "band", (F.col("i") / rows_per_band).cast("int")
     )
-    band_sig = sig.groupBy("id", "band").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "minv"))),
-                lambda s: s["minv"].cast("string"),
-            ),
-        ).alias("bsig")
-    # both sides of the self-join read this subtree — persist it so
-    # the signature computation (the expensive part) runs once
-    ).persist()
+    # band signatures are a PROJECTION of the array signature (slice +
+    # concat), not a second aggregation — one shuffle for the whole
+    # signature stage. Both sides of the self-join read this subtree —
+    # persist it so the signature computation runs once.
+    band_sig = band_signatures(sig, bands, rows_per_band).persist()
     a = band_sig.select(
         F.col("id").alias("rep_a"), "band", "bsig"
     )

@@ -215,7 +215,9 @@ def q_symbol_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPEND_CUTOFF_ORACLE = f"""
 WITH s AS ({_SERIES_SQL})
 SELECT symbol_id, max(trade_date) AS last_date,
-       CAST(max(trade_date) + INTERVAL 1 DAY AS DATE) AS next_date,
+       CASE WHEN max(trade_date) < DATE '9999-12-31'
+            THEN CAST(max(trade_date) + INTERVAL 1 DAY AS DATE) END
+         AS next_date,
        count(DISTINCT trade_date) AS n_days
 FROM s GROUP BY symbol_id
 """
@@ -226,13 +228,21 @@ def q_append_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental daily-append cutoff (reference README.md:66-71):
     per-symbol last ingested date + the next date to fetch — a
     metadata-scale aggregate, partition-pruned on a date-partitioned
-    table at scale."""
+    table at scale. next_date is gated at the date-domain maximum:
+    a symbol whose last bar is 9999-12-31 has NO next fetch date
+    (NULL), because +1 day overflows the date domain — Spark's
+    date_add wraps to year 10000 and the Arrow/Python conversion
+    raises, i.e. a single legal-but-extreme row crashed the query
+    (round-9 hostile-relational finding)."""
+    last = F.max("trade_date")
     return (
         _series(spark, sf_dir)
         .groupBy("symbol_id")
         .agg(
-            F.max("trade_date").alias("last_date"),
-            F.date_add(F.max("trade_date"), 1).alias("next_date"),
+            last.alias("last_date"),
+            F.when(
+                last < F.lit("9999-12-31").cast("date"), F.date_add(last, 1)
+            ).alias("next_date"),
             F.countDistinct("trade_date").alias("n_days"),
         )
     )

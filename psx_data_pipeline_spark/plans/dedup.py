@@ -171,20 +171,15 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_per_band = _K // _BANDS
 
     def band_sigs(df: DataFrame) -> DataFrame:
-        from psx_data_pipeline_spark.operators.dedup import minhash_signatures
+        from psx_data_pipeline_spark.operators.dedup import (
+            band_signatures,
+            minhash_signature_array,
+        )
 
-        sig = minhash_signatures(df, "text", "doc_id", _K, 3).withColumn(
-            "band", (F.col("i") / rows_per_band).cast("int")
-        )
-        return sig.groupBy("id", "band").agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "minv"))),
-                    lambda s: s["minv"].cast("string"),
-                ),
-            ).alias("bsig")
-        )
+        # one aggregation; bands are a slice projection (see
+        # operators/dedup.minhash_signature_array)
+        sig = minhash_signature_array(df, "text", "doc_id", _K, 3)
+        return band_signatures(sig, _BANDS, rows_per_band)
 
     store = band_sigs(docs.where(F.col("doc_id") % _STORE_MOD == 0)).select(
         F.col("id").alias("store_id"), "band", "bsig"

@@ -32,7 +32,8 @@ from psx_data_pipeline_spark.functions.hashing import HASH_P
 from psx_data_pipeline_spark.functions.textfns import word_shingles
 from psx_data_pipeline_spark.operators.dedup import (
     _dup_collapse,
-    minhash_signatures,
+    band_signatures,
+    minhash_signature_array,
 )
 from psx_data_pipeline_spark.plans.dedup import (
     _MD5_LONG,
@@ -115,18 +116,12 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rdocs = reps.select(
         F.col("id").alias("doc_id"), F.col("__txt").alias("text")
     )
-    sig = minhash_signatures(rdocs, "text", "doc_id", k=_K).persist()
-    band_sig = sig.withColumn(
-        "band", (F.col("i") / _RPB).cast("int")
-    ).groupBy("id", "band").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "minv"))),
-                lambda s: s["minv"].cast("string"),
-            ),
-        ).alias("bsig")
-    )
+    # ONE aggregation produces the array signature; band signatures
+    # are a slice projection of it and component agreement a zip_with
+    # — the former stack-rows form re-aggregated for bsig and
+    # exploded every candidate pair 16× through a groupBy
+    sig = minhash_signature_array(rdocs, "text", "doc_id", k=_K).persist()
+    band_sig = band_signatures(sig, _K // _RPB, _RPB)
     pairs = (
         band_sig.select(F.col("id").alias("ia"), "band", "bsig")
         .join(band_sig.select(F.col("id").alias("ib"), "band", "bsig"),
@@ -138,13 +133,16 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = (
         pairs
-        .join(sig.select(F.col("id").alias("ia"), "i",
-                         F.col("minv").alias("ma")), "ia")
-        .join(sig.select(F.col("id").alias("ib"), "i",
-                         F.col("minv").alias("mb")), ["ib", "i"])
-        .groupBy("ia", "ib")
-        .agg(F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0))
-             .alias("est_k"))
+        .join(sig.select(F.col("id").alias("ia"), F.col("sig").alias("sa")),
+              "ia")
+        .join(sig.select(F.col("id").alias("ib"), F.col("sig").alias("sb")),
+              "ib")
+        .select(
+            "ia", "ib",
+            F.expr(
+                "size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))"
+            ).cast("long").alias("est_k"),
+        )
     )
     sh = rdocs.select(
         F.col("doc_id").alias("id"),

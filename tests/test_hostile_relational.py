@@ -253,3 +253,29 @@ def test_q15_duplicate_supplier_dim_fans_out_identically(spark, tmp_path):
         ORACLE_SQL["tpch_q15_top_supplier"], str(tmp_path),
     )
     assert ok, msg
+
+
+def test_append_cutoff_date_domain_max(spark, tmp_path):
+    """A last trade date of 9999-12-31 (legal, extreme) must yield a
+    NULL next_date, not a year-10000 overflow: Spark's date_add
+    happily wraps past the date domain and the Arrow/Python
+    conversion then raises — one hostile row killed the whole query
+    (round-9 probe finding)."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, 1, "O", 10.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (2, 1, "O", 20.0, dt.datetime(9999, 12, 31), "1-URGENT"),
+            (3, 2, "O", 30.0, dt.datetime(2024, 1, 2), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(f"{sf}/orders.parquet")
+    from psx_data_pipeline_spark.plans import QUERIES
+
+    rows = {r.symbol_id: r for r in
+            QUERIES["append_cutoff"](spark, sf).collect()}
+    assert rows[1].last_date == dt.date(9999, 12, 31)
+    assert rows[1].next_date is None
+    assert rows[2].next_date == dt.date(2024, 1, 3)
