@@ -97,6 +97,17 @@ GROWTH_NOTES: dict[str, tuple[str, float]] = {
         "per-row regexp_count micro-batch scan, linear; stream "
         "jitter class (±60-70 %, SCALE.md)"
     ), 12.0),
+    "zorder_layout": ((
+        "two linear scans (range agg broadcast + quantize/union) "
+        "into a constant-size bucket agg — work is linear in events; "
+        "the ~1 s 1× wall makes the ratio warm-measure sensitive "
+        "(15.0 s cold-session vs 5.6 s warm at the same 10×, SCALE.md)"
+    ), 10.0),
+    "stream_user_totals": ((
+        "per-key running totals over watermark-bounded state, "
+        "linear; stream jitter class (±60-70 %, SCALE.md — measured "
+        "2.0-3.8 s at 1× on identical code)"
+    ), 12.0),
 }
 _GROWTH_NOTE_BAR = 5.0
 
