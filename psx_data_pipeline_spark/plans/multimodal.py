@@ -152,8 +152,9 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The Spark side truly decodes the BMP/PPM containers (header parse,
 # bottom-up reassembly, stride strip) before hashing; container
 # round-trip of non-uniform pixels is pinned by tests/test_phash.py.
-IMAGE_NEAR_DUP_ORACLE = """
-WITH q AS (
+# shared CTE chain: fixture params -> sampled grid -> dHash bits ->
+# 16-bit bands -> per-doc band vector (hv)
+_PHASH_BANDS_SQL = """q AS (
   SELECT doc_id,
          12 + (doc_id // 4) % 9 AS w,
          10 + (doc_id // 4) % 7 AS h,
@@ -193,7 +194,10 @@ WITH q AS (
          MAX(CASE WHEN band = 2 THEN bval END) AS b2,
          MAX(CASE WHEN band = 3 THEN bval END) AS b3
   FROM bands GROUP BY doc_id
-), cand AS (
+)"""
+
+IMAGE_NEAR_DUP_ORACLE = f"""
+WITH {_PHASH_BANDS_SQL}, cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
   FROM bands x JOIN bands y ON x.band = y.band AND x.bval = y.bval
   WHERE x.doc_id < y.doc_id
@@ -206,6 +210,27 @@ SELECT id_a, id_b, hamming FROM (
   FROM cand c
   JOIN hv a ON a.doc_id = c.id_a
   JOIN hv b ON b.doc_id = c.id_b
+) WHERE hamming <= 3
+"""
+
+# dedup-on-ingest: the streamed (odd-id) images probe a static index
+# of the already-ingested (even-id) corpus — pairs are cross-side
+# only, so the oracle's candidate join is even × odd instead of the
+# batch query's triangular self-join
+STREAM_IMAGE_NEAR_DUP_ORACLE = f"""
+WITH {_PHASH_BANDS_SQL}, cand AS (
+  SELECT DISTINCT x.doc_id AS store_id, y.doc_id AS stream_id
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bval = y.bval
+  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+)
+SELECT store_id, stream_id, hamming FROM (
+  SELECT c.store_id, c.stream_id,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+           AS BIGINT) AS hamming
+  FROM cand c
+  JOIN hv a ON a.doc_id = c.store_id
+  JOIN hv b ON b.doc_id = c.stream_id
 ) WHERE hamming <= 3
 """
 

@@ -287,6 +287,24 @@ def q_stream_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_image_decode(spark, sf_dir)
 
 
+from psx_data_pipeline_spark.plans.multimodal import (  # noqa: E402
+    STREAM_IMAGE_NEAR_DUP_ORACLE,
+)
+from psx_data_pipeline_spark.streaming.jobs import (  # noqa: E402
+    streaming_image_near_dup,
+)
+
+
+@query("stream_image_near_dup", STREAM_IMAGE_NEAR_DUP_ORACLE)
+def q_stream_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dedup-on-ingest: streamed (odd-id) images dHash and
+    probe a static band index of the even-id corpus — stateless
+    append plan whose first-matching-band emission makes the output
+    value-identical to the even×odd oracle
+    (streaming/jobs.streaming_image_near_dup)."""
+    return streaming_image_near_dup(spark, sf_dir)
+
+
 # --- streaming safety filter --------------------------------------------------
 
 from psx_data_pipeline_spark.plans.safety import BLOCKLIST_ORACLE  # noqa: E402

@@ -877,3 +877,76 @@ def streaming_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _pinned_state_shuffle(spark):
         table = run_to_memory(out, "complete", "pii_census")
     return spark.table(table)
+
+
+def streaming_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest: arriving images (odd doc_ids, replayed as a
+    file stream) are dHashed in Arrow-batched mapInPandas and probe a
+    STATIC band index of the already-ingested corpus (even doc_ids) —
+    the production shape where each new image is checked against the
+    catalog before landing, never corpus × corpus.
+
+    Fully STATELESS append-mode plan: no watermark, no state store,
+    and no stream-side distinct — a pair that collides in several
+    bands would duplicate, so the join keeps only the FIRST matching
+    band (band k matches and no band j < k matches, decidable
+    row-side because both hash vectors ride the joined row). Each
+    qualifying pair emits exactly once, making the stream's output
+    value-identical to the batch even×odd oracle. At scale the static
+    side is a precomputed (band, bval) index bucketed on the join
+    key; here it is rebuilt from the fixture because the driver
+    supplies one static table."""
+    from psx_data_pipeline_spark.operators.multimodal import (
+        perceptual_hash,
+        synth_patterned_images,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(F.expr("doc_id % 2 = 1"))
+        .select("doc_id")
+    )
+    store_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.expr("doc_id % 2 = 0"))
+        .select("doc_id")
+    )
+    bcols = ["b0", "b1", "b2", "b3"]
+
+    def bands(df: DataFrame, tag: str) -> DataFrame:
+        h = perceptual_hash(synth_patterned_images(df)).where(
+            F.col("error").isNull()
+        )
+        return h.select(
+            F.col("doc_id").alias(f"{tag}_id"),
+            *[F.col(c).alias(f"{tag}{k}") for k, c in enumerate(bcols)],
+            F.posexplode(F.array(*bcols)).alias("band", "bval"),
+        )
+
+    first_match = F.expr(
+        "CASE band WHEN 0 THEN true"
+        " WHEN 1 THEN x0 <> y0"
+        " WHEN 2 THEN x0 <> y0 AND x1 <> y1"
+        " ELSE x0 <> y0 AND x1 <> y1 AND x2 <> y2 END"
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"x{k}").bitwiseXOR(F.col(f"y{k}")))
+        for k in range(4)
+    ).cast("long")
+    out = (
+        bands(raw, "y")
+        .join(bands(store_docs, "x"), ["band", "bval"])
+        .where(first_match)
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 3)
+        .select(
+            F.col("x_id").alias("store_id"),
+            F.col("y_id").alias("stream_id"),
+            "hamming",
+        )
+    )
+    table = run_to_memory(out, "append", "img_near")
+    return spark.table(table)

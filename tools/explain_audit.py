@@ -143,7 +143,7 @@ STREAMING_EXCLUDED = [
     "stream_vocab_sketch", "stream_heavy_hitters", "stream_video_decode",
     "stream_blocklist", "stream_constraint_audit", "stream_pseudonymize",
     "stream_label_vote", "stream_zone_maps", "stream_cdc_apply",
-    "stream_pii_scan",
+    "stream_pii_scan", "stream_image_near_dup",
 ]
 
 

@@ -81,7 +81,7 @@ FAMILIES = {
     "multimodal": [
         "multimodal_features", "frame_sample", "image_decode",
         "stream_image_decode", "audio_decode", "video_decode",
-        "stream_video_decode", "image_near_dup",
+        "stream_video_decode", "image_near_dup", "stream_image_near_dup",
     ],
     "scrape": [
         "market_watch_parse", "company_enrich", "fallback_source",
