@@ -108,6 +108,12 @@ GROWTH_NOTES: dict[str, tuple[str, float]] = {
         "linear; stream jitter class (±60-70 %, SCALE.md — measured "
         "2.0-3.8 s at 1× on identical code)"
     ), 12.0),
+    "stream_image_near_dup": ((
+        "hash-on-ingest probe of a STATIC band index — stateless, "
+        "linear in arrivals (the static side is the production "
+        "precompute); sub-2 s 1× wall plus stream micro-batch "
+        "overhead dominates the ratio (stream jitter class, SCALE.md)"
+    ), 12.0),
 }
 _GROWTH_NOTE_BAR = 5.0
 
