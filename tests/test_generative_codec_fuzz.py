@@ -38,7 +38,7 @@ from psx_data_pipeline_spark.operators.multimodal import (
 
 # --- payload strategies ------------------------------------------------------
 
-_N_EXAMPLES = int(os.environ.get("FUZZ_N", "6"))
+_N_EXAMPLES = int(os.environ.get("FUZZ_N", "4"))
 
 _raw = st.binary(max_size=120)
 

@@ -55,7 +55,7 @@ _TEXT = st.text(
 
 # default 6 examples per property keeps the pytest sweep fast;
 # FUZZ_N=60 (etc.) turns the same file into a deep divergence hunt
-_N_EXAMPLES = int(os.environ.get("FUZZ_N", "6"))
+_N_EXAMPLES = int(os.environ.get("FUZZ_N", "4"))
 
 _counter = [0]
 

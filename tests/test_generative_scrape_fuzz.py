@@ -46,7 +46,7 @@ def fuzz_root(tmp_path_factory):
 
 
 @settings(
-    max_examples=6,
+    max_examples=int(os.environ.get("FUZZ_N", "4")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -24,7 +24,7 @@ from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
 from tests.conftest import SF_CORRECT
 from tests.oracle_check import compare
 
-_POOL = 8
+_POOL = 12  # 198 queries / 32 local cores: 8 threads left ~40 s idle tail
 _results: dict[str, tuple[bool, str]] = {}
 _lock = threading.Lock()
 
