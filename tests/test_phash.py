@@ -153,3 +153,28 @@ def test_exact_dup_collapse_expands_intra_pairs(spark):
     if d01 <= 3:
         for pair in [(0, 1), (0, 1001), (1, 1000), (1000, 1001)]:
             assert got[pair] == d01
+
+
+def test_pigeonhole_property_random_hashes():
+    """Property (pure Python, no Spark): for ANY pair of 64-bit
+    hashes with Hamming distance ≤ 3, at least one of the four 16-bit
+    bands is identical — the guarantee the candidate equi-join's
+    losslessness rests on. Checked exhaustively-ish over random
+    hashes plus adversarial minimal-distance constructions."""
+    import random
+
+    rng = random.Random(9)
+    for _ in range(2000):
+        base = [rng.getrandbits(16) for _ in range(4)]
+        other = list(base)
+        # flip 0-3 random bit positions across the 64-bit space
+        for j in rng.sample(range(64), rng.randint(0, 3)):
+            other[j // 16] ^= 1 << (j % 16)
+        d = sum(bin(a ^ b).count("1") for a, b in zip(base, other))
+        assert d <= 3
+        assert any(a == b for a, b in zip(base, other))
+    # adversarial: exactly 4 flips, one per band, shares NO band —
+    # the distance-4 case the threshold-3 filter correctly excludes
+    base = [0, 0, 0, 0]
+    other = [1, 1, 1, 1]
+    assert not any(a == b for a, b in zip(base, other))
