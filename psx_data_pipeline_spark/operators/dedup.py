@@ -158,20 +158,18 @@ def minhash_signature_array(
     )
 
 
-def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, k: int = 16, shingle_n: int = 3
-) -> DataFrame:
-    """Per-document MinHash signature as (id, i, minv) rows — the
-    row-form view of minhash_signature_array for callers that join on
-    the component index (incremental index probes)."""
-    arr = minhash_signature_array(df, text_col, id_col, k, shingle_n)
-    return arr.select("id", F.posexplode("sig").alias("i", "minv"))
-
-
 def band_signatures(sig_arr: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(id, band, bsig) from array signatures: a pure projection —
     explode the band index, slice the signature, join the slice as a
-    comma string. No aggregation, no extra shuffle."""
+    comma string. No aggregation, no extra shuffle.
+
+    ``bands × rows_per_band`` must cover the whole signature: a
+    partial trailing band would silently drop components here while
+    the SQL oracles' ``i // rows_per_band`` banding would KEEP them
+    in an extra band — an engine-vs-oracle divergence. The signature
+    length is data-level (not in the schema), so callers that know k
+    must enforce divisibility (minhash_lsh_pairs raises on k % bands
+    ≠ 0)."""
     return sig_arr.select(
         "id",
         "sig",
@@ -205,6 +203,12 @@ def minhash_lsh_pairs(
     afterward (see _dup_collapse), so candidate generation scales
     with DISTINCT texts and the expansion is output-bound."""
     grouped, reps, members = _dup_collapse(df, text_col, id_col)
+    if k % bands:
+        raise ValueError(
+            f"k={k} must be divisible by bands={bands}: a partial "
+            "trailing band would be dropped by the slice banding but "
+            "kept by the i // rows_per_band oracle form"
+        )
     rows_per_band = k // bands
     sig = minhash_signature_array(
         reps.select(F.col("id").alias(id_col), F.col("__txt").alias(text_col)),

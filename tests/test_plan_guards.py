@@ -102,6 +102,16 @@ _DF_CACHE: dict[str, object] = {}
 _cache_lock = threading.Lock()
 
 
+def _build(spark, name):
+    """Capture per-name failures instead of raising: one broken
+    builder must fail ITS tests with the real exception, not poison
+    the bulk fill and surface as KeyErrors everywhere else."""
+    try:
+        return QUERIES[name](spark, SF_DIR)
+    except Exception as exc:  # noqa: BLE001 — re-raised per test
+        return exc
+
+
 def _plan_df(spark, name):
     with _cache_lock:
         if not _DF_CACHE:
@@ -110,12 +120,15 @@ def _plan_df(spark, name):
             owners = [n for n in sorted(QUERIES) if n in MEMO_OWNERS]
             rest = [n for n in sorted(QUERIES) if n not in MEMO_OWNERS]
             for n in owners:
-                _DF_CACHE[n] = QUERIES[n](spark, SF_DIR)
+                _DF_CACHE[n] = _build(spark, n)
             with ThreadPoolExecutor(max_workers=12) as pool:
                 for n, df in zip(rest, pool.map(
-                        lambda n: QUERIES[n](spark, SF_DIR), rest)):
+                        lambda n: _build(spark, n), rest)):
                     _DF_CACHE[n] = df
-    return _DF_CACHE[name]
+    got = _DF_CACHE[name]
+    if isinstance(got, Exception):
+        raise got
+    return got
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -21,7 +21,8 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-SF = "/root/testdata/sf0.01"
+from tests.conftest import SF_CORRECT as SF
+
 _N_PS = 4  # suppliers per part
 
 

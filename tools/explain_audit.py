@@ -163,6 +163,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     curated = dict(HEADLINERS)
+    stale = sorted(set(curated) - set(QUERIES))
+    if stale:
+        # fail loudly: a renamed/removed query must not leave a dead
+        # curated note rotting (the old list-driven loop KeyErrored)
+        print(f"curated HEADLINERS entries not in the registry: {stale}",
+              file=sys.stderr)
+        return 1
     batch_names = [n for n in QUERIES if n not in STREAMING_EXCLUDED]
     missing_stream = [
         n for n in QUERIES
