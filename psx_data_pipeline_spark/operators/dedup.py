@@ -167,9 +167,11 @@ def band_signatures(sig_arr: DataFrame, bands: int, rows_per_band: int) -> DataF
     partial trailing band would silently drop components here while
     the SQL oracles' ``i // rows_per_band`` banding would KEEP them
     in an extra band — an engine-vs-oracle divergence. The signature
-    length is data-level (not in the schema), so callers that know k
-    must enforce divisibility (minhash_lsh_pairs raises on k % bands
-    ≠ 0)."""
+    length is data-level (not in the schema), so the guard is too:
+    any row whose signature isn't exactly bands × rows_per_band long
+    raises at execution, for EVERY caller (not just those that know
+    k and check divisibility up front)."""
+    n = bands * rows_per_band
     return sig_arr.select(
         "id",
         "sig",
@@ -178,8 +180,13 @@ def band_signatures(sig_arr: DataFrame, bands: int, rows_per_band: int) -> DataF
         "id",
         "band",
         F.expr(
-            f"concat_ws(',', transform(slice(sig, band * {rows_per_band} + 1,"
+            f"CASE WHEN size(sig) = {n} THEN"
+            f" concat_ws(',', transform(slice(sig, band * {rows_per_band} + 1,"
             f" {rows_per_band}), x -> CAST(x AS STRING)))"
+            f" ELSE raise_error(concat('band_signatures: signature length ',"
+            f" CAST(size(sig) AS STRING), ' != bands*rows_per_band = {n}"
+            f" — a partial trailing band would silently diverge from the"
+            f" i // rows_per_band oracle banding')) END"
         ).alias("bsig"),
     )
 
@@ -228,15 +235,22 @@ def minhash_lsh_pairs(
         .where(F.col("rep_a") < F.col("rep_b"))
         .select("rep_a", "rep_b")
         .distinct()
-        # checkpoint the SMALL inputs of the expansion (rep pairs +
+        # checkpoint the expansion's INPUTS (qualifying rep pairs +
         # id->rep map), not the expanded output: the persisted
         # subtrees release immediately, while the (potentially huge,
         # output-bound) expansion stays a lazy plan — eagerly caching
         # it as deserialized rows measured 70 s of GC thrash at a
-        # 30x-duplicated corpus
+        # 30x-duplicated corpus. rep_pairs is output-bound (small);
+        # members is O(corpus) ROWS — but only 2 longs (~16 B) per
+        # row, held as executor-distributed RDD blocks, never on the
+        # driver. The checkpoint exists to truncate lineage so the
+        # band/group subtrees can unpersist, at the standard
+        # localCheckpoint cost: blocks are not recomputable, so an
+        # executor loss fails the job instead of recomputing (same
+        # trade as the phash/jaccard twins below).
         .localCheckpoint(eager=True)
     )
-    members_ck = members.localCheckpoint(eager=True)
+    members_ck = members.localCheckpoint(eager=True)  # O(corpus)x16B, see above
     out = _expand_dup_pairs(rep_pairs, members_ck, [], {})
     band_sig.unpersist()
     grouped.unpersist()
@@ -322,8 +336,9 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("rep_a", "rep_b", "hamming")
     )
-    rep_pairs = rep_pairs.localCheckpoint(eager=True)  # small
-    members_ck = members.localCheckpoint(eager=True)   # small
+    rep_pairs = rep_pairs.localCheckpoint(eager=True)  # output-bound (small)
+    # O(corpus) rows x 2 longs, executor-distributed (see minhash note)
+    members_ck = members.localCheckpoint(eager=True)
     out = _expand_dup_pairs(
         rep_pairs, members_ck, ["hamming"],
         {"hamming": F.lit(0)},
@@ -459,8 +474,9 @@ def ngram_jaccard_pairs(
     )
     # intra-group pairs are Jaccard 1.0 by identity; cross pairs
     # inherit the representatives' score (see _expand_dup_pairs)
-    rep_pairs = rep_pairs.localCheckpoint(eager=True)  # small
-    members_ck = members.localCheckpoint(eager=True)   # small
+    rep_pairs = rep_pairs.localCheckpoint(eager=True)  # output-bound (small)
+    # O(corpus) rows x 2 longs, executor-distributed (see minhash note)
+    members_ck = members.localCheckpoint(eager=True)
     out = _expand_dup_pairs(
         rep_pairs, members_ck, ["jaccard"], {"jaccard": F.lit(1.0)}
     )  # lazy expansion over checkpointed inputs (see minhash note)

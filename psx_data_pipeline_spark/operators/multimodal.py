@@ -474,9 +474,15 @@ def phash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("rep_a", "rep_b", "hamming")
-        .localCheckpoint(eager=True)  # small: qualifying rep pairs only
+        .localCheckpoint(eager=True)  # output-bound: qualifying rep pairs
     )
-    members_ck = members.localCheckpoint(eager=True)  # small: id → rep
+    # NOT small: one row per document id (2 longs, ~16 B/row) — held
+    # as executor-distributed RDD blocks, never on the driver. The
+    # checkpoint truncates lineage so the decode/group subtrees can
+    # unpersist; cost is the standard localCheckpoint trade (blocks
+    # not recomputable on executor loss). Same shape as the minhash
+    # twin (operators/dedup.py minhash_lsh_pairs note).
+    members_ck = members.localCheckpoint(eager=True)
     out = _expand_dup_pairs(
         rep_pairs, members_ck, ["hamming"],
         {"hamming": F.lit(0).cast("long")},

@@ -90,3 +90,29 @@ def test_connected_components_path_cycle_singleton(spark):
         r["id"]: r["comp"] for r in connected_components(edges, nodes).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_band_signatures_fail_loud_on_partial_band(spark):
+    """ADVICE r9: the bands × rows_per_band coverage guard must live
+    INSIDE band_signatures so every caller (plans/dedup.py,
+    plans/estimators.py — which pass constants with no divisibility
+    check) fails loudly instead of silently dropping a partial
+    trailing band the oracle's i // rows_per_band banding would keep."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from psx_data_pipeline_spark.operators.dedup import band_signatures
+
+    ok = spark.createDataFrame(
+        [(1, list(range(16)))], "id LONG, sig ARRAY<LONG>"
+    )
+    rows = band_signatures(ok, 4, 4).orderBy("band").collect()
+    assert [r["bsig"] for r in rows] == [
+        "0,1,2,3", "4,5,6,7", "8,9,10,11", "12,13,14,15"
+    ]
+    # 15 components over 4×4 banding: the old projection silently
+    # emitted a short 4th band; now it raises at execution
+    bad = spark.createDataFrame(
+        [(1, list(range(15)))], "id LONG, sig ARRAY<LONG>"
+    )
+    with pytest.raises(SparkRuntimeException, match="band_signatures"):
+        band_signatures(bad, 4, 4).collect()

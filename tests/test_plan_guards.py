@@ -127,7 +127,10 @@ def _plan_df(spark, name):
                     _DF_CACHE[n] = df
     got = _DF_CACHE[name]
     if isinstance(got, Exception):
-        raise got
+        # fresh wrapper per test: re-raising the SAME instance from
+        # every consumer accumulates traceback frames across tests,
+        # turning one broken builder into increasingly noisy output
+        raise RuntimeError(f"builder {name!r} failed: {got!r}") from got
     return got
 
 
