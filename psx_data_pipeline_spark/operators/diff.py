@@ -192,6 +192,17 @@ def detect_renames(
         runs on the churn-bounded added/deleted residual, so the
         explode is trivial at any scale."""
         name = F.col(f"{side}_name")
+
+        # Capture n via a factory, NEVER `lambda i, n=n:` — PySpark
+        # counts a defaulted parameter as a second lambda argument
+        # and silently switches F.transform to its (element, index)
+        # two-arg form, making the substring LENGTH the array index
+        # (round-10 hostile-corpus find: 'hbl ltd' produced
+        # ['', 'b', 'l ', ...] and short-name containment matched
+        # nothing; pinned by test_short_name_containment_rename).
+        def _sub_of_len(nn: int):
+            return lambda i: name.substr(i, F.lit(nn))
+
         gs = F.flatten(
             F.array(
                 *[
@@ -199,7 +210,7 @@ def detect_renames(
                         F.sequence(
                             F.lit(1), F.greatest(F.length(name) - n + 1, F.lit(1))
                         ),
-                        lambda i, n=n: name.substr(i, F.lit(n)),
+                        _sub_of_len(n),
                     )
                     for n in range(1, B)
                 ]

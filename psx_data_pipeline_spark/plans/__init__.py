@@ -73,8 +73,9 @@ from psx_data_pipeline_spark.plans.ticker import clear_session_memos  # noqa: F4
 # scale-killer that is not there (round-7 verdict: semdedup "19.2×").
 MEMO_OWNERS = frozenset({
     "ticker_sync_changes", "cosine_topk", "ivf_topk", "pq_adc_topk",
-    "kmeans_topics",
+    "kmeans_topics", "rename_detection_parity",
 })
 MEMO_CONSUMERS = frozenset({
     "change_log_format", "ann_recall", "pq_recall", "semdedup",
+    "rename_detection",
 })
