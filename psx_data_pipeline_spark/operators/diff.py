@@ -183,14 +183,22 @@ def detect_renames(
         )
 
     def short_grams(df: DataFrame, side: str) -> DataFrame:
-        """Distinct substrings of every length 1..B-1 of a container
+        """Distinct substrings of every length 0..B-1 of a container
         name. A contained string shorter than one gram (< B chars) IS
         its own only "gram", so `short_name == gram` over this set is
         exact substring containment expressed as an equi-join — no
-        nested loop even for the short-name residual. Volume is
-        ~(B-1)·len(name) rows per container row, and rename detection
-        runs on the churn-bounded added/deleted residual, so the
-        explode is trivial at any scale."""
+        nested loop even for the short-name residual. The EMPTY
+        substring is deliberately in the set: `'' in name` is True in
+        Python (the reference's predicate) and contains(name, '') is
+        true in both engines, so an empty-named churn row matches
+        every container — without the '' gram the blocking silently
+        dropped exactly that value (round-10 hostile-ticker find; the
+        '' key is hot across containers but joins only against
+        empty-named rows, so the candidate volume stays output-bound,
+        the same count the complete-enumeration oracle produces).
+        Volume is ~(B-1)·len(name) rows per container row, and rename
+        detection runs on the churn-bounded added/deleted residual,
+        so the explode is trivial at any scale."""
         name = F.col(f"{side}_name")
 
         # Capture n via a factory, NEVER `lambda i, n=n:` — PySpark
@@ -218,7 +226,9 @@ def detect_renames(
         )
         return df.select(
             f"{side}_key", f"{side}_name",
-            F.explode(F.array_distinct(gs)).alias("gram"),
+            F.explode(
+                F.array_distinct(F.concat(gs, F.array(F.lit(""))))
+            ).alias("gram"),
         )
 
     new_grams = grams(new, "new")

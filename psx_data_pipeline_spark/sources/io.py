@@ -41,13 +41,35 @@ CSV_COLUMNS = ["symbol", "name", "sector"]  # reference fieldnames :505
 
 
 def read_tickers_csv(spark: SparkSession, path: str) -> DataFrame:
-    """S8: header CSV scan with an explicit schema (no inference)."""
-    return spark.read.schema(TICKER_CSV_SCHEMA).option("header", True).csv(path)
+    """S8: header CSV scan with an explicit schema (no inference).
+
+    nullValue is a sentinel no ticker field contains, so an UNQUOTED
+    empty field reads back as NULL while a QUOTED "" reads back as
+    the empty string — the exact distinction the writer emits (see
+    write_tickers_csv). One documented unfaithful point: a data value
+    that IS the literal sentinel would read back as NULL; the
+    reference's csv module cannot represent None at all (round-trips
+    it as ''), so this round-trip is strictly more faithful."""
+    return (
+        spark.read.schema(TICKER_CSV_SCHEMA)
+        .option("header", True)
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
 
 
 def write_tickers_csv(df: DataFrame, path: str) -> None:
     """K1: overwrite CSV sink with the reference's 3-column
     projection — the url drop is a view at the sink, not a schema.
+
+    A sink must not mutate values: Spark's CSV writer TRIMS cell
+    whitespace by default (univocity ignoreLeading/TrailingWhiteSpace
+    default true on write), which silently corrupted names like
+    '  padded name  ' — invisible until the round-10 hostile-ticker
+    probe salted the snapshot with whitespace-edged names. Both trim
+    options are forced off; empty strings stay distinguishable from
+    NULL because the writer quotes '' and leaves NULL unquoted-empty
+    (the reader's sentinel nullValue keeps them apart on the way in).
 
     coalesce(1): the ticker universe is domain-bounded (thousands of
     listed companies at ANY corpus scale), so one file is the right
@@ -56,6 +78,8 @@ def write_tickers_csv(df: DataFrame, path: str) -> None:
     write_partitioned_parquet, which stays parallel."""
     df.select(*CSV_COLUMNS).coalesce(1).write.mode("overwrite").option(
         "header", True
+    ).option("ignoreLeadingWhiteSpace", False).option(
+        "ignoreTrailingWhiteSpace", False
     ).csv(path)
 
 

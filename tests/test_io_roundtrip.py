@@ -156,3 +156,48 @@ def test_orc_roundtrip_preserves_types(spark):
         # Spark reads and ORC round-trips it as timestamp_ntz
         "o_orderdate": "timestamp_ntz",
     }
+
+
+def test_csv_roundtrip_preserves_whitespace_and_empty(spark, tmp_path):
+    """Round-10 hostile-ticker find: Spark's CSV writer trims cell
+    whitespace by default (univocity ignoreLeading/TrailingWhiteSpace
+    true on WRITE), so '  padded name  ' came back 'padded name' and
+    ''/NULL collapsed. The sink must not mutate values: whitespace
+    survives exactly, quoted '' and unquoted-empty NULL stay
+    distinct, quotes/commas/tabs round-trip."""
+    hostile = [
+        ("1", "  padded name  ", "SEG", None),
+        ("2", "", "", None),
+        ("3", "   ", None, None),
+        ("4", None, "SEG", None),
+        ("5", 'quote"inside', "comma, inside", None),
+        ("6", " tab\tin", "trailing ", None),
+    ]
+    df = spark.createDataFrame(
+        hostile, "symbol STRING, name STRING, sector STRING, url STRING"
+    )
+    path = str(tmp_path / "hostile_csv")
+    write_tickers_csv(df, path)
+    got = {r["symbol"]: (r["name"], r["sector"])
+           for r in read_tickers_csv(spark, path).collect()}
+    assert got == {s: (n, sec) for s, n, sec, _ in hostile}
+
+
+def test_empty_name_rename_matches_reference_semantics(spark):
+    """Round-10 hostile-ticker find: `'' in name` is True in Python
+    (the reference predicate) and contains(name, '') is true in both
+    engines, but the short-substring blocking never emitted the empty
+    gram, so an empty-named deleted row matched NOTHING while the
+    complete-enumeration oracle matched it to the lowest added key.
+    The container substring set now includes '' (operators/diff.py
+    short_grams)."""
+    from psx_data_pipeline_spark.operators.diff import detect_renames
+
+    deleted = spark.createDataFrame([(9, "")], "symbol_id long, name string")
+    added = spark.createDataFrame(
+        [(101, "beta works"), (100, "alpha corp")],
+        "symbol_id long, name string",
+    )
+    got = detect_renames(deleted, added, key="symbol_id", name="name").collect()
+    # score ties at 2 (contains, no shared tokens) -> lowest new_key wins
+    assert [(r.old_key, r.new_key) for r in got] == [(9, 100)]
