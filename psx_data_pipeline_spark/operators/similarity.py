@@ -162,12 +162,28 @@ def valid_embedding(vec: Column | str, dim: int, bound: float = _EMB_BOUND) -> C
 
 
 def indexable_embedding(vec: Column | str, dim: int, bound: float = _EMB_BOUND) -> Column:
-    """valid_embedding AND nonzero — cosine needs norm > 0. For a
-    valid (finite) vector, some component is nonzero iff the max is
-    positive or the min is negative — no per-element lambda."""
+    """valid_embedding AND quantized norm > 0 — the divisor cosine
+    actually uses. "Some component nonzero" is NOT enough: the
+    geometry is the quantized Σ floor(xᵢ²·1e12), so a denormal-tiny
+    vector (every |x| < 1e-6) is nonzero in floats yet has norm2
+    EXACTLY 0 in both engines — one such row crashed the whole ANSI
+    plan with DIVIDE_BY_ZERO (round-10 hostile-embeddings find).
+
+    Exact and lambda-free (an EXISTS(λ) gate costs ~dim interpreted
+    invocations per row on the 100 TB scan): every quantized term is
+    ≥ 0, so the sum is > 0 iff the LARGEST term is ≥ 1, and since
+    IEEE multiplication is monotone the largest term comes from the
+    extreme component m = max(|array_max|, |array_min|) — the gate
+    condition floor(m·m·1e12) ≥ 1 is bitwise the same arithmetic the
+    quantizer applies to that component, so gate ⟺ divisor > 0 with
+    no floating-point boundary mismatch."""
     v = F.col(vec) if isinstance(vec, str) else vec
+    m = F.greatest(
+        F.abs(F.array_max(v).cast("double")),
+        F.abs(F.array_min(v).cast("double")),
+    )
     return valid_embedding(v, dim, bound) & (
-        (F.array_max(v) != 0.0) | (F.array_min(v) != 0.0)
+        F.floor(m * m * F.lit(_SCALE)) >= 1
     )
 
 
@@ -182,10 +198,15 @@ def valid_embedding_sql(e: str, dim: int, bound: float = _EMB_BOUND) -> str:
 
 
 def indexable_embedding_sql(e: str, dim: int, bound: float = _EMB_BOUND) -> str:
-    """DuckDB twin of indexable_embedding."""
+    """DuckDB twin of indexable_embedding (same quantized-norm gate;
+    see the engine docstring for the exactness argument)."""
+    m = (
+        f"GREATEST(abs(CAST(list_max({e}) AS DOUBLE)),"
+        f" abs(CAST(list_min({e}) AS DOUBLE)))"
+    )
     return (
         f"({valid_embedding_sql(e, dim, bound)}"
-        f" AND len(list_filter({e}, x -> x <> 0)) > 0)"
+        f" AND floor({m} * {m} * 1e12) >= 1)"
     )
 
 
