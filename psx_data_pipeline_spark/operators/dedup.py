@@ -184,7 +184,8 @@ def band_signatures(sig_arr: DataFrame, bands: int, rows_per_band: int) -> DataF
             f" concat_ws(',', transform(slice(sig, band * {rows_per_band} + 1,"
             f" {rows_per_band}), x -> CAST(x AS STRING)))"
             f" ELSE raise_error(concat('band_signatures: signature length ',"
-            f" CAST(size(sig) AS STRING), ' != bands*rows_per_band = {n}"
+            f" CAST(coalesce(size(sig), -1) AS STRING),"
+            f" ' != bands*rows_per_band = {n}"
             f" — a partial trailing band would silently diverge from the"
             f" i // rows_per_band oracle banding')) END"
         ).alias("bsig"),

@@ -68,8 +68,10 @@ def write_tickers_csv(df: DataFrame, path: str) -> None:
     '  padded name  ' — invisible until the round-10 hostile-ticker
     probe salted the snapshot with whitespace-edged names. Both trim
     options are forced off; empty strings stay distinguishable from
-    NULL because the writer quotes '' and leaves NULL unquoted-empty
-    (the reader's sentinel nullValue keeps them apart on the way in).
+    NULL because the writer emits the SAME sentinel the reader
+    decodes (nullValue pinned explicitly on BOTH sides) while ''
+    writes as a quoted pair — the round-trip no longer leans on any
+    Spark default for unquoted-empty fields.
 
     coalesce(1): the ticker universe is domain-bounded (thousands of
     listed companies at ANY corpus scale), so one file is the right
@@ -80,7 +82,7 @@ def write_tickers_csv(df: DataFrame, path: str) -> None:
         "header", True
     ).option("ignoreLeadingWhiteSpace", False).option(
         "ignoreTrailingWhiteSpace", False
-    ).csv(path)
+    ).option("nullValue", "\\N").csv(path)
 
 
 def read_snapshot_json(spark: SparkSession, path: str) -> DataFrame:

@@ -52,21 +52,50 @@ def _committed_bench_history(limit: int = 50) -> list[dict]:
         )
         if log.returncode != 0:
             return []
+        hashes = log.stdout.split()
+        if not hashes:
+            return []
+        # one batched cat-file instead of one `git show` per commit:
+        # objects stream back in request order, each prefixed by a
+        # header line and terminated by a blank line
+        out = subprocess.run(
+            ["git", "cat-file", "--batch"],
+            cwd=HERE, capture_output=True, text=True, timeout=30,
+            input="".join(f"{h}:BENCH_FULL.json\n" for h in hashes),
+        )
+        if out.returncode != 0:
+            return []
         arts = []
-        for h in log.stdout.split():
-            out = subprocess.run(
-                ["git", "show", f"{h}:BENCH_FULL.json"],
-                cwd=HERE, capture_output=True, text=True, timeout=10,
-            )
-            if out.returncode != 0:
-                continue
+        for chunk in _batch_objects(out.stdout):
             try:
-                arts.append(json.loads(out.stdout))
+                art = json.loads(chunk)
             except ValueError:
                 continue
+            # an artifact without a per-query dict (foreign format)
+            # cannot be a min-merge partner — never a KeyError
+            if isinstance(art.get("queries"), dict):
+                arts.append(art)
         return arts
     except (OSError, subprocess.SubprocessError):
         return []
+
+
+def _batch_objects(stream: str) -> list[str]:
+    """Split `git cat-file --batch` output into object bodies, using
+    the byte length each header declares (bodies contain newlines)."""
+    bodies, i = [], 0
+    while i < len(stream):
+        nl = stream.find("\n", i)
+        if nl < 0:
+            break
+        header = stream[i:nl].split()
+        if len(header) == 3 and header[2].isdigit():
+            size = int(header[2])
+            bodies.append(stream[nl + 1:nl + 1 + size])
+            i = nl + 1 + size + 1  # skip body + trailing LF
+        else:  # "missing" / unparsable header line
+            i = nl + 1
+    return bodies
 
 
 def _current_bench_full() -> dict | None:
@@ -104,7 +133,7 @@ def _current_bench_full() -> dict | None:
         return full
     merged = dict(full)
     merged["queries"] = {
-        name: min([t] + [p["queries"].get(name, t) for p in partners])
+        name: min([t] + [p.get("queries", {}).get(name, t) for p in partners])
         for name, t in full["queries"].items()
     }
     return merged

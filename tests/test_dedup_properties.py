@@ -116,3 +116,13 @@ def test_band_signatures_fail_loud_on_partial_band(spark):
     )
     with pytest.raises(SparkRuntimeException, match="band_signatures"):
         band_signatures(bad, 4, 4).collect()
+    # ADVICE r10: a NULL sig also fails the CASE, and the diagnostic
+    # must survive the concat — size(NULL) is NULL, which used to
+    # null out the whole raise_error message (fail-loud but opaque)
+    null_sig = spark.createDataFrame(
+        [(1, None)], "id LONG, sig ARRAY<LONG>"
+    )
+    with pytest.raises(
+        SparkRuntimeException, match="signature length -1"
+    ):
+        band_signatures(null_sig, 4, 4).collect()
