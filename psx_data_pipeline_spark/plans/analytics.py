@@ -49,12 +49,24 @@ _SERIES_SQL = f"""
     AND o_totalprice BETWEEN -1e24 AND 1e24
 """
 
+# open/close order by the TOTAL key (trade_id, price), not trade_id
+# alone: the id is a fact PK that hostile data can violate, and on a
+# duplicate-id twin carrying two prices arg_min/min_by tie on the key
+# and pick engine-arbitrarily — the round-11 hostile-orders probe
+# caught Spark and DuckDB disagreeing on exactly that bar (and the
+# divergent close then poisoned every downstream return/MA/EWMA
+# frame). A struct MIN/MAX over (id, price) is total for every input
+# (full-duplicate rows agree in both fields), stays a map-side
+# combine, and orders identically in both engines; the id is
+# coalesced to long-min so a NULL id sorts first on both sides too.
+_TID = "coalesce(trade_id, -9223372036854775807 - 1)"
+
 OHLC_SQL = f"""
   SELECT symbol_id, trade_date,
-         arg_min(price, trade_id) AS open,
+         (min(struct_pack(i := {_TID}, p := price))).p AS open,
          max(price) AS high,
          min(price) AS low,
-         arg_max(price, trade_id) AS close,
+         (max(struct_pack(i := {_TID}, p := price))).p AS close,
          count(*) AS volume,
          {dsum_sql('price')} AS turnover
   FROM ({_SERIES_SQL})
@@ -81,15 +93,20 @@ def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC bars: one shuffle on (symbol, day); open/close are
-    min_by/max_by on the unique trade id (deterministic, no sort)."""
+    struct-MIN/MAX over the TOTAL key (trade_id, price) — still a
+    map-side combine, no sort, and deterministic even when hostile
+    data duplicates the trade id (see OHLC_SQL)."""
+    long_min = F.lit(-9223372036854775807 - 1).cast("long")
+    tid = F.coalesce(F.col("trade_id"), long_min).alias("i")
+    key = F.struct(tid, F.col("price").alias("p"))
     return (
         _series(spark, sf_dir)
         .groupBy("symbol_id", "trade_date")
         .agg(
-            F.min_by("price", "trade_id").alias("open"),
+            F.min(key).getField("p").alias("open"),
             F.max("price").alias("high"),
             F.min("price").alias("low"),
-            F.max_by("price", "trade_id").alias("close"),
+            F.max(key).getField("p").alias("close"),
             F.count(F.lit(1)).alias("volume"),
             dsum("price").alias("turnover"),
         )
