@@ -624,3 +624,82 @@ def test_tpch_b3_match_oracle_on_arbitrary_relations(
     for name in _TPCH_B3:
         ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
         assert ok, f"{name} diverged: {msg}\nlis={lis!r}\nretail={retail!r}"
+
+
+# round-11 (judge ask #5): the generative twin of the STATIC
+# hostile-embeddings probe. That probe is a curated 15-vector salt;
+# this property draws ARBITRARY float32 arrays — NaN/±Inf/subnormal
+# components, NULL ELEMENTS inside otherwise-valid vectors (a class
+# the static salt lacks entirely), ±0.0, float32-huge magnitudes,
+# wrong dims (0..70 around the 64 contract), NULL embeddings, NULL
+# labels — salts them onto the benign base corpus exactly like the
+# probe does, and requires the ENTIRE embeddings-reading family to
+# stay engine-vs-oracle identical. The round-10 denormal-tiny
+# task-kill (quantized norm 0 passing the "some component nonzero"
+# gate) is precisely the class hypothesis re-finds here.
+_F32_ANY = st.floats(
+    width=32, allow_nan=True, allow_infinity=True, allow_subnormal=True
+)
+_FUZZ_VEC = st.one_of(
+    st.none(),
+    st.lists(st.one_of(st.none(), _F32_ANY), min_size=0, max_size=70),
+    # dimension-exact vectors get extra weight: most gates only
+    # engage after the 64-dim contract check passes
+    st.lists(st.one_of(st.none(), _F32_ANY), min_size=64, max_size=64),
+)
+_EMB_ROW = st.tuples(
+    _FUZZ_VEC, st.one_of(st.none(), st.integers(min_value=0, max_value=15))
+)
+
+# every query whose oracle reads the embeddings table (the static
+# probe's own selection predicate, frozen so a rename is loud)
+_EMBEDDING_FAMILY = (
+    "ann_recall", "cosine_topk", "embedding_centroid_drift",
+    "embedding_dedup", "embedding_outliers", "embedding_quantize",
+    "embedding_stats", "hard_negatives", "ivf_topk", "kmeans_topics",
+    "lsh_bucketed_neighbors", "neighbor_triangles", "pagerank_sim",
+    "pq_adc_topk", "pq_recall", "semdedup",
+)
+
+
+@settings(
+    max_examples=_N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_EMB_ROW, min_size=1, max_size=8))
+def test_embedding_family_matches_oracle_on_hostile_vectors(
+    spark, fuzz_root, rows
+):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    _counter[0] += 1
+    sf = os.path.join(fuzz_root, f"ef{_counter[0]}")
+    os.makedirs(sf, exist_ok=True)
+    for t in TABLES + ("documents",):
+        if t == "embeddings":
+            continue
+        dst = f"{sf}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copy(f"{BASE}/{t}.parquet", dst)
+    base = pq.read_table(f"{BASE}/embeddings.parquet")
+    max_id = pa.compute.max(base.column("vec_id")).as_py()
+    hostile = pa.table(
+        {
+            "vec_id": pa.array(
+                [max_id + 1 + i for i in range(len(rows))], pa.int64()),
+            "embedding": pa.array(
+                [r[0] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[1] for r in rows], pa.int32()),
+        },
+        schema=base.schema,
+    )
+    pq.write_table(
+        pa.concat_tables([base, hostile]), f"{sf}/embeddings.parquet")
+    for name in _EMBEDDING_FAMILY:
+        ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
+        assert ok, f"{name} diverged on {rows!r}: {msg}"
