@@ -263,6 +263,11 @@ _ORD = st.tuples(
         min_value=dt.datetime(1995, 1, 1),
         max_value=dt.datetime(1995, 1, 20),
     )),  # tight range → same-day collisions exercise OHLC aggregation
+    # orderkey from a SMALL domain (collisions likely, NULLs allowed):
+    # the round-11 hostile-orders find was an exact-key twin making
+    # the open/close arg-pick engine-arbitrary — unique range(n) ids
+    # could never re-find that class generatively
+    st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
 )
 
 
@@ -296,7 +301,7 @@ def test_ohlc_queries_match_oracle_on_arbitrary_orders(
             shutil.copy(f"{BASE}/{t}.parquet", dst)
     pq.write_table(
         pa.table({
-            "o_orderkey": pa.array(range(len(ords)), type=pa.int64()),
+            "o_orderkey": pa.array([o[4] for o in ords], type=pa.int64()),
             "o_custkey": pa.array([o[0] for o in ords], type=pa.int64()),
             "o_orderstatus": pa.array(
                 [o[1] for o in ords], type=pa.string()),
