@@ -353,7 +353,10 @@ def synth_patterned_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in it:
             payloads = []
             for doc_id in pdf[id_col]:
-                i = int(doc_id)
+                i = _opt_id(doc_id)
+                if i is None:  # NULL id → NULL payload → error row
+                    payloads.append(None)
+                    continue
                 w, h, ax, ay, bx, ph = pattern_params(i)
                 x = np.arange(w)[None, :]
                 y = np.arange(h)[:, None]
@@ -364,7 +367,8 @@ def synth_patterned_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     else encode_ppm_px(w, h, px)
                 )
             yield pd.DataFrame({
-                "doc_id": pdf[id_col].astype("int64"),
+                "doc_id": pd.array(
+                    [_opt_id(x) for x in pdf[id_col]], dtype="Int64"),
                 "payload": pd.array(payloads, dtype=object),
             })
 
@@ -406,12 +410,12 @@ def perceptual_hash(
             out: dict[str, list] = {k.name: [] for k in PHASH_SCHEMA}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 d, err = _contained(_phash_real, payload, "image")
-                out["doc_id"].append(int(doc_id))
+                out["doc_id"].append(_opt_id(doc_id))
                 for k in ("b0", "b1", "b2", "b3"):
                     out[k].append(d.get(k))
                 out["error"].append(err)
             yield pd.DataFrame({
-                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "doc_id": pd.array(out["doc_id"], dtype="Int64"),
                 "b0": pd.array(out["b0"], dtype="Int64"),
                 "b1": pd.array(out["b1"], dtype="Int64"),
                 "b2": pd.array(out["b2"], dtype="Int64"),
@@ -525,6 +529,17 @@ IMAGE_DECODE_SCHEMA = T.StructType([
 ])
 
 
+def _opt_id(doc_id):
+    """NULL-safe id passthrough at the Arrow seam. A NULL doc_id is
+    upstream catalog corruption; `int(doc_id)` on the pandas NaN it
+    arrives as killed the whole task (round-11 hostile-id probe) —
+    one bad row in a 100 TB corpus must cost one row, not the stage.
+    Rows keep a NULL id and flow to the per-row error column."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    return None if pd.isna(doc_id) else int(doc_id)
+
+
 def _contained(decode, payload, modality: str) -> tuple[dict, str | None]:
     """Per-row error containment at the codec seam: a malformed,
     truncated, lying, or NULL payload yields ({}, error-string)
@@ -554,14 +569,18 @@ def synth_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in it:
             payloads = []
             for doc_id in pdf[id_col]:
-                i = int(doc_id)
+                i = _opt_id(doc_id)
+                if i is None:  # NULL id → NULL payload → error row
+                    payloads.append(None)
+                    continue
                 w, h, fill = 4 + i % 13, 3 + i % 7, 65 + i % 26
                 payloads.append(
                     encode_bmp(w, h, fill) if i % 2 == 0
                     else encode_ppm(w, h, fill)
                 )
             yield pd.DataFrame({
-                "doc_id": pdf[id_col].astype("int64"),
+                "doc_id": pd.array(
+                    [_opt_id(x) for x in pdf[id_col]], dtype="Int64"),
                 "payload": pd.array(payloads, dtype=object),
             })
 
@@ -582,7 +601,7 @@ def decode_images(
             out = {k.name: [] for k in IMAGE_DECODE_SCHEMA}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 d, err = _contained(decode_real, payload, "image")
-                out["doc_id"].append(int(doc_id))
+                out["doc_id"].append(_opt_id(doc_id))
                 out["format"].append(d.get("format"))
                 out["width"].append(d.get("width"))
                 out["height"].append(d.get("height"))
@@ -590,7 +609,7 @@ def decode_images(
                 out["pixel_digest"].append(d.get("pixel_digest"))
                 out["error"].append(err)
             yield pd.DataFrame({
-                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "doc_id": pd.array(out["doc_id"], dtype="Int64"),
                 "format": pd.array(out["format"], dtype="object"),
                 "width": pd.array(out["width"], dtype="Int64"),
                 "height": pd.array(out["height"], dtype="Int64"),
@@ -628,7 +647,10 @@ def synth_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in it:
             payloads = []
             for doc_id in pdf[id_col]:
-                i = int(doc_id)
+                i = _opt_id(doc_id)
+                if i is None:  # NULL id → NULL payload → error row
+                    payloads.append(None)
+                    continue
                 n = 400 + i % 800           # samples
                 p = 2 + i % 9               # half-period in samples
                 a = 1000 + (i % 20) * 997   # amplitude
@@ -636,7 +658,8 @@ def synth_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 s = np.where((j // p) % 2 == 0, a, -a).astype("<i2")
                 payloads.append(encode_wav(_WAV_RATE, s))
             yield pd.DataFrame({
-                "doc_id": pdf[id_col].astype("int64"),
+                "doc_id": pd.array(
+                    [_opt_id(x) for x in pdf[id_col]], dtype="Int64"),
                 "payload": pd.array(payloads, dtype=object),
             })
 
@@ -657,7 +680,7 @@ def decode_audio(
             out = {k.name: [] for k in AUDIO_DECODE_SCHEMA}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 d, err = _contained(decode_real, payload, "audio")
-                out["doc_id"].append(int(doc_id))
+                out["doc_id"].append(_opt_id(doc_id))
                 for k in (
                     "sample_rate", "n_samples", "duration_ms", "rms",
                     "zero_crossings",
@@ -665,7 +688,7 @@ def decode_audio(
                     out[k].append(d.get(k))
                 out["error"].append(err)
             yield pd.DataFrame({
-                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "doc_id": pd.array(out["doc_id"], dtype="Int64"),
                 "sample_rate": pd.array(out["sample_rate"], dtype="Int64"),
                 "n_samples": pd.array(out["n_samples"], dtype="Int64"),
                 "duration_ms": pd.array(out["duration_ms"], dtype="Int64"),
@@ -692,9 +715,13 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.col(id_col),
         F.col(text_col).alias("text"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        # the video arm is a guarded WHEN, not otherwise(): a NULL id
+        # must yield a NULL (unknown) modality, not fall into the last
+        # bucket and get frame-sampled as video (round-11 hostile-id
+        # probe: the oracle's filter dropped the row, the engine kept it)
         F.when(m == 0, F.lit("image"))
         .when(m == 1, F.lit("audio"))
-        .otherwise(F.lit("video"))
+        .when(m.isNotNull(), F.lit("video"))
         .alias("modality"),
     )
 
@@ -763,11 +790,11 @@ def sample_frames(df: DataFrame) -> DataFrame:
                 n_chunks = math.ceil(len(text) / _FRAME_CHARS)
                 for i in range(0, n_chunks, _FRAME_STRIDE):
                     chunk = text[i * _FRAME_CHARS:(i + 1) * _FRAME_CHARS]
-                    ids.append(doc_id)
+                    ids.append(_opt_id(doc_id))
                     idxs.append(i)
                     digs.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
             yield pd.DataFrame({
-                "doc_id": pd.array(ids, dtype="int64"),
+                "doc_id": pd.array(ids, dtype="Int64"),
                 "frame_idx": pd.array(idxs, dtype="int64"),
                 "frame_digest": pd.array(digs, dtype="object"),
             })
@@ -898,13 +925,17 @@ def synth_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in it:
             payloads = []
             for doc_id in pdf[id_col]:
-                i = int(doc_id)
+                i = _opt_id(doc_id)
+                if i is None:  # NULL id → NULL payload → error row
+                    payloads.append(None)
+                    continue
                 w, h, n = 8 + i % 9, 4 + i % 5, 3 + i % 6
                 payloads.append(
                     encode_avi(w, h, [65 + (i + k) % 26 for k in range(n)])
                 )
             yield pd.DataFrame({
-                "doc_id": pdf[id_col].astype("int64"),
+                "doc_id": pd.array(
+                    [_opt_id(x) for x in pdf[id_col]], dtype="Int64"),
                 "payload": pd.array(payloads, dtype=object),
             })
 
@@ -935,7 +966,7 @@ def decode_video_frames(
                 out["error"].append(err)
 
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                i = int(doc_id)
+                i = _opt_id(doc_id)
                 d, err = _contained(
                     lambda p, _m: _decode_avi(p), payload, "video"
                 )
@@ -948,7 +979,7 @@ def decode_video_frames(
                         hashlib.md5(d["frames"][k]).hexdigest(), None,
                     )
             yield pd.DataFrame({
-                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "doc_id": pd.array(out["doc_id"], dtype="Int64"),
                 "frame_idx": pd.array(out["frame_idx"], dtype="Int64"),
                 "width": pd.array(out["width"], dtype="Int64"),
                 "height": pd.array(out["height"], dtype="Int64"),

@@ -59,9 +59,9 @@ def _iter_sql(i: int, prev: str) -> str:
     mean_list = ", ".join(f"s.s{d} // s.n" for d in range(1, _DIM + 1))
     return f"""
 a{i} AS (
-  SELECT vec_id, q,
+  SELECT rid, q,
          min({_dist_sql('q', 'c')} * {_K} + (cid - 1)) AS pk
-  FROM v CROSS JOIN {prev} GROUP BY vec_id, q
+  FROM v CROSS JOIN {prev} GROUP BY rid, q
 ),
 s{i} AS (
   SELECT CAST(pk % {_K} + 1 AS INT) AS cid,
@@ -78,21 +78,21 @@ c{i} AS (
 KMEANS_TOPICS_ORACLE = (
     f"""
 WITH v AS (
-  SELECT vec_id,
+  SELECT row_number() OVER () AS rid, vec_id,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
   FROM embeddings
   WHERE vec_id IS NOT NULL AND {indexable_embedding_sql('embedding', _DIM)}
 ),
 c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, q AS c
-  FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT {_K})
+  SELECT CAST(row_number() OVER (ORDER BY vec_id, q) AS INT) AS cid, q AS c
+  FROM (SELECT vec_id, q FROM v ORDER BY vec_id, q LIMIT {_K})
 ),"""
     + ",".join(_iter_sql(i, f"c{i - 1}") for i in range(1, _ITERS + 1))
     + f""",
 fin AS (
-  SELECT vec_id, min({_dist_sql('q', 'c')} * {_K} + (cid - 1)) AS pk
-  FROM v CROSS JOIN c{_ITERS} GROUP BY vec_id
+  SELECT rid, min({_dist_sql('q', 'c')} * {_K} + (cid - 1)) AS pk
+  FROM v CROSS JOIN c{_ITERS} GROUP BY rid
 ),
 stats AS (
   SELECT CAST(pk % {_K} + 1 AS INT) AS cid,
@@ -238,10 +238,13 @@ def fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     qdf = _quantized(spark, sf_dir)
-    init = qdf.orderBy("vec_id").limit(_K)
+    # seed ordering is total over (vec_id, q): under a duplicate-id
+    # twin inside the seed window, vec_id alone ties and the seed
+    # pick is engine-arbitrary (round-11 hostile-id probe class)
+    init = qdf.orderBy("vec_id", "q").limit(_K)
     cents = init.select(
         F.row_number()
-        .over(Window.orderBy("vec_id"))
+        .over(Window.orderBy("vec_id", "q"))
         .cast("int")
         .alias("cid"),
         F.col("q").alias("c"),
@@ -318,21 +321,21 @@ _IDOT = (
 SEMDEDUP_ORACLE = (
     f"""
 WITH v AS (
-  SELECT vec_id,
+  SELECT row_number() OVER () AS rid, vec_id,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
   FROM embeddings
   WHERE vec_id IS NOT NULL AND {indexable_embedding_sql('embedding', _DIM)}
 ),
 c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, q AS c
-  FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT {_K})
+  SELECT CAST(row_number() OVER (ORDER BY vec_id, q) AS INT) AS cid, q AS c
+  FROM (SELECT vec_id, q FROM v ORDER BY vec_id, q LIMIT {_K})
 ),"""
     + ",".join(_iter_sql(i, f"c{i - 1}") for i in range(1, _ITERS + 1))
     + f""",
 fin2 AS (
-  SELECT vec_id, q, min({_dist_sql('q', 'c')} * {_K} + (cid - 1)) AS pk
-  FROM v CROSS JOIN c{_ITERS} GROUP BY vec_id, q
+  SELECT rid, vec_id, q, min({_dist_sql('q', 'c')} * {_K} + (cid - 1)) AS pk
+  FROM v CROSS JOIN c{_ITERS} GROUP BY rid, vec_id, q
 ),
 asg AS (
   SELECT vec_id, q, CAST(pk % {_K} + 1 AS INT) AS cid,

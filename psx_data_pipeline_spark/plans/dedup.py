@@ -308,8 +308,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-min-id dedup."""
     docs = load_table_parallel(spark, "documents", sf_dir, "doc_id")
     pairs = minhash_lsh_pairs(docs, "text", "doc_id", k=_K, bands=_BANDS)
+    # DISTINCT node ids: the output is a per-id cluster map; a
+    # duplicate-id twin contributes shingles (the signature agg is
+    # id-keyed) but one node, or the map doubles its row (round-11
+    # hostile-id probe). Negligible next to CC's iterated shuffles.
     comp = connected_components(
-        pairs, docs.select("doc_id"), id_col="doc_id"
+        pairs, docs.select("doc_id").distinct(), id_col="doc_id"
     )
     return comp.select(F.col("id").alias("doc_id"), "comp")
 

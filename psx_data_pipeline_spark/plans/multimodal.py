@@ -26,8 +26,8 @@ from psx_data_pipeline_spark.plans.registry import query
 from psx_data_pipeline_spark.sources.fixtures import load_table
 
 _MODALITY_SQL = """
-  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-  ELSE 'video' END
+  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+  WHEN doc_id % 3 IS NOT NULL THEN 'video' END
 """
 
 MULTIMODAL_FEATURES_ORACLE = f"""
@@ -82,16 +82,22 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decoder itself is exercised on real BMP/PPM bytes (header parse,
 # stride/padding strip, bottom-up reassembly); non-uniform pixels are
 # pinned by unit tests (tests/test_image_decode.py).
+# a NULL doc_id synthesizes a NULL payload, so the decode emits the
+# error branch (round-11 hostile-id probe: int(doc_id) at the Arrow
+# seam used to kill the TASK instead) — the oracle states the same
+# row, and the constant columns must not leak through the NULL id
 IMAGE_DECODE_ORACLE = """
 SELECT doc_id,
-  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+  CASE WHEN doc_id IS NULL THEN NULL
+       WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
   CAST(4 + doc_id % 13 AS BIGINT) AS width,
   CAST(3 + doc_id % 7 AS BIGINT) AS height,
-  CAST(3 AS BIGINT) AS channels,
+  CASE WHEN doc_id IS NULL THEN NULL ELSE CAST(3 AS BIGINT) END
+    AS channels,
   md5(repeat(chr(CAST(65 + doc_id % 26 AS INT)),
              CAST((4 + doc_id % 13) * (3 + doc_id % 7) * 3 AS INT)))
     AS pixel_digest,
-  CAST(NULL AS VARCHAR) AS error
+  CASE WHEN doc_id IS NULL THEN 'ValueError: null payload' END AS error
 FROM documents
 """
 
@@ -119,13 +125,14 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-square-wave cases are pinned by tests/test_audio_decode.py.
 AUDIO_DECODE_ORACLE = """
 SELECT doc_id,
-  CAST(8000 AS BIGINT) AS sample_rate,
+  CASE WHEN doc_id IS NULL THEN NULL ELSE CAST(8000 AS BIGINT) END
+    AS sample_rate,
   CAST(400 + doc_id % 800 AS BIGINT) AS n_samples,
   CAST((400 + doc_id % 800) // 8 AS BIGINT) AS duration_ms,
   CAST(1000 + (doc_id % 20) * 997 AS DOUBLE) AS rms,
   CAST((400 + doc_id % 800 - 1) // (2 + doc_id % 9) AS BIGINT)
     AS zero_crossings,
-  CAST(NULL AS VARCHAR) AS error
+  CASE WHEN doc_id IS NULL THEN 'ValueError: null payload' END AS error
 FROM documents
 """
 
@@ -273,6 +280,11 @@ SELECT doc_id,
              CAST(w * h * 3 AS INT))) AS frame_digest,
   CAST(NULL AS VARCHAR) AS error
 FROM p, unnest(generate_series(0, CAST(n - 1 AS BIGINT), 2)) AS f(k)
+UNION ALL
+-- a NULL doc_id has no frames to fan out, but the engine contains it
+-- to ONE error row rather than dropping it (X2 semantics)
+SELECT doc_id, NULL, NULL, NULL, NULL, 'ValueError: null payload'
+FROM documents WHERE doc_id IS NULL
 """
 
 

@@ -51,34 +51,41 @@ _PATTERNS_SQL = "(VALUES " + ", ".join(
 # both engines for ASCII patterns over arbitrary text
 _OCC = "(length(text) - length(replace(text, p, ''))) / length(p)"
 
+# every rollup keys on a synthetic PER-ROW id: the audit is a
+# per-document-ROW content check (the streaming twin proves it — a
+# stateless filter-on-ingest has no way to group by doc_id), and
+# doc_id-keyed grouping silently merged duplicate-id twins and
+# dropped the NULL-id row at the equi-joins (round-11 hostile-id
+# probe)
 BLOCKLIST_ORACLE = f"""
 WITH d AS (
-  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  SELECT row_number() OVER () AS rid, doc_id, text
+  FROM documents WHERE text IS NOT NULL
 ),
 hits AS (
-  SELECT doc_id, p, CAST({_OCC} AS BIGINT) AS occ
+  SELECT rid, doc_id, p, CAST({_OCC} AS BIGINT) AS occ
   FROM d, {_PATTERNS_SQL}
 ),
 agg AS (
-  SELECT doc_id,
+  SELECT rid, doc_id,
          CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_patterns,
          CAST(sum(occ) AS BIGINT) AS n_occurrences,
          max(occ) AS max_occ
-  FROM hits GROUP BY doc_id
+  FROM hits GROUP BY rid, doc_id
 ),
 worst AS (
-  SELECT doc_id, min(p) AS worst_pattern
+  SELECT rid, min(p) AS worst_pattern
   FROM hits h
   WHERE occ > 0
-    AND occ = (SELECT max(occ) FROM hits h2 WHERE h2.doc_id = h.doc_id)
-  GROUP BY doc_id
+    AND occ = (SELECT max(occ) FROM hits h2 WHERE h2.rid = h.rid)
+  GROUP BY rid
 )
 SELECT a.doc_id, a.n_patterns, a.n_occurrences,
        w.worst_pattern,
        (a.max_occ > {_MAX_OCC} OR a.n_patterns > {_MAX_PATTERNS})
          AS dropped
-FROM agg a LEFT JOIN worst w ON w.doc_id = a.doc_id
+FROM agg a LEFT JOIN worst w ON w.rid = a.rid
 """
 
 
@@ -96,28 +103,50 @@ def blocklist_hits(docs: DataFrame) -> DataFrame:
     )
 
 
+# _OCC with the pattern inlined as a literal (same arithmetic)
+_HITS_ARRAY_SQL = "array(" + ", ".join(
+    f"named_struct('occ', CAST((length(text) -"
+    f" length(replace(text, '{p}', ''))) / length('{p}') AS BIGINT),"
+    f" 'p', '{p}')"
+    for p in _BLOCKLIST
+) + ")"
+
+
 @query("blocklist_scan", BLOCKLIST_ORACLE)
 def q_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document blocklist audit: pattern hit counts, the worst
     pattern (max occurrences, ties lexicographic), and the threshold
-    policy verdict (module docstring)."""
-    hits = blocklist_hits(load_table(spark, "documents", sf_dir))
-    agg = hits.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("occ") > 0, 1).otherwise(0)).cast("long")
-        .alias("n_patterns"),
-        F.sum("occ").cast("long").alias("n_occurrences"),
-        F.max("occ").alias("max_occ"),
-        # worst pattern in ONE aggregate: lexicographic min among the
-        # patterns tied at the max count — encoded as min over a
-        # (neg-occ, p) struct so no second pass / self-join is needed
-        F.min(
-            F.when(
-                F.col("occ") > 0,
-                F.struct((-F.col("occ")).alias("no"), F.col("p").alias("p")),
-            )
-        ).getField("p").alias("worst_pattern"),
+    policy verdict (module docstring).
+
+    Fully IN-ROW over the constant pattern array — no explode, no
+    shuffle, the audit rides the corpus scan (the same shape the
+    streaming twin runs per micro-batch). The per-row form is also
+    the honest semantics under id corruption: a duplicate-id twin is
+    two audited rows, and a NULL id is still a row — the earlier
+    doc_id-keyed groupBy merged or dropped them (round-11 hostile-id
+    probe)."""
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("text").isNotNull()
     )
-    return agg.select(
+    return docs.select(
+        "doc_id", F.expr(_HITS_ARRAY_SQL).alias("hs")
+    ).select(
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(hs, s -> s.occ > 0)) AS BIGINT)"
+        ).alias("n_patterns"),
+        F.expr(
+            "aggregate(hs, CAST(0 AS BIGINT), (a, s) -> a + s.occ)"
+        ).alias("n_occurrences"),
+        # worst pattern in-row: lexicographic min among the patterns
+        # tied at the max count — array_min over (neg-occ, p) structs;
+        # empty filter result → NULL, matching the oracle's left join
+        F.expr(
+            "array_min(transform(filter(hs, s -> s.occ > 0),"
+            " s -> named_struct('no', -s.occ, 'p', s.p))).p"
+        ).alias("worst_pattern"),
+        F.expr("array_max(transform(hs, s -> s.occ))").alias("max_occ"),
+    ).select(
         "doc_id", "n_patterns", "n_occurrences", "worst_pattern",
         (
             (F.col("max_occ") > _MAX_OCC)

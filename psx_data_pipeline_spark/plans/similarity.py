@@ -150,18 +150,25 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BITS = 8
 _COS_T = 0.1
 
-_SIG_SQL = hyperplane_signature_sql("embedding", "vec_id", "vembeddings", _BITS, _DIM)
 _PAIR_COS = (
     f"{dot_sql('a.e', 'b.e')}"
     f" / (sqrt({dot_sql('a.e', 'a.e')}) * sqrt({dot_sql('b.e', 'b.e')}))"
 )
 
+# signatures are keyed on a synthetic PER-ROW id, not vec_id: the
+# engine signs each physical row scan-side, and a vec_id-keyed sig
+# both MERGED duplicate-id twins' components into one garbage
+# signature and cross-paired each twin's signature with the other's
+# embedding through the join-back (round-11 hostile-id probe)
+_LSH_SIG_SQL = hyperplane_signature_sql("embedding", "rid", "vrows", _BITS, _DIM)
+
 LSH_NEIGHBORS_ORACLE = f"""
 WITH {_VEMB_CTE},
-sig AS ({_SIG_SQL}),
+vrows AS (SELECT *, row_number() OVER () AS rid FROM vembeddings),
+sig AS ({_LSH_SIG_SQL}),
 v AS (
-  SELECT s.sig_id AS id, s.sig, e.embedding AS e
-  FROM sig s JOIN vembeddings e ON e.vec_id = s.sig_id
+  SELECT e.vec_id AS id, s.sig, e.embedding AS e
+  FROM sig s JOIN vrows e ON e.rid = s.sig_id
 ),
 cand AS (
   SELECT a.id AS id_a, b.id AS id_b, {_PAIR_COS} AS cosine
@@ -373,7 +380,13 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_bucketed_neighbors(
         emb, "embedding", "vec_id", dim=_DIM, bits=_BITS, threshold=_COS_T
     )
-    comp = connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
+    # node set is DISTINCT ids: the output is a per-id cluster map, so
+    # a duplicate-id twin contributes edges from both its rows but
+    # one node (round-11 hostile-id probe: dup node rows doubled the
+    # output row). The node list is CC's own iterated frame — one
+    # distinct on it is noise next to the propagation shuffles.
+    comp = connected_components(
+        pairs, emb.select("vec_id").distinct(), id_col="vec_id")
     return comp.select(
         F.col("id").alias("vec_id"),
         "comp",
@@ -383,26 +396,31 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- int8 scalar quantization ------------------------------------------------
 
+# the final rollup groups on a synthetic PER-ROW id (each stored
+# vector quantizes independently, matching the engine's in-row
+# F.aggregate folds): grouping on vec_id alone merged duplicate-id
+# twins' checksums into one garbage row (round-11 hostile-id probe)
 EMB_QUANTIZE_ORACLE = f"""
-WITH wf AS (SELECT * FROM embeddings WHERE {_VALID_SQL}),
-x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+WITH wf AS (SELECT *, row_number() OVER () AS rid FROM embeddings
+            WHERE {_VALID_SQL}),
+x AS (SELECT rid, vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
                   generate_subscripts(embedding, 1) AS dim
            FROM wf),
 r AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim),
-q AS (SELECT x.vec_id, x.dim, x.v, r.mn, r.mx,
+q AS (SELECT x.rid, x.vec_id, x.dim, x.v, r.mn, r.mx,
         CASE WHEN r.mx - r.mn > 0
              THEN CAST(least(255, floor(((x.v - r.mn) * 255)
                                         / (r.mx - r.mn))) AS BIGINT)
              ELSE 0 END AS qi
       FROM x JOIN r USING (dim)),
-e AS (SELECT vec_id, dim, qi,
+e AS (SELECT rid, vec_id, dim, qi,
         CAST(floor(abs(v - (mn + ((qi + 0.5) * (mx - mn)) / 256))
                    * 1000000) AS BIGINT) AS err_micro
       FROM q)
 SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
        CAST(sum(dim * qi) AS BIGINT) AS q_checksum,
        CAST(sum(err_micro) AS BIGINT) AS err_micro_sum
-FROM e GROUP BY vec_id
+FROM e GROUP BY rid, vec_id
 """
 
 
@@ -571,8 +589,15 @@ _CANON_DUCK = "list_transform(embedding, x -> x + CAST(0.0 AS FLOAT))"
 # (neighbor_triangles, pagerank_sim) analyze exactly this edge list.
 _SIM_GRAPH_CTES = f"""{_VEMB_CTE},
 rembeddings AS (
-  SELECT min(vec_id) AS vec_id, {_CANON_DUCK} AS embedding
-  FROM vembeddings GROUP BY 2
+  -- second collapse ON THE ID: a duplicate-id twin (two distinct
+  -- vectors sharing one vec_id) would otherwise elect two reps with
+  -- the SAME node label, and the vec_id-keyed signature/degree
+  -- aggregations then merge them into garbage (round-11 hostile-id
+  -- probe). One node per id, its vector picked by total list order.
+  SELECT vec_id, min(embedding) AS embedding FROM (
+    SELECT min(vec_id) AS vec_id, {_CANON_DUCK} AS embedding
+    FROM vembeddings GROUP BY 2
+  ) GROUP BY 1
 ),
 sig AS ({hyperplane_signature_sql("embedding", "vec_id", "rembeddings", _BITS, _DIM)}),
 v AS (
@@ -591,6 +616,11 @@ def _sim_graph_edges(
     """(representatives, verified a<b edge list) of the collapsed
     similarity graph — the Spark twin of _SIM_GRAPH_CTES."""
     emb = _indexable(load_table(spark, "embeddings", sf_dir))
+    # two collapses — by vector (exact-dup election) then by ID: a
+    # duplicate-id twin otherwise elects two reps with the same node
+    # label, which the id-keyed degree/rank aggregations merge into
+    # garbage (round-11 hostile-id probe; see _SIM_GRAPH_CTES). Both
+    # run on the rep set, which is dup-bounded, not corpus-sized.
     reps = (
         emb.select(
             "vec_id",
@@ -600,6 +630,8 @@ def _sim_graph_edges(
         )
         .groupBy("embedding")
         .agg(F.min("vec_id").alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.min("embedding").alias("embedding"))
     )
     e = lsh_bucketed_neighbors(
         reps, "embedding", "vec_id", dim=_DIM, bits=_BITS, threshold=_COS_T
@@ -699,8 +731,11 @@ r0 AS (SELECT id, CAST(1000 AS BIGINT) AS r FROM deg),
 {_PR_CTE_CHAIN}
 SELECT id AS vec_id, r AS rank_milli FROM r{_PR_ITERS}
 UNION ALL
-SELECT vec_id, CAST(150 AS BIGINT) AS rank_milli FROM rembeddings
-WHERE vec_id NOT IN (SELECT id FROM deg)
+-- NOT EXISTS, not NOT IN: a NULL-id rep is a legal isolated node
+-- (it can never equi-join an edge), and NULL NOT IN (...) is NULL —
+-- the row silently vanished on this side only (hostile-id probe)
+SELECT vec_id, CAST(150 AS BIGINT) AS rank_milli FROM rembeddings r
+WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.id = r.vec_id)
 """
 
 

@@ -82,16 +82,22 @@ _MARKER_VALUES = ", ".join(
     for lang, ms in _LANG_MARKERS
 )
 
+# the argmax window partitions on a synthetic PER-ROW id (arbitrary
+# but unique — each partition holds one physical row's five scores),
+# NOT on doc_id: the engine classifies each physical row scan-side,
+# and a partition keyed on doc_id silently merged duplicate-id twins
+# into one output row (round-11 hostile-id probe)
 LANG_ID_ORACLE = f"""
 WITH m AS (SELECT * FROM (VALUES {_MARKER_VALUES}) AS t(lang, markers)),
+d AS (SELECT *, row_number() OVER () AS rid FROM documents),
 scored AS (
-  SELECT d.doc_id, d.lang AS lang_true, m.lang,
+  SELECT d.rid, d.doc_id, d.lang AS lang_true, m.lang,
          len(list_intersect(list_distinct({_TOKS}), m.markers)) AS hits
-  FROM documents d CROSS JOIN m
+  FROM d CROSS JOIN m
 ),
 best AS (
   SELECT *, row_number() OVER (
-    PARTITION BY doc_id ORDER BY hits DESC, lang) AS rk
+    PARTITION BY rid ORDER BY hits DESC, lang) AS rk
   FROM scored
 )
 SELECT doc_id, lang_true,
@@ -291,7 +297,13 @@ tf AS (
   SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
 ),
 df AS (
-  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+  -- NULL-safe distinct-doc count: COUNT(DISTINCT doc_id) skips the
+  -- NULL id while tf keeps its group, so a token living only in a
+  -- NULL-id doc got df = 0 and a zero divisor (round-11 hostile-id
+  -- probe: one corrupt catalog row task-killed the engine side)
+  SELECT tok, COUNT(DISTINCT coalesce(CAST(doc_id AS VARCHAR),
+                                      chr(9216) || 'null')) AS df
+  FROM toks GROUP BY tok
 ),
 n AS (SELECT COUNT(*) AS n FROM documents),
 scored AS (
@@ -321,8 +333,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens("text")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # NULL-safe surrogate: countDistinct skips NULL ids while tf keeps
+    # the NULL group — a token living only in a NULL-id doc had df = 0
+    # and the idf divided by zero (round-11 hostile-id probe)
     dfreq = toks.groupBy("tok").agg(
-        F.countDistinct("doc_id").alias("df")
+        F.countDistinct(
+            F.coalesce(F.col("doc_id").cast("string"),
+                       F.lit("␀null"))
+        ).alias("df")
     )
     scored = tf.join(dfreq, "tok").select(
         "doc_id", "tok",
@@ -758,7 +776,8 @@ WITH ranked AS (
   SELECT doc_id, source, len({_TOKS}) AS n_tokens,
          sum(len({_TOKS})) OVER (
            PARTITION BY source
-           ORDER BY md5(CAST(doc_id AS VARCHAR))
+           ORDER BY md5(coalesce(CAST(doc_id AS VARCHAR), '')),
+                    len({_TOKS})
            ROWS UNBOUNDED PRECEDING) AS cum_tokens
   FROM documents
 )
@@ -783,9 +802,17 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinalities the direct window is the right plan."""
     docs = load_table(spark, "documents", sf_dir)
     toks_n = F.size(tokens("text")).cast("long")
+    # n_tokens tiebreak: a duplicate-id twin ties on md5(doc_id), and
+    # an untied running frame is engine-arbitrary between the twins;
+    # the md5 key is coalesced because a NULL id otherwise sorts
+    # NULLS FIRST here and NULLS LAST in the oracle (round-11
+    # hostile-id probe class)
     w = (
         Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .orderBy(
+            F.md5(F.coalesce(F.col("doc_id").cast("string"), F.lit(""))),
+            F.col("n_tokens"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ranked = docs.select(
@@ -809,7 +836,7 @@ packed AS (
   SELECT doc_id, bucket, n_tokens,
          sum(n_tokens) OVER (
            PARTITION BY bucket
-           ORDER BY md5(CAST(doc_id AS VARCHAR))
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), n_tokens
            ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
   FROM sized
 )
@@ -840,7 +867,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("bucket")
-        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("n_tokens"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = sized.withColumn(
@@ -1157,15 +1184,19 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the phase-2 input is (#domains · S · K) rows — trivially small —
     while the naive form serializes each domain in one partition."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    # asc_nulls_last in BOTH phases: Spark default asc is NULLS FIRST
+    # while DuckDB's is NULLS LAST, so a NULL-id doc silently shifted
+    # every rank in its source by one on this side only (round-11
+    # hostile-id probe); a NULL id loses to every real id
     w1 = Window.partitionBy(
         "source", (F.col("doc_id") % _CAP_SALTS).alias("salt")
-    ).orderBy("doc_id")
+    ).orderBy(F.asc_nulls_last("doc_id"))
     phase1 = (
         docs.withColumn("rn1", F.row_number().over(w1))
         .where(F.col("rn1") <= _CAP_K)
         .drop("rn1")
     )
-    w2 = Window.partitionBy("source").orderBy("doc_id")
+    w2 = Window.partitionBy("source").orderBy(F.asc_nulls_last("doc_id"))
     return (
         phase1.withColumn("rn", F.row_number().over(w2).cast("long"))
         .where(F.col("rn") <= _CAP_K)
@@ -1235,7 +1266,10 @@ s AS (
   SELECT per.doc_id, n.n_toks, n.n_distinct,
          CAST(sum(c * CAST(floor(1000 * ln(CAST(n.n_toks AS DOUBLE) / c))
                            AS BIGINT)) AS BIGINT) AS entropy_milli_sum
-  FROM per JOIN n USING (doc_id)
+  -- NULL-safe join: the engine's window/groupBy keeps the NULL-id
+  -- histogram as its own group, but an equi-join on doc_id silently
+  -- dropped it here (round-11 hostile-id probe)
+  FROM per JOIN n ON per.doc_id IS NOT DISTINCT FROM n.doc_id
   GROUP BY per.doc_id, n.n_toks, n.n_distinct)
 SELECT doc_id, n_toks, n_distinct, entropy_milli_sum,
        CAST(CAST(entropy_milli_sum AS DOUBLE) / n_toks AS DOUBLE)

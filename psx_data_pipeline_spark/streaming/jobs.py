@@ -248,7 +248,14 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # even starts
         feed.where(F.col("ts_ts").isNotNull() & (F.col("ts_us") >= 0))
         .withWatermark("ts_ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["event_id"])
+        # the dedup key is the FULL record, not event_id alone: a
+        # redelivery is bit-identical, so the full tuple collapses it
+        # exactly — while two DIFFERENT events wearing one colliding
+        # id (round-11 hostile-id probe) both survive. Keyed on the
+        # id alone, dropDuplicates kept whichever twin ARRIVED first:
+        # payload-nondeterministic output at any scale.
+        .dropDuplicatesWithinWatermark(
+            ["event_id", "user_id", "event_type", "ts_us"])
         .select("event_id", "user_id", "event_type", "ts_us")
     )
     with _pinned_state_shuffle(spark):

@@ -1,0 +1,154 @@
+"""Pin the primary-key-violation semantics the hostile-id probe
+established (tools/hostile_id_probe.py, round 11): duplicate and NULL
+doc_id / vec_id / event_id rows must neither crash a task, collapse
+engine-arbitrarily, nor diverge from the DuckDB oracle."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE = "/root/testdata/sf0.001"
+OTHER = ("region", "nation", "customer", "supplier", "part",
+         "orders", "lineitem")
+
+
+def _corpus(sf, docs=None, embs=None, evs=None):
+    """Tiny corpus: base tables hardlinked, documents/embeddings/
+    events replaced when given (pyarrow single files for the oracle)."""
+    for t in OTHER:
+        shutil.copy(f"{BASE}/{t}.parquet", f"{sf}/{t}.parquet")
+    for t, data in (("documents", docs), ("embeddings", embs),
+                    ("events", evs)):
+        if data is None:
+            shutil.copy(f"{BASE}/{t}.parquet", f"{sf}/{t}.parquet")
+        else:
+            pq.write_table(data, f"{sf}/{t}.parquet")
+
+
+def _docs(rows):
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "n_chars": pa.array(
+            [len(r[1] or "") for r in rows], pa.int64()),
+    })
+
+
+def test_null_doc_id_degrades_to_codec_error_row(spark, tmp_path):
+    """Round-11 probe find: int(doc_id) at the Arrow synth/decode
+    seams killed the whole TASK on one NULL-id row (7 codec queries
+    red). Pins: the row survives with a NULL id and the error column
+    set — one corrupt catalog row costs one row, not the stage."""
+    sf = str(tmp_path)
+    _corpus(sf, docs=_docs([
+        (1, "hello world", "src0"),
+        (None, "null id document", "src0"),
+    ]))
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    rows = {r.doc_id: r for r in
+            QUERIES["image_decode"](spark, sf).collect()}
+    assert rows[None].error == "ValueError: null payload"
+    assert rows[None].format is None and rows[None].channels is None
+    assert rows[1].error is None and rows[1].format == "ppm"
+    for name in ("image_decode", "audio_decode", "video_decode",
+                 "frame_sample", "multimodal_features"):
+        ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
+        assert ok, f"{name}: {msg}"
+
+
+def test_duplicate_doc_id_twins_stay_separate_rows(spark, tmp_path):
+    """A duplicate-id twin (same doc_id, different text) is two
+    physical documents: per-row queries emit both, identically in
+    both engines — the oracle's doc_id-keyed windows used to merge
+    them into one engine-arbitrary row."""
+    sf = str(tmp_path)
+    _corpus(sf, docs=_docs([
+        (7, "the big table scan", "src0"),
+        (7, "completely different words here", "src1"),
+        (8, "a plain doc", "src0"),
+    ]))
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    preds = [r for r in QUERIES["lang_id"](spark, sf).collect()
+             if r.doc_id == 7]
+    assert len(preds) == 2  # one classification per physical row
+    for name in ("lang_id", "blocklist_scan", "token_entropy",
+                 "tfidf_top_terms", "sequence_pack", "domain_cap"):
+        ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
+        assert ok, f"{name}: {msg}"
+
+
+def test_duplicate_vec_id_twin_keeps_similarity_family_total(
+    spark, tmp_path
+):
+    """Two distinct vectors wearing one vec_id: signatures are
+    per-row (never merged through the id), the dedup/cluster maps
+    stay one row per distinct id, and quantization emits one row per
+    stored vector."""
+    sf = str(tmp_path)
+    base = pq.read_table(f"{BASE}/embeddings.parquet")
+    twin = pa.table({
+        "vec_id": pa.array([990001, 990001, None], pa.int64()),
+        "embedding": pa.array(
+            [[0.25] * 64, [-0.75] * 64, [0.5] * 64],
+            pa.list_(pa.float32())),
+        "label": pa.array([1, 2, 3], pa.int32()),
+    }, schema=base.schema)
+    _corpus(str(tmp_path), embs=pa.concat_tables([base, twin]))
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    q = QUERIES["embedding_quantize"](spark, sf).where(
+        "vec_id = 990001").collect()
+    assert len(q) == 2  # one row per stored vector
+    d = QUERIES["embedding_dedup"](spark, sf).where(
+        "vec_id = 990001").collect()
+    assert len(d) == 1  # one node per distinct id in the cluster map
+    for name in ("embedding_quantize", "embedding_dedup",
+                 "lsh_bucketed_neighbors", "pagerank_sim",
+                 "kmeans_topics"):
+        ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
+        assert ok, f"{name}: {msg}"
+
+
+def test_stream_dedup_collapses_redelivery_not_id_collisions(
+    spark, tmp_path
+):
+    """The dedup key is the full record: a redelivered (bit-identical)
+    event collapses, while two DIFFERENT events wearing one colliding
+    event_id both survive — keyed on the id alone, the output payload
+    was arrival-order luck."""
+    import datetime as dt
+
+    sf = str(tmp_path)
+    evs = pa.table({
+        "event_id": pa.array([990001, 990001, None], pa.int64()),
+        "ts": pa.array(
+            [dt.datetime(2024, 3, 1, 10), dt.datetime(2024, 3, 2, 11),
+             dt.datetime(2024, 3, 3, 12)], pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 1], pa.int64()),
+        "event_type": pa.array(["click", "purchase", "view"],
+                               pa.string()),
+        "value": pa.array([5.0, 7.0, 1.0], pa.float64()),
+        "props": pa.array([None, '{"k": 1}', None], pa.string()),
+    })
+    _corpus(sf, evs=evs)
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    rows = QUERIES["stream_dedup"](spark, sf).collect()
+    # 3 distinct records in, 3 out (the stream job unions the feed
+    # with itself — full-tuple dedup collapses exactly the redelivery)
+    assert len(rows) == 3
+    assert sorted(r.user_id for r in rows if r.event_id == 990001) == [1, 2]
+    ok, msg = compare(
+        QUERIES["stream_dedup"](spark, sf), ORACLE_SQL["stream_dedup"], sf)
+    assert ok, msg

@@ -1,0 +1,98 @@
+"""Hostile-id probe: primary-key violations on the three tables whose
+probes always mint FRESH ids (documents, embeddings, events).
+
+Round-11's orders find generalized a class: any arg-pick / ranked
+window whose ordering key assumes id uniqueness is ENGINE-ARBITRARY
+the moment hostile data duplicates the id (both engines break
+arg-ties by whichever row their aggregation state saw first; at
+100 TB the same property is run-to-run nondeterminism). The existing
+text/events/embeddings probes salt degenerate VALUES but give every
+hostile row a fresh `max_id + i` id, so id-uniqueness assumptions in
+the ~40 row_number/min_by sites over these tables were never
+exercised. This probe salts:
+
+- documents: one doc_id carried by TWO rows (different text, lang,
+  source) and a NULL doc_id row;
+- embeddings: one vec_id carried by TWO rows (different vectors and
+  labels) and a NULL vec_id row;
+- events: one event_id carried by TWO rows (different ts, type,
+  value, user) and a NULL event_id row;
+
+then re-runs the full DuckDB oracle comparison for every query
+reading any of the three. Any MISMATCH or one-sided crash is a real
+latent bug in either the Spark plan or the oracle SQL.
+
+Usage:
+    python tools/hostile_id_probe.py
+    python tools/hostile_id_probe.py --queries cosine_topk
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hostile_common import BASE, copy_untouched, run_probe  # noqa: E402
+
+OUT = "/tmp/hostile_id_corpus"
+
+_SALTED = ("documents", "embeddings", "events")
+
+
+def _append(table: str, rows: list[dict]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{BASE}/{table}.parquet")
+    hostile = pa.Table.from_pylist(rows, schema=tbl.schema)
+    pq.write_table(
+        pa.concat_tables([tbl, hostile.cast(tbl.schema)]),
+        f"{OUT}/{table}.parquet",
+    )
+
+
+def build_corpus() -> None:
+    copy_untouched(OUT, salted=_SALTED)
+
+    _append("documents", [
+        # the same doc_id twice, nothing else equal — any per-doc pick
+        # (rarest shingle, chunk rank, rep election) must stay total
+        {"doc_id": 990001, "text": "twin alpha text about markets",
+         "lang": "en", "source": "src0", "n_chars": 29},
+        {"doc_id": 990001, "text": "twin beta completely different",
+         "lang": "ur", "source": "src1", "n_chars": 30},
+        # NULL id: groups under the NULL key, joins never match it
+        {"doc_id": None, "text": "null id document", "lang": "en",
+         "source": "src0", "n_chars": 16},
+    ])
+    _append("embeddings", [
+        {"vec_id": 990001, "embedding": [0.25] * 64, "label": 1},
+        {"vec_id": 990001, "embedding": [-0.75] * 64, "label": 2},
+        {"vec_id": None, "embedding": [0.5] * 64, "label": 3},
+    ])
+    _append("events", [
+        {"event_id": 990001, "ts": dt.datetime(2024, 3, 1, 10, 0),
+         "user_id": 1, "event_type": "click", "value": 5.0,
+         "props": None},
+        {"event_id": 990001, "ts": dt.datetime(2024, 3, 2, 11, 0),
+         "user_id": 2, "event_type": "purchase", "value": 7.0,
+         "props": '{"k": 1}'},
+        {"event_id": None, "ts": dt.datetime(2024, 3, 3, 12, 0),
+         "user_id": 1, "event_type": "view", "value": 1.0,
+         "props": None},
+    ])
+
+
+def main() -> int:
+    pat = re.compile(r"\b(documents|embeddings|events)\b")
+    return run_probe(
+        build_corpus, OUT, lambda sql: pat.search(sql.lower()) is not None
+    )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
