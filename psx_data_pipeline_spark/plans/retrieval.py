@@ -42,7 +42,8 @@ _BM25_K = 20  # top documents per query term
 _TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 BM25_ORACLE = f"""
-WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+WITH d AS (SELECT row_number() OVER () AS rid, doc_id,
+           {_TOKS} AS toks FROM documents),
 n AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(COALESCE(sum(len(toks)), 0) AS BIGINT) AS l,
@@ -51,16 +52,16 @@ n AS (
               END AS BIGINT) AS a
   FROM d
 ),
-dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+dl AS (SELECT rid, CAST(len(toks) AS BIGINT) AS dl FROM d),
 toks AS (
-  SELECT doc_id, unnest(toks) AS term FROM d
+  SELECT rid, doc_id, unnest(toks) AS term FROM d
 ),
 tf AS (
-  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-  FROM toks WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
+  SELECT rid, doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ({_TERMS_SQL}) GROUP BY rid, doc_id, term
 ),
 df AS (
-  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  SELECT term, CAST(count(DISTINCT rid) AS BIGINT) AS df
   FROM toks WHERE term IN ({_TERMS_SQL}) GROUP BY term
 ),
 scored AS (
@@ -74,12 +75,13 @@ scored AS (
       ) AS idf_milli,
       3 * n.a + 9000 * dl.dl AS r,
       10 * tf.tf * n.a + 3 * n.a + 9000 * dl.dl AS den
-    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+    FROM tf JOIN df USING (term) JOIN dl USING (rid) CROSS JOIN n
   )
 )
 SELECT term, doc_id, tf, score_milli, CAST(rk AS INT) AS rk FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY term ORDER BY score_milli DESC, doc_id) AS rk
+    PARTITION BY term
+    ORDER BY score_milli DESC, doc_id NULLS LAST, tf) AS rk
   FROM scored
 ) WHERE rk <= {_BM25_K}
 """
@@ -102,7 +104,13 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     window); top-k per term is a window over |terms| partitions of
     candidate rows, not a global sort."""
     docs = load_table_parallel(spark, "documents", sf_dir)
+    # rid = unique-per-row grouping identity (its VALUE never reaches
+    # the output, so monotonically_increasing_id's partition-order
+    # dependence is irrelevant): without it, a duplicate-id twin's tf
+    # merged through the (doc_id, dl) key and the dl join fanned out
+    # (round-11 hostile-id class)
     d = docs.select(
+        F.monotonically_increasing_id().alias("rid"),
         "doc_id",
         F.size(tokens("text")).cast("long").alias("dl"),
         tokens("text").alias("toks"),
@@ -123,13 +131,16 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # interpreted lambda — measured 3× slower at 10×); the WHERE
         # still applies before the exchange, so only matching
         # occurrences are ever shuffled
-        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        d.select("rid", "doc_id", "dl", F.explode("toks").alias("term"))
         .where(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("term", "doc_id", "dl")  # dl is key-determined: free
+        .groupBy("term", "rid", "doc_id", "dl")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     w_term = Window.partitionBy("term")
-    w_rank = w_term.orderBy(F.desc("score_milli"), F.asc("doc_id"))
+    # asc_nulls_last + tf tiebreak: DuckDB sorts NULL ids last, and
+    # twin rows can tie on (score, doc_id) with different tf
+    w_rank = w_term.orderBy(
+        F.desc("score_milli"), F.asc_nulls_last("doc_id"), F.asc("tf"))
     scored = tf.withColumns({
         "df": F.count(F.lit(1)).over(w_term).cast("long"),
     }).withColumn(

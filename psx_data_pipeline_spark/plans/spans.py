@@ -61,14 +61,23 @@ cov AS (
   FROM sh s JOIN dup USING (shingle),
        LATERAL (SELECT unnest(range(s.pos, s.pos + {_SPAN_K})) AS p2) v
 )
+,
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_toks
+  FROM cov GROUP BY doc_id
+)
 SELECT d.doc_id, CAST(COALESCE(len(d.toks), 0) AS BIGINT) AS n_toks,
-       CAST(count(cov.p2) AS BIGINT) AS dup_toks,
+       CAST(COALESCE(per.dup_toks, 0) AS BIGINT) AS dup_toks,
        CASE WHEN COALESCE(len(d.toks), 0) = 0 THEN 0.0 ELSE
-         CAST(CAST(count(cov.p2) AS DOUBLE) / len(d.toks) AS DOUBLE)
+         CAST(CAST(COALESCE(per.dup_toks, 0) AS DOUBLE)
+              / len(d.toks) AS DOUBLE)
        END AS dup_frac
-FROM d LEFT JOIN cov USING (doc_id)
-GROUP BY d.doc_id, len(d.toks)
+FROM d LEFT JOIN per USING (doc_id)
 """
+# the final projection is one row PER INPUT ROW (the engine joins the
+# per-id coverage back to each physical document row): the earlier
+# `GROUP BY d.doc_id, len(toks)` silently merged duplicate-id twins
+# that happened to share a length (round-11 hostile-id class)
 
 
 @query("dup_span_fraction", DUP_SPAN_ORACLE)

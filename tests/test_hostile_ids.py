@@ -119,6 +119,36 @@ def test_duplicate_vec_id_twin_keeps_similarity_family_total(
         assert ok, f"{name}: {msg}"
 
 
+def test_heavy_id_collisions_keep_retrieval_and_spans_total(
+    spark, tmp_path
+):
+    """The heavy-collision regime (4 rows on one id, NULL-id pairs)
+    caught three more: bm25's doc-length join fanned out through the
+    duplicated id (and its df skipped the NULL-id doc), and
+    dup_span_fraction's final rollup merged same-length twins. Both
+    are per-physical-row now; the retrieval grader rides bm25."""
+    sf = str(tmp_path)
+    texts = ["the big table scan", "a a a a a", "spark query scan", "",
+             "slow slow slow slow", "unique words everywhere",
+             "the a table", "spark", "scan scan scan scan",
+             "x y z w v u t s"]
+    ids = [1, 1, 1, 2, 2, None, None, 3, 1, 2]
+    _corpus(sf, docs=_docs([
+        (i, t, s) for i, t, s in zip(ids, texts, ["a", "b"] * 5)
+    ]))
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    # one bm25 candidate row per PHYSICAL doc row containing a term
+    spark_rows = QUERIES["bm25_scores"](spark, sf).collect()
+    got = sorted(r.doc_id for r in spark_rows if r.term == "spark")
+    assert got == [1, 3]
+    for name in ("bm25_scores", "dup_span_fraction", "retrieval_eval",
+                 "rrf_fusion", "token_budget_sample"):
+        ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
+        assert ok, f"{name}: {msg}"
+
+
 def test_stream_dedup_collapses_redelivery_not_id_collisions(
     spark, tmp_path
 ):

@@ -65,14 +65,30 @@ def build_corpus() -> None:
          "lang": "en", "source": "src0", "n_chars": 29},
         {"doc_id": 990001, "text": "twin beta completely different",
          "lang": "ur", "source": "src1", "n_chars": 30},
-        # NULL id: groups under the NULL key, joins never match it
+        # a THIRD copy that shares its token LENGTH with the first —
+        # per-(id, length) rollups that survive the simple twin still
+        # merge this one (the dup_span_fraction find needed it)
+        {"doc_id": 990001, "text": "twin gamma words about nothing",
+         "lang": "en", "source": "src0", "n_chars": 30},
+        # shared-content twins: the SAME query term in both rows of
+        # one id (df/tf and span-coverage attribution seams)
+        {"doc_id": 990002, "text": "spark spark query scan merge",
+         "lang": "en", "source": "src0", "n_chars": 28},
+        {"doc_id": 990002, "text": "spark window merge vector",
+         "lang": "en", "source": "src1", "n_chars": 25},
+        # NULL-id PAIR: groups under the NULL key (engines must agree
+        # whether two NULL ids are one group), joins never match it
         {"doc_id": None, "text": "null id document", "lang": "en",
          "source": "src0", "n_chars": 16},
+        {"doc_id": None, "text": "second null id paper", "lang": "ur",
+         "source": "src0", "n_chars": 20},
     ])
     _append("embeddings", [
         {"vec_id": 990001, "embedding": [0.25] * 64, "label": 1},
         {"vec_id": 990001, "embedding": [-0.75] * 64, "label": 2},
+        {"vec_id": 990001, "embedding": [0.125] * 64, "label": 4},
         {"vec_id": None, "embedding": [0.5] * 64, "label": 3},
+        {"vec_id": None, "embedding": [-0.5] * 64, "label": 5},
     ])
     _append("events", [
         {"event_id": 990001, "ts": dt.datetime(2024, 3, 1, 10, 0),
@@ -83,6 +99,9 @@ def build_corpus() -> None:
          "props": '{"k": 1}'},
         {"event_id": None, "ts": dt.datetime(2024, 3, 3, 12, 0),
          "user_id": 1, "event_type": "view", "value": 1.0,
+         "props": None},
+        {"event_id": None, "ts": dt.datetime(2024, 3, 4, 12, 0),
+         "user_id": 2, "event_type": "click", "value": 2.0,
          "props": None},
     ])
 
