@@ -88,9 +88,13 @@ def test_text_queries_match_oracle_on_arbitrary_unicode(
         dst = f"{sf}/{t}.parquet"
         if not os.path.exists(dst):
             shutil.copy(f"{BASE}/{t}.parquet", dst)
+    # ids COLLIDE by construction (pairs share an id) and one is NULL:
+    # the round-11 hostile-id class is a permanent fuzz axis, not a
+    # one-off salt. Deterministic derivation keeps shrinking sane.
+    ids = [None if i == 1 else i // 2 for i in range(len(texts))]
     pq.write_table(
         pa.table({
-            "doc_id": list(range(len(texts))),
+            "doc_id": pa.array(ids, pa.int64()),
             "text": texts,
             "lang": ["en"] * len(texts),
             "source": ["src0"] * len(texts),
@@ -223,7 +227,10 @@ def test_event_queries_match_oracle_on_arbitrary_events(
             shutil.copy(f"{BASE}/{t}.parquet", dst)
     pq.write_table(
         pa.table({
-            "event_id": pa.array(range(len(evs)), type=pa.int64()),
+            # colliding ids + one NULL (round-11 hostile-id class)
+            "event_id": pa.array(
+                [None if i == 1 else i // 2 for i in range(len(evs))],
+                type=pa.int64()),
             "ts": pa.array([e[0] for e in evs], type=pa.timestamp("us")),
             "user_id": pa.array([e[1] for e in evs], type=pa.int64()),
             "event_type": pa.array([e[2] for e in evs], type=pa.string()),
@@ -695,8 +702,11 @@ def test_embedding_family_matches_oracle_on_hostile_vectors(
     max_id = pa.compute.max(base.column("vec_id")).as_py()
     hostile = pa.table(
         {
+            # pairs SHARE a vec_id and one is NULL (round-11
+            # hostile-id class as a permanent fuzz axis)
             "vec_id": pa.array(
-                [max_id + 1 + i for i in range(len(rows))], pa.int64()),
+                [None if i == 1 else max_id + 1 + i // 2
+                 for i in range(len(rows))], pa.int64()),
             "embedding": pa.array(
                 [r[0] for r in rows], pa.list_(pa.float32())),
             "label": pa.array([r[1] for r in rows], pa.int32()),
