@@ -70,10 +70,9 @@ def test_reverify_distrusts_greens_up_to_the_recorded_round(tmp_path):
     # REVERIFY_AS_OF must front-load it...
     name = "dedup_latest"
     assert entry.REVERIFY_AS_OF.get(name) == 3
-    _write(tmp_path, 2, {name: GREEN})
-    assert _order(tmp_path, ["z", name])[0] == name or _order(
-        tmp_path, [name, "z"]
-    )[0] == name
+    _write(tmp_path, 2, {name: GREEN, "verified_peer": GREEN})
+    order = _order(tmp_path, ["verified_peer", name])
+    assert order.index(name) < order.index("verified_peer")
     # ...until a LATER round's green row exists, after which the name
     # is trusted again and rotates to the back
     _write(tmp_path, 4, {name: GREEN})
@@ -108,6 +107,95 @@ def test_unreadable_file_falls_back_to_static_set(tmp_path):
     static_name = "pricing_summary"
     assert static_name in entry.DRIVER_VERIFIED_PRIOR
     assert _order(tmp_path, [static_name, "new_q"]) == ["new_q", static_name]
+
+
+def _write_reverify(tmp_path, changed: dict) -> None:
+    (tmp_path / "ROTATION_REVERIFY.json").write_text(
+        json.dumps({"code_changed_round": changed})
+    )
+
+
+def test_code_change_after_green_row_front_loads(tmp_path):
+    # round-11 verdict ask #1: a green row verifies the code that
+    # existed when the driver ran — a later code change voids it, and
+    # the name must re-enter the 50-name window ahead of UNCHANGED
+    # (merely stale) greens
+    _write(tmp_path, 9, {"a": GREEN})
+    _write(tmp_path, 8, {"b": GREEN})
+    _write_reverify(tmp_path, {"a": 11})
+    # a: changed r11 > row r9 → fresh; b: unchanged r8 green → seen
+    assert _order(tmp_path, ["b", "a"]) == ["a", "b"]
+
+
+def test_row_from_change_round_counts_as_verified(tmp_path):
+    # the driver runs at round CLOSE, after that round's edits, so a
+    # round-11 row covers a round-11 change (>= semantics, not >)
+    _write(tmp_path, 11, {"a": GREEN})
+    _write(tmp_path, 8, {"b": GREEN})
+    _write_reverify(tmp_path, {"a": 11})
+    assert _order(tmp_path, ["a", "b"]) == ["b", "a"]
+
+
+def test_code_change_voids_static_vouch(tmp_path):
+    # a static-set name with no file row is vouched at round 2; a
+    # code change in any later round must void that vouch too
+    name = "pricing_summary"
+    assert name in entry.DRIVER_VERIFIED_PRIOR
+    _write(tmp_path, 4, {"new": GREEN})
+    _write_reverify(tmp_path, {name: 11})
+    assert _order(tmp_path, ["new", name]) == [name, "new"]
+
+
+def test_fresh_block_orders_new_then_stalest_changed(tmp_path):
+    # within the fresh block: never-rowed additions first (they have
+    # NO evidence at all), then changed names by ascending last-row
+    # round — when the backlog exceeds the 50-slot window, the
+    # longest-unverified changed code wins the slots
+    _write(tmp_path, 9, {"chg_old": GREEN})
+    _write(tmp_path, 10, {"chg_new": GREEN, "ok": GREEN})
+    _write_reverify(tmp_path, {"chg_old": 11, "chg_new": 11})
+    assert _order(tmp_path, ["chg_new", "chg_old", "brand_new", "ok"]) == [
+        "brand_new", "chg_old", "chg_new", "ok"
+    ]
+
+
+def test_rotation_reverify_artifact_is_fresh():
+    """The committed ROTATION_REVERIFY.json must match what
+    tools/rotation_audit.py computes from the current worktree —
+    otherwise the rotation trusts rows for code that has since
+    changed. Regenerate with `python tools/rotation_audit.py`."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [_sys.executable, os.path.join(here, "tools", "rotation_audit.py"),
+         "--check"],
+        cwd=here, capture_output=True, text=True, timeout=120,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+
+def test_every_code_changed_name_is_inside_the_driver_window():
+    """End-to-end on the REAL repo artifacts: every query whose code
+    changed after its latest driver row must sit in the first 50
+    queries() entries (the driver's per-round window) — or, if the
+    backlog ever exceeds 50, the window must consist entirely of
+    backlog names (prioritization still correct, drain documented)."""
+    changed = entry._code_changed_rounds()
+    latest = entry._latest_driver_rows()
+    backlog = {
+        n for n, rnd in changed.items()
+        if n in entry.queries.__globals__["QUERIES"]
+        and rnd > latest.get(n, (0, False))[0]
+    }
+    window = list(entry.queries())[:50]
+    if len(backlog) <= 50:
+        missing = backlog - set(window)
+        assert not missing, sorted(missing)
+    else:
+        assert all(n in backlog for n in window)
 
 
 def test_rehearsal_families_cover_every_registered_query():
