@@ -354,7 +354,14 @@ def synth_patterned_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = []
             for doc_id in pdf[id_col]:
                 i = _opt_id(doc_id)
-                if i is None:  # NULL id → NULL payload → error row
+                # NULL or NEGATIVE id → NULL payload → error row. The
+                # synth param formulas are defined on nonnegative ids
+                # only: Python's floor-mod and SQL's trunc-mod agree
+                # there and diverge below zero, so an out-of-domain id
+                # is contained exactly like a corrupt payload instead
+                # of minting a container no oracle can restate
+                # (round-12 ADVICE: negative-id modality divergence).
+                if i is None or i < 0:
                     payloads.append(None)
                     continue
                 w, h, ax, ay, bx, ph = pattern_params(i)
@@ -570,7 +577,14 @@ def synth_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = []
             for doc_id in pdf[id_col]:
                 i = _opt_id(doc_id)
-                if i is None:  # NULL id → NULL payload → error row
+                # NULL or NEGATIVE id → NULL payload → error row. The
+                # synth param formulas are defined on nonnegative ids
+                # only: Python's floor-mod and SQL's trunc-mod agree
+                # there and diverge below zero, so an out-of-domain id
+                # is contained exactly like a corrupt payload instead
+                # of minting a container no oracle can restate
+                # (round-12 ADVICE: negative-id modality divergence).
+                if i is None or i < 0:
                     payloads.append(None)
                     continue
                 w, h, fill = 4 + i % 13, 3 + i % 7, 65 + i % 26
@@ -648,7 +662,14 @@ def synth_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = []
             for doc_id in pdf[id_col]:
                 i = _opt_id(doc_id)
-                if i is None:  # NULL id → NULL payload → error row
+                # NULL or NEGATIVE id → NULL payload → error row. The
+                # synth param formulas are defined on nonnegative ids
+                # only: Python's floor-mod and SQL's trunc-mod agree
+                # there and diverge below zero, so an out-of-domain id
+                # is contained exactly like a corrupt payload instead
+                # of minting a container no oracle can restate
+                # (round-12 ADVICE: negative-id modality divergence).
+                if i is None or i < 0:
                     payloads.append(None)
                     continue
                 n = 400 + i % 800           # samples
@@ -926,7 +947,14 @@ def synth_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = []
             for doc_id in pdf[id_col]:
                 i = _opt_id(doc_id)
-                if i is None:  # NULL id → NULL payload → error row
+                # NULL or NEGATIVE id → NULL payload → error row. The
+                # synth param formulas are defined on nonnegative ids
+                # only: Python's floor-mod and SQL's trunc-mod agree
+                # there and diverge below zero, so an out-of-domain id
+                # is contained exactly like a corrupt payload instead
+                # of minting a container no oracle can restate
+                # (round-12 ADVICE: negative-id modality divergence).
+                if i is None or i < 0:
                     payloads.append(None)
                     continue
                 w, h, n = 8 + i % 9, 4 + i % 5, 3 + i % 6

@@ -55,6 +55,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_payload(docs))
 
 
+# the filter must restate attach_payload's modality CASE verbatim —
+# "neither the image nor the audio arm, id not NULL" — rather than
+# `% 3 = 2`: Spark and DuckDB agree on trunc-mod, so a NEGATIVE id
+# (-1 % 3 = -1) is 'video' under the CASE but was dropped by the
+# equality form (round-12 ADVICE; negative ids are now a hostile-id
+# fuzz axis)
 FRAME_SAMPLE_ORACLE = f"""
 SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
        md5(substr(text, i * {_FRAME_CHARS} + 1, {_FRAME_CHARS}))
@@ -62,7 +68,7 @@ SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
 FROM documents,
      UNNEST(range(0, CAST(ceil(len(text) / {_FRAME_CHARS}.0) AS BIGINT),
                   {_FRAME_STRIDE})) AS t(i)
-WHERE doc_id % 3 = 2
+WHERE doc_id % 3 <> 0 AND doc_id % 3 <> 1
 """
 
 
@@ -82,22 +88,28 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decoder itself is exercised on real BMP/PPM bytes (header parse,
 # stride/padding strip, bottom-up reassembly); non-uniform pixels are
 # pinned by unit tests (tests/test_image_decode.py).
-# a NULL doc_id synthesizes a NULL payload, so the decode emits the
-# error branch (round-11 hostile-id probe: int(doc_id) at the Arrow
-# seam used to kill the TASK instead) — the oracle states the same
-# row, and the constant columns must not leak through the NULL id
+# a NULL or NEGATIVE doc_id synthesizes a NULL payload, so the decode
+# emits the error branch (round-11 hostile-id probe: int(doc_id) at
+# the Arrow seam used to kill the TASK instead; round-12 ADVICE:
+# Python floor-mod ≠ SQL trunc-mod below zero, so the synth formulas
+# are only statable for doc_id >= 0) — the oracle states the same
+# row, and the derived columns must not leak through out-of-domain
+# ids (`WHEN doc_id >= 0` is NULL-safe: a NULL comparison is not TRUE)
 IMAGE_DECODE_ORACLE = """
 SELECT doc_id,
-  CASE WHEN doc_id IS NULL THEN NULL
-       WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
-  CAST(4 + doc_id % 13 AS BIGINT) AS width,
-  CAST(3 + doc_id % 7 AS BIGINT) AS height,
-  CASE WHEN doc_id IS NULL THEN NULL ELSE CAST(3 AS BIGINT) END
-    AS channels,
-  md5(repeat(chr(CAST(65 + doc_id % 26 AS INT)),
-             CAST((4 + doc_id % 13) * (3 + doc_id % 7) * 3 AS INT)))
-    AS pixel_digest,
-  CASE WHEN doc_id IS NULL THEN 'ValueError: null payload' END AS error
+  CASE WHEN doc_id >= 0 AND doc_id % 2 = 0 THEN 'bmp'
+       WHEN doc_id >= 0 THEN 'ppm' END AS format,
+  CASE WHEN doc_id >= 0
+       THEN CAST(4 + doc_id % 13 AS BIGINT) END AS width,
+  CASE WHEN doc_id >= 0
+       THEN CAST(3 + doc_id % 7 AS BIGINT) END AS height,
+  CASE WHEN doc_id >= 0 THEN CAST(3 AS BIGINT) END AS channels,
+  CASE WHEN doc_id >= 0 THEN
+    md5(repeat(chr(CAST(65 + doc_id % 26 AS INT)),
+               CAST((4 + doc_id % 13) * (3 + doc_id % 7) * 3 AS INT)))
+    END AS pixel_digest,
+  CASE WHEN doc_id IS NULL OR doc_id < 0
+       THEN 'ValueError: null payload' END AS error
 FROM documents
 """
 
@@ -123,16 +135,24 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signbit flips exactly at each multiple of p → (n-1)//p crossings.
 # The decoder itself walks real RIFF chunks; extra-chunk and
 # non-square-wave cases are pinned by tests/test_audio_decode.py.
+# doc_id >= 0 guards every derived column: the synth formulas are
+# Python floor-mod, statable in trunc-mod SQL only on the nonnegative
+# domain — out-of-domain ids take the NULL-payload error row, exactly
+# like IMAGE_DECODE_ORACLE above
 AUDIO_DECODE_ORACLE = """
 SELECT doc_id,
-  CASE WHEN doc_id IS NULL THEN NULL ELSE CAST(8000 AS BIGINT) END
-    AS sample_rate,
-  CAST(400 + doc_id % 800 AS BIGINT) AS n_samples,
-  CAST((400 + doc_id % 800) // 8 AS BIGINT) AS duration_ms,
-  CAST(1000 + (doc_id % 20) * 997 AS DOUBLE) AS rms,
-  CAST((400 + doc_id % 800 - 1) // (2 + doc_id % 9) AS BIGINT)
-    AS zero_crossings,
-  CASE WHEN doc_id IS NULL THEN 'ValueError: null payload' END AS error
+  CASE WHEN doc_id >= 0 THEN CAST(8000 AS BIGINT) END AS sample_rate,
+  CASE WHEN doc_id >= 0
+       THEN CAST(400 + doc_id % 800 AS BIGINT) END AS n_samples,
+  CASE WHEN doc_id >= 0
+       THEN CAST((400 + doc_id % 800) // 8 AS BIGINT) END AS duration_ms,
+  CASE WHEN doc_id >= 0
+       THEN CAST(1000 + (doc_id % 20) * 997 AS DOUBLE) END AS rms,
+  CASE WHEN doc_id >= 0
+       THEN CAST((400 + doc_id % 800 - 1) // (2 + doc_id % 9) AS BIGINT)
+       END AS zero_crossings,
+  CASE WHEN doc_id IS NULL OR doc_id < 0
+       THEN 'ValueError: null payload' END AS error
 FROM documents
 """
 
@@ -178,6 +198,12 @@ _PHASH_BANDS_SQL = """q AS (
            WHEN 3 THEN ((5 * (doc_id // 4)) % 256 + 101) % 256
            ELSE (5 * (doc_id // 4)) % 256 END AS ph
   FROM documents
+  -- out-of-domain (NULL/negative) ids synthesize NO container (the
+  -- pattern params are Python floor-mod/floor-div, not statable in
+  -- trunc-mod SQL below zero); their error rows never reach the
+  -- band join on the engine side either (phash_near_pairs filters
+  -- error IS NULL)
+  WHERE doc_id >= 0
 ), grid AS (
   SELECT doc_id, r.r AS r, c.c AS c,
          (ax * ((c.c * w) // 9) * ((c.c * w) // 9)
@@ -271,6 +297,7 @@ WITH p AS (
          4 + doc_id % 5 AS h,
          3 + doc_id % 6 AS n
   FROM documents
+  WHERE doc_id >= 0
 )
 SELECT doc_id,
   CAST(f.k AS BIGINT) AS frame_idx,
@@ -281,10 +308,12 @@ SELECT doc_id,
   CAST(NULL AS VARCHAR) AS error
 FROM p, unnest(generate_series(0, CAST(n - 1 AS BIGINT), 2)) AS f(k)
 UNION ALL
--- a NULL doc_id has no frames to fan out, but the engine contains it
--- to ONE error row rather than dropping it (X2 semantics)
+-- a NULL or negative doc_id has no frames to fan out (synth declines
+-- out-of-domain ids — Python floor-mod params are not statable in
+-- trunc-mod SQL), but the engine contains it to ONE error row rather
+-- than dropping it (X2 semantics)
 SELECT doc_id, NULL, NULL, NULL, NULL, 'ValueError: null payload'
-FROM documents WHERE doc_id IS NULL
+FROM documents WHERE doc_id IS NULL OR doc_id < 0
 """
 
 

@@ -133,9 +133,13 @@ def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # epoch_us(ts) >= 0: Spark's INITIAL watermark is the epoch, so a
 # pre-epoch (corrupt-timestamp) event is "late" before the stream
 # even starts and is silently dropped — the contract states the
-# exclusion explicitly on both sides (hostile-probe finding)
+# exclusion explicitly on both sides (hostile-probe finding).
+# DISTINCT over exactly the engine's 4-column dedup key: two source
+# rows identical on (event_id, user_id, event_type, ts_us) but
+# differing in value/props collapse to ONE on both sides (round-12
+# ADVICE — without DISTINCT the oracle kept both)
 STREAM_DEDUP_ORACLE = """
-SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+SELECT DISTINCT event_id, user_id, event_type, epoch_us(ts) AS ts_us
 FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
 """
 
@@ -144,8 +148,9 @@ FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-bounded streaming deduplication
     (`dropDuplicatesWithinWatermark`) over a twice-delivered feed;
-    the oracle is simply the distinct batch table — every event
-    exactly once."""
+    the oracle is the batch table distinct on the same
+    (event_id, user_id, event_type, ts_us) key — every distinct
+    projected event exactly once."""
     from psx_data_pipeline_spark.streaming.jobs import streaming_dedup
 
     return streaming_dedup(spark, sf_dir)

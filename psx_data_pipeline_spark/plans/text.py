@@ -826,9 +826,14 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUCKETS = 32  # parallel packing lanes
 _BIN_TOKENS = 512   # tokens per training sequence
 
+# ((x % k) + k) % k restates Spark's pmod (lane ids are always
+# 0..k-1): DuckDB's bare % is trunc-mod, which sent a NEGATIVE doc_id
+# to a negative lane of its own (round-12 negative-id probe find)
 SEQUENCE_PACK_ORACLE = f"""
 WITH sized AS (
-  SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+  SELECT doc_id,
+         ((doc_id % {_PACK_BUCKETS}) + {_PACK_BUCKETS})
+           % {_PACK_BUCKETS} AS bucket,
          len({_TOKS}) AS n_tokens
   FROM documents
 ),

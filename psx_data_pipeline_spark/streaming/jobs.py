@@ -232,12 +232,13 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once ingest of an at-least-once feed: the event stream
     unioned with itself (every event delivered twice, the redelivery
     pattern of any at-least-once transport) is collapsed by
-    ``dropDuplicatesWithinWatermark`` on event_id — each event emits
-    exactly once, and the dedup state is EVICTED once the watermark
-    passes the event's time, so state size is bounded by the
-    redelivery horizon (1 h here), not the stream's lifetime — the
-    property that makes streaming dedup viable on an unbounded feed.
-    """
+    ``dropDuplicatesWithinWatermark`` on the full PROJECTED tuple
+    (event_id, user_id, event_type, ts_us) — each distinct projected
+    event emits exactly once, and the dedup state is EVICTED once the
+    watermark passes the event's time, so state size is bounded by
+    the redelivery horizon (1 h here), not the stream's lifetime —
+    the property that makes streaming dedup viable on an unbounded
+    feed."""
     feed = events_stream(spark, sf_dir).unionByName(events_stream(spark, sf_dir))
     out = (
         # watermark-bounded dedup needs an event time: NULL-ts rows
@@ -248,12 +249,17 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # even starts
         feed.where(F.col("ts_ts").isNotNull() & (F.col("ts_us") >= 0))
         .withWatermark("ts_ts", "1 hour")
-        # the dedup key is the FULL record, not event_id alone: a
-        # redelivery is bit-identical, so the full tuple collapses it
-        # exactly — while two DIFFERENT events wearing one colliding
-        # id (round-11 hostile-id probe) both survive. Keyed on the
-        # id alone, dropDuplicates kept whichever twin ARRIVED first:
-        # payload-nondeterministic output at any scale.
+        # the dedup key is the full PROJECTED tuple (event_id,
+        # user_id, event_type, ts_us — every column this job emits),
+        # not event_id alone: a redelivery is bit-identical, so the
+        # tuple collapses it exactly — while two DIFFERENT events
+        # wearing one colliding id (round-11 hostile-id probe) both
+        # survive. Keyed on the id alone, dropDuplicates kept
+        # whichever twin ARRIVED first: payload-nondeterministic
+        # output at any scale. (value/props are deliberately outside
+        # both the key and the projection — rows differing only there
+        # are ONE projected event, and the oracle's DISTINCT states
+        # the same collapse.)
         .dropDuplicatesWithinWatermark(
             ["event_id", "user_id", "event_type", "ts_us"])
         .select("event_id", "user_id", "event_type", "ts_us")

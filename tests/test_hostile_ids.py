@@ -182,3 +182,70 @@ def test_stream_dedup_collapses_redelivery_not_id_collisions(
     ok, msg = compare(
         QUERIES["stream_dedup"](spark, sf), ORACLE_SQL["stream_dedup"], sf)
     assert ok, msg
+
+
+def test_stream_dedup_key_omits_value_and_props(spark, tmp_path):
+    """Round-12 ADVICE: two source rows identical on the PROJECTED
+    tuple (event_id, user_id, event_type, ts) but differing in
+    value/props are ONE projected event — the engine's 4-column key
+    collapses them, and the oracle's DISTINCT must state the same
+    collapse (it used to keep both)."""
+    import datetime as dt
+
+    sf = str(tmp_path)
+    evs = pa.table({
+        "event_id": pa.array([5, 5, 6], pa.int64()),
+        "ts": pa.array([dt.datetime(2024, 3, 1, 10)] * 2
+                       + [dt.datetime(2024, 3, 1, 11)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "event_type": pa.array(["click", "click", "view"], pa.string()),
+        "value": pa.array([5.0, 9.0, 1.0], pa.float64()),  # differs
+        "props": pa.array([None, '{"k": 1}', None], pa.string()),
+    })
+    _corpus(sf, evs=evs)
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    rows = QUERIES["stream_dedup"](spark, sf).collect()
+    assert len(rows) == 2  # the value-only twin collapsed
+    ok, msg = compare(
+        QUERIES["stream_dedup"](spark, sf), ORACLE_SQL["stream_dedup"], sf)
+    assert ok, msg
+
+
+def test_negative_ids_take_the_contained_synth_path(spark, tmp_path):
+    """Round-12 ADVICE find, pinned as a permanent axis (the probe
+    salts -7/-6/-4 doc ids, -3/-2 vec ids, -9/-17 event ids): Python
+    floor-mod and SQL trunc-mod diverge below zero, so the synth
+    codecs DECLINE negative ids into the NULL-payload error row on
+    both sides, attach_payload's modality CASE (trunc-mod, engines
+    agree) governs frame sampling, and pmod lanes are restated with
+    the ((x%k)+k)%k idiom."""
+    sf = str(tmp_path)
+    _corpus(sf, docs=_docs([
+        (1, "hello world", "src0"),
+        (-7, "negative seven id doc words", "src0"),   # video arm
+        (-6, "negative six id doc papers", "src1"),    # image arm
+        (-4, "negative four id doc market", "src0"),   # even split
+    ]))
+    from psx_data_pipeline_spark.plans import ORACLE_SQL, QUERIES
+    from tests.oracle_check import compare
+
+    dec = {r.doc_id: r for r in QUERIES["image_decode"](spark, sf).collect()}
+    assert dec[-7].error == "ValueError: null payload"
+    assert dec[-7].width is None and dec[-7].format is None
+    assert dec[1].error is None
+    # trunc-mod on both engines: -7 % 3 = -1 and -4 % 3 = -1 → the
+    # guarded video arm (the frame sampler keeps them); -6 % 3 = 0 →
+    # image (the sampler must drop it)
+    feats = {r.doc_id: r.modality for r in
+             QUERIES["multimodal_features"](spark, sf).collect()}
+    assert feats[-7] == "video" and feats[-6] == "image"
+    sampled = {r.doc_id for r in QUERIES["frame_sample"](spark, sf).collect()}
+    assert -7 in sampled and -6 not in sampled
+    for name in ("image_decode", "audio_decode", "video_decode",
+                 "frame_sample", "multimodal_features", "image_near_dup",
+                 "sequence_pack", "lang_id"):
+        ok, msg = compare(QUERIES[name](spark, sf), ORACLE_SQL[name], sf)
+        assert ok, f"{name}: {msg}"

@@ -82,6 +82,19 @@ def build_corpus() -> None:
          "source": "src0", "n_chars": 16},
         {"doc_id": None, "text": "second null id paper", "lang": "ur",
          "source": "src0", "n_chars": 20},
+        # NEGATIVE ids (round-12 ADVICE): Python floor-mod and SQL
+        # trunc-mod diverge below zero, so every id%k formula shared
+        # between a Python synth seam and a SQL oracle is suspect —
+        # and `% 3 = 2`-style predicates diverge from the guarded
+        # CASE arms they claim to restate. -7 exercises the video
+        # modality arm (-7 % 3 = -1), -6 the image arm (= 0), -4 the
+        # bmp/ppm evenness split and the stream/store side split.
+        {"doc_id": -7, "text": "negative seven id doc words",
+         "lang": "en", "source": "src0", "n_chars": 27},
+        {"doc_id": -6, "text": "negative six id doc papers",
+         "lang": "ur", "source": "src1", "n_chars": 26},
+        {"doc_id": -4, "text": "negative four id doc market",
+         "lang": "en", "source": "src0", "n_chars": 27},
     ])
     _append("embeddings", [
         {"vec_id": 990001, "embedding": [0.25] * 64, "label": 1},
@@ -89,6 +102,9 @@ def build_corpus() -> None:
         {"vec_id": 990001, "embedding": [0.125] * 64, "label": 4},
         {"vec_id": None, "embedding": [0.5] * 64, "label": 3},
         {"vec_id": None, "embedding": [-0.5] * 64, "label": 5},
+        # negative ids through split/query-set predicates (vec_id%k)
+        {"vec_id": -3, "embedding": [0.5] * 64, "label": 1},
+        {"vec_id": -2, "embedding": [-0.25] * 64, "label": 2},
     ])
     _append("events", [
         {"event_id": 990001, "ts": dt.datetime(2024, 3, 1, 10, 0),
@@ -102,6 +118,14 @@ def build_corpus() -> None:
          "props": None},
         {"event_id": None, "ts": dt.datetime(2024, 3, 4, 12, 0),
          "user_id": 2, "event_type": "click", "value": 2.0,
+         "props": None},
+        # negative ids through insert/delete predicates (event_id%k)
+        # and catalog-item derivations (event_id % N_CATALOG)
+        {"event_id": -9, "ts": dt.datetime(2024, 3, 5, 9, 0),
+         "user_id": 1, "event_type": "click", "value": 3.0,
+         "props": None},
+        {"event_id": -17, "ts": dt.datetime(2024, 3, 5, 10, 0),
+         "user_id": 2, "event_type": "view", "value": 4.0,
          "props": None},
     ])
 
