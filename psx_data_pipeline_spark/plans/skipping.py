@@ -93,6 +93,15 @@ def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_partkey").cast("long").alias("zmax"),
         F.count(F.lit(1)).cast("long").alias("rows_in_file"),
     )
+    return audit_zones(zones)
+
+
+def audit_zones(zones: DataFrame) -> DataFrame:
+    """The audit half over any zone-map manifest (file_month, writer,
+    zmin, zmax, rows_in_file) — shared by the batch query above and
+    the stream-twin probe, which feeds it the CONTINUOUSLY maintained
+    manifest (stream_zone_maps) and pins that the same workload audit
+    comes out identical (tools/stream_twin_probe.py)."""
     preds = F.array(*[
         F.struct(
             F.lit(pid).alias("pred_id"),

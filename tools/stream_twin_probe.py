@@ -47,6 +47,19 @@ PAIR_TABLES = {
     "pseudonymize": {"events"},
     "label_vote": {"events"},
     "cdc_apply": {"customer"},
+    # round-12 (judge ask #5): the four remaining pairable twins
+    "count_min_hitters": {"documents"},
+    "change_log_format": {"customer"},
+    "zone_map_prune": {"lineitem"},
+    "dedup_latest": {"events"},
+}
+
+# stream twin name when it is not simply f"stream_{batch}"
+STREAM_OF = {
+    "count_min_hitters": "stream_heavy_hitters",
+    "change_log_format": "stream_sync_change_log",
+    "zone_map_prune": "stream_zone_maps",
+    "dedup_latest": "stream_dedup",
 }
 
 # probe module -> tables it salts (the corpus builders under tools/)
@@ -57,6 +70,8 @@ CORPORA = {
     "hostile_relational_probe": {
         "customer", "orders", "lineitem", "part", "supplier"},
     "hostile_orders_probe": {"orders"},
+    # duplicate/NULL/negative primary keys (round 12 added negatives)
+    "hostile_id_probe": {"documents", "embeddings", "events"},
 }
 
 
@@ -135,10 +150,96 @@ def _rec_constraint_audit(spark, b_df, s_df, sf_dir):
     return b_c, s_c
 
 
+def _rec_zone_map_prune(spark, b_df, s_df, sf_dir):
+    """Stream maintains the MANIFEST continuously; batch emits the
+    workload AUDIT over a scan-built manifest. Running the SAME audit
+    (plans/skipping.audit_zones — shared code, zero restatement) over
+    the streamed manifest must reproduce the batch audit exactly."""
+    from psx_data_pipeline_spark.plans.skipping import audit_zones
+
+    return b_df, audit_zones(s_df)
+
+
+def _rec_change_log(spark, b_df, s_df, sf_dir):
+    """Stream replays the sync as two scheduled runs — run 1 diffs
+    prev against an EMPTY universe (every prev symbol ADDED, R11
+    first-run semantics), run 2 lands the prev→cur delta with no
+    rename pass (ids only land in the stream). Batch diffs prev→cur
+    once WITH the rename pass. Mapped onto the shared core: stream
+    minus the run-1 block, vs batch with each '* old -> new' rename
+    expanded back into its '- old' + '+ new' constituents."""
+    from pyspark.sql import functions as F
+
+    prev = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_custkey") % 5 != 0)
+        .select(
+            F.concat(F.lit("+ "), F.col("c_custkey").cast("string"))
+            .alias("line"))
+        .distinct()
+    )
+    s_run2 = s_df.join(prev, "line", "left_anti")
+    renames = b_df.where(F.col("change_type") == "RENAMED").select(
+        F.split(F.regexp_replace("line", r"^\* ", ""), " -> ").alias("p")
+    )
+    b_flat = (
+        b_df.where(F.col("change_type") != "RENAMED")
+        .select("change_type", "line")
+        .unionByName(renames.select(
+            F.lit("DELETED").alias("change_type"),
+            F.concat(F.lit("- "), F.col("p")[0]).alias("line")))
+        .unionByName(renames.select(
+            F.lit("ADDED").alias("change_type"),
+            F.concat(F.lit("+ "), F.col("p")[1]).alias("line")))
+    )
+    return b_flat, s_run2
+
+
+def _rec_dedup_latest(spark, b_df, s_df, sf_dir):
+    """Stream ingests exactly-once (distinct projected tuples, NULL/
+    pre-epoch ts excluded by the watermark contract); batch keeps the
+    LAST event per user over the full table. On the shared domain —
+    batch winners whose timestamp the stream contract admits,
+    projected to the stream's 4 columns — applying the batch keep-
+    last rule to the stream's output must elect the same winners."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    b_c = b_df.where(
+        F.col("ts_us").isNotNull() & (F.col("ts_us") >= 0)
+    ).select("event_id", "ts_us", "user_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc_nulls_last()
+    )
+    s_win = (
+        s_df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "ts_us", "user_id", "event_type")
+    )
+    # a user whose rows are ALL outside the stream contract has a
+    # batch winner but no stream rows — already absent here; a user
+    # whose batch winner is outside it was dropped from b_c, so
+    # restrict the stream side to the same user set. eqNullSafe: the
+    # NULL-user group is a real group on both sides (first probe run:
+    # a bare semi-join silently dropped the stream's NULL-user winner
+    # while the batch side kept its own — a probe artifact, not an
+    # engine divergence).
+    b_users = b_c.select("user_id").distinct().withColumnRenamed(
+        "user_id", "b_user_id")
+    s_win = s_win.join(
+        b_users, s_win["user_id"].eqNullSafe(b_users["b_user_id"]),
+        "left_semi",
+    )
+    return b_c, s_win
+
+
 RECONCILERS = {
     "pseudonymize": _rec_pseudonymize,
     "image_near_dup": _rec_image_near_dup,
     "constraint_audit": _rec_constraint_audit,
+    "zone_map_prune": _rec_zone_map_prune,
+    "change_log_format": _rec_change_log,
+    "dedup_latest": _rec_dedup_latest,
 }
 
 
@@ -183,7 +284,7 @@ def main() -> int:
     bad: dict[str, str] = {}
     n = 0
     for batch in pairs:
-        stream = f"stream_{batch}"
+        stream = STREAM_OF.get(batch, f"stream_{batch}")
         for mod_name, salted in CORPORA.items():
             if not (PAIR_TABLES[batch] & salted):
                 continue
