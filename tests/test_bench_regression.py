@@ -210,6 +210,32 @@ def _ratio_for(name: str) -> float:
     return STREAM_FLOOR_RATIO if name.startswith("stream_") else FLOOR_RATIO
 
 
+def test_sub_second_aggregate_did_not_creep():
+    """FLOOR_SEC exempts every sub-second query individually, which
+    left ~half the registry with no drift guard at all — snapshot_diff
+    drifting 0.36 → 0.97 s between rounds 5 and 11 was structurally
+    invisible (round-11 verdict ask #3). The SUM of the sub-FLOOR_SEC
+    walls is jitter-stable (20 committed runs across rounds 8-11 read
+    69.5-81.7 s, ±8%, while individual terms flap ±multiples), so a
+    1.4× guard on the aggregate catches broad sub-second creep without
+    flapping on any single query's noise."""
+    AGG_RATIO = 1.4
+    full = _current_bench_full()
+    if full is None:
+        pytest.skip("no local bench run yet (BENCH_FULL.json missing)")
+    floor = json.load(open(os.path.join(HERE, "BENCH_FLOOR.json")))
+    agg_floor = floor.get("aggregate_sub_floor")
+    assert agg_floor, "BENCH_FLOOR.json lost its aggregate_sub_floor"
+    assert full.get("sf") == floor.get("sf")
+    current = sum(t for t in full["queries"].values() if t <= FLOOR_SEC)
+    assert current <= AGG_RATIO * agg_floor, (
+        f"sub-{FLOOR_SEC}s aggregate crept: sum={current:.2f}s vs "
+        f"committed floor {agg_floor}s (x{current / agg_floor:.2f}, "
+        f"guard {AGG_RATIO}x) — some sub-second queries drifted; "
+        "diff the per-query walls vs an older BENCH_FULL.json"
+    )
+
+
 def test_no_query_slowed_1_5x_vs_committed_floor():
     floor_path = os.path.join(HERE, "BENCH_FLOOR.json")
     full = _current_bench_full()

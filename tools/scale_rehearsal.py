@@ -258,10 +258,132 @@ def build_corpus(
             os.symlink(f"{BASE}/{name}.parquet", dst)
 
 
+def _ratio_sweep(factor: int, threshold: float) -> int:
+    """Round-12 judge ask #4: run EVERY registered query at 1x and at
+    --factor through the same harness, record wall(Nx)/wall(1x) per
+    query, re-measure every ratio above --threshold warm (min-of-2 on
+    both sides — the sweep charges JVM/codegen warm-up to whichever
+    query it reaches cold; round-9 lesson: zorder_layout read 15.0 s
+    in-sweep vs 5.6 s warm), and write REHEARSAL_RATIO.json. Anything
+    still above threshold after the warm re-measure needs a pinned
+    explanation or a fix (SCALE.md carries the ledger).
+
+    Memo policy mirrors bench.py: session memos (and their Spark
+    cache entries) are dropped before each memo-OWNER so its wall is
+    the cold build at BOTH factors; consumers run after their owner
+    in family order, so their walls are warm at both factors — the
+    ratio is like-for-like either way."""
+    from psx_data_pipeline_spark.plans import (
+        MEMO_OWNERS,
+        QUERIES,
+        clear_session_memos,
+    )
+    from psx_data_pipeline_spark.session import get_spark
+
+    dirs = {}
+    for f in (1, factor):
+        d = f"/tmp/rehearsal_{f}x"
+        if not os.path.isdir(d):
+            print(f"building {f}x corpus in {d} ...", flush=True)
+            build_corpus(d, f)
+        dirs[f] = d
+
+    spark = get_spark("rehearsal-ratio")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = [n for fam in sorted(FAMILIES) for n in FAMILIES[fam]]
+
+    def run_once(name: str, sf_dir: str) -> float:
+        if name in MEMO_OWNERS:
+            clear_session_memos()
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 2)
+
+    walls: dict[int, dict[str, float]] = {1: {}, factor: {}}
+    failed: dict[str, str] = {}
+    for f in (1, factor):
+        # warm IO + one unmeasured query so JIT isn't charged to the
+        # first measured name (bench.py's policy)
+        for fn in os.listdir(dirs[f]):
+            if fn.endswith(".parquet"):
+                spark.read.parquet(f"{dirs[f]}/{fn}").write.format(
+                    "noop").mode("overwrite").save()
+        try:
+            run_once(names[0], dirs[f])
+        except Exception:
+            pass
+        for name in names:
+            try:
+                walls[f][name] = run_once(name, dirs[f])
+                print(f"{f}x {name}: {walls[f][name]} s", flush=True)
+            except Exception as exc:
+                failed[f"{name}@{f}x"] = (
+                    f"{type(exc).__name__}: {str(exc)[:200]}")
+                print(f"{f}x {name}: FAILED {failed[f'{name}@{f}x']}",
+                      flush=True)
+
+    def ratios() -> dict[str, float]:
+        return {
+            n: round(walls[factor][n] / max(walls[1][n], 0.05), 1)
+            for n in names
+            if n in walls[1] and n in walls[factor]
+        }
+
+    # warm re-measure for the flagged tail, min-of-2 both sides
+    for n, r in sorted(ratios().items(), key=lambda kv: -kv[1]):
+        if r <= threshold:
+            break
+        print(f"re-measuring {n} (ratio {r}) warm ...", flush=True)
+        for f in (1, factor):
+            try:
+                walls[f][n] = min(walls[f][n], run_once(n, dirs[f]))
+            except Exception:
+                pass
+
+    out = {
+        "comment": (
+            "tools/scale_rehearsal.py --ratio: every registered query "
+            "at 1x vs Nx on the duplicated adversarial corpus "
+            "(fresh-id content duplication). ratio = wall(Nx)/wall(1x)"
+            ", 1x floored at 0.05 s; ratios above the threshold were "
+            "re-measured warm min-of-2 on both sides before being "
+            "reported. Linear-plus-shuffle budget: anything above "
+            f"{threshold} needs a pinned explanation in SCALE.md."
+        ),
+        "factor": factor,
+        "threshold": threshold,
+        "wall_1x": {n: walls[1][n] for n in sorted(walls[1])},
+        f"wall_{factor}x": {
+            n: walls[factor][n] for n in sorted(walls[factor])},
+        "ratio": dict(sorted(ratios().items())),
+        "over_threshold": {
+            n: r for n, r in sorted(ratios().items()) if r > threshold},
+        "failed": failed,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "REHEARSAL_RATIO.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({"over_threshold": out["over_threshold"],
+                      "n": len(out["ratio"]), "failed": failed}))
+    return 1 if failed else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--families", nargs="*", default=sorted(FAMILIES))
+    ap.add_argument("--ratio", action="store_true",
+                    help="sweep EVERY query at 1x and --factor, write "
+                         "REHEARSAL_RATIO.json with per-query ratios")
+    ap.add_argument("--threshold", type=float, default=15.0,
+                    help="ratio above which a query is re-measured "
+                         "warm and then reported as an outlier")
     ap.add_argument("--dir", default=None,
                     help="reuse an existing rehearsal corpus dir")
     ap.add_argument("--hot-frac", type=float, default=0.0,
@@ -280,6 +402,9 @@ def main() -> int:
                          "exact-dup collapse; honest per-distinct-"
                          "text sketch cost)")
     args = ap.parse_args()
+
+    if args.ratio:
+        return _ratio_sweep(args.factor, args.threshold)
 
     tag = f"_hot{int(args.hot_frac * 100)}" if args.hot_frac else ""
     if args.giant_doc_tokens:
