@@ -114,12 +114,18 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def dedup_latest(df: DataFrame, key: str, order_col: str, tiebreak: str) -> DataFrame:
+def dedup_latest(df: DataFrame, key: str, order_col: str, *tiebreaks: str) -> DataFrame:
     """Keep-last-per-key (reference dict-build semantics,
     update_ticker_info.py:136) via row_number over
-    (order_col desc, tiebreak desc) — the explicit secondary key makes
-    the pick deterministic when two rows of a key share order_col."""
-    w = Window.partitionBy(key).orderBy(F.desc(order_col), F.desc(tiebreak))
+    (order_col desc, tiebreaks... desc nulls last). The tiebreak chain
+    must make the ordering TOTAL over every column the caller emits:
+    an "id" tiebreak alone is engine-arbitrary the moment hostile data
+    duplicates the id (round-11 orders lesson — at 100 TB that is
+    run-to-run nondeterminism in whichever payload columns ride
+    along), so callers pass every remaining output column."""
+    w = Window.partitionBy(key).orderBy(
+        F.desc(order_col), *[F.desc_nulls_last(t) for t in tiebreaks]
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

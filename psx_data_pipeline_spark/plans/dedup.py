@@ -70,20 +70,30 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Both sides order on epoch-µs event time: Spark via the type-adaptive
 # ts_us seam (sources/fixtures.ts_us_expr), DuckDB via epoch_us(ts) —
 # identical values under every physical type the fixtures have used.
+# The tiebreak chain covers EVERY output column: ordered by
+# (ts, event_id) alone, an exact (user, ts, id) twin differing only
+# in value/props made the emitted payload engine-arbitrary (round-12
+# audit of the round-11 arg-pick class; both engines happened to
+# agree on the fixtures, which is exactly how such bugs hide).
 DEDUP_LATEST_ORACLE = """
 SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
 FROM events
 QUALIFY row_number() OVER (
-  PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+  PARTITION BY user_id ORDER BY epoch_us(ts) DESC,
+  event_id DESC NULLS LAST, event_type DESC NULLS LAST,
+  value DESC NULLS LAST, props DESC NULLS LAST) = 1
 """
 
 
 @query("dedup_latest", DEDUP_LATEST_ORACLE)
 def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-last-per-key dedup (reference dict-build semantics,
-    update_ticker_info.py:136) with an explicit tiebreak column."""
+    update_ticker_info.py:136) with a TOTAL explicit tiebreak chain
+    over every emitted column."""
     ev = load_events(spark, sf_dir).drop("ts")
-    return dedup_latest(ev, "user_id", "ts_us", "event_id").select(
+    return dedup_latest(
+        ev, "user_id", "ts_us", "event_id", "event_type", "value", "props"
+    ).select(
         "event_id", "ts_us", "user_id", "event_type", "value", "props"
     )
 

@@ -96,9 +96,15 @@ def q_detect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # when several purchases share a user's max earlier timestamp, ASOF's
 # pick is arbitrary — this form pins the tie to the greatest
 # purchase_id, matching the Spark side's right_tiebreak (max_by).
+# PARTITION BY rid (a per-physical-row surrogate, the round-11 fix
+# recipe), NOT click_id: the engine pairs every physical click row,
+# so two clicks wearing one id must stay two output rows (round-12
+# exact-payload-twin probe find — partitioning by the "unique" id
+# silently merged them on the oracle side only).
 ASOF_ORACLE = """
 WITH c AS (
-  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us,
+         row_number() OVER () AS rid
   FROM events WHERE event_type = 'click'
 ),
 p AS (
@@ -106,9 +112,9 @@ p AS (
   FROM events WHERE event_type = 'purchase'
 ),
 ranked AS (
-  SELECT c.click_id, c.user_id, c.click_ts_us, p.purchase_id,
+  SELECT c.rid, c.click_id, c.user_id, c.click_ts_us, p.purchase_id,
          row_number() OVER (
-           PARTITION BY c.click_id
+           PARTITION BY c.rid
            ORDER BY p.ts_us DESC NULLS LAST, p.purchase_id DESC NULLS LAST
          ) AS rn
   FROM c LEFT JOIN p

@@ -95,8 +95,18 @@ def build_corpus() -> None:
          "lang": "ur", "source": "src1", "n_chars": 26},
         {"doc_id": -4, "text": "negative four id doc market",
          "lang": "en", "source": "src0", "n_chars": 27},
+        # PAYLOAD twins (round 12): identical (doc_id, text) differing
+        # only in lang/source — any per-doc pick whose ordering stops
+        # at (id, content) emits engine-arbitrary metadata here
+        {"doc_id": 990003, "text": "payload twin same words",
+         "lang": "en", "source": "srcA", "n_chars": 23},
+        {"doc_id": 990003, "text": "payload twin same words",
+         "lang": "ur", "source": "srcB", "n_chars": 23},
     ])
     _append("embeddings", [
+        # payload twins: identical (vec_id, embedding), differing label
+        {"vec_id": 990002, "embedding": [0.5] * 64, "label": 1},
+        {"vec_id": 990002, "embedding": [0.5] * 64, "label": 7},
         {"vec_id": 990001, "embedding": [0.25] * 64, "label": 1},
         {"vec_id": 990001, "embedding": [-0.75] * 64, "label": 2},
         {"vec_id": 990001, "embedding": [0.125] * 64, "label": 4},
@@ -127,6 +137,16 @@ def build_corpus() -> None:
         {"event_id": -17, "ts": dt.datetime(2024, 3, 5, 10, 0),
          "user_id": 2, "event_type": "view", "value": 4.0,
          "props": None},
+        # EXACT (user, ts, event_id, type) twins differing only in
+        # value/props: any keep-last/arg-pick whose ordering stops at
+        # the "unique" id emits an engine-arbitrary payload here
+        # (round-12 dedup_latest audit find)
+        {"event_id": 990777, "ts": dt.datetime(2024, 3, 6, 8, 0),
+         "user_id": 3, "event_type": "click", "value": 1.0,
+         "props": None},
+        {"event_id": 990777, "ts": dt.datetime(2024, 3, 6, 8, 0),
+         "user_id": 3, "event_type": "click", "value": 8.0,
+         "props": '{"z": 9}'},
     ])
 
 
