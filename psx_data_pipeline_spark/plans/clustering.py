@@ -157,9 +157,19 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
     )
-    hit = emb.select("vec_id", q.alias("q")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # rid: per-physical-row grouping surrogate (never output), frozen
+    # into the persisted table. The assignment stage used to group by
+    # (vec_id, q), which silently COLLAPSED payload twins — identical
+    # (vec_id, embedding) rows differing only in label — into one
+    # member while the oracle counted both (round-12 payload-twin
+    # probe find). monotonically_increasing_id is a partition-local
+    # counter: no shuffle, unique per evaluation, and the only
+    # property consumed is uniqueness (retrieval-family precedent,
+    # plans/retrieval.py).
+    hit = emb.select(
+        F.monotonically_increasing_id().alias("rid"),
+        "vec_id", q.alias("q"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     hit.count()
     # a concurrent miss may have built and inserted while this thread
     # materialized: under the lock, keep the registered one and
@@ -189,11 +199,14 @@ def _dist(q: Column, c: Column) -> Column:
 
 
 def _packed_assign(qdf: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, q, pk): pk = min over centroids of dist·K + (cid-1)."""
+    """(rid, vec_id, q, pk): pk = min over centroids of
+    dist·K + (cid-1), one row per PHYSICAL input row (rid carries the
+    uniqueness; vec_id/q ride along functionally — grouping by
+    (vec_id, q) alone merged payload twins, round-12 probe find)."""
     pk = _dist(F.col("q"), F.col("c")) * _K + (F.col("cid") - 1)
     return (
         qdf.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id", "q")
+        .groupBy("rid", "vec_id", "q")
         .agg(F.min(pk).alias("pk"))
     )
 
