@@ -82,6 +82,20 @@ def build_corpus() -> None:
          "c_acctbal": 3.0, "c_mktsegment": "HOUSEHOLD"},
         {"c_custkey": 900007, "c_name": None, "c_nationkey": 4,
          "c_acctbal": 4.0, "c_mktsegment": None},
+        # PAYLOAD twins (round 12): identical (custkey, name),
+        # differing only in segment/balance — any pick ordered by
+        # (key, name) alone emits engine-arbitrary ride-along columns.
+        # 900021 (%5=1, %7=3) sits in BOTH snapshot views (unchanged
+        # class); 900011 (%7=0, %5=1) is the deleted class, so the
+        # twins flow through the diff's full-outer join too.
+        {"c_custkey": 900021, "c_name": "Payload Twin Co",
+         "c_nationkey": 1, "c_acctbal": 5.0, "c_mktsegment": "BUILDING"},
+        {"c_custkey": 900021, "c_name": "Payload Twin Co",
+         "c_nationkey": 1, "c_acctbal": 7.5, "c_mktsegment": "MACHINERY"},
+        {"c_custkey": 900011, "c_name": "Deleted Twin Co",
+         "c_nationkey": 2, "c_acctbal": 1.0, "c_mktsegment": "BUILDING"},
+        {"c_custkey": 900011, "c_name": "Deleted Twin Co",
+         "c_nationkey": 2, "c_acctbal": 2.0, "c_mktsegment": "FURNITURE"},
     ])
     _append("orders", [
         {"o_orderkey": 900001, "o_custkey": None, "o_orderstatus": "O",
