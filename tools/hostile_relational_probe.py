@@ -139,6 +139,19 @@ def build_corpus() -> None:
          "o_totalprice": 30.0,
          "o_orderdate": dt.datetime(9999, 12, 31),
          "o_orderpriority": "2-HIGH"},
+        # REFERENTIAL twins (round 12): orders pointing AT the
+        # duplicated/payload-twinned customer keys — the c↔o joins
+        # (Q13 counts, Q10/Q22 aggregates, the snapshot views) must
+        # fan out 2× identically in both engines
+        {"o_orderkey": 900030, "o_custkey": 900015, "o_orderstatus": "O",
+         "o_totalprice": 40.0,
+         "o_orderdate": dt.datetime(2024, 3, 1), "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 900031, "o_custkey": 900015, "o_orderstatus": "F",
+         "o_totalprice": 50.0,
+         "o_orderdate": dt.datetime(2024, 3, 2), "o_orderpriority": "4-LOW"},
+        {"o_orderkey": 900032, "o_custkey": 900021, "o_orderstatus": "O",
+         "o_totalprice": 60.0,
+         "o_orderdate": dt.datetime(2024, 3, 3), "o_orderpriority": "2-HIGH"},
     ])
     _append("lineitem", [
         {"l_orderkey": 900001, "l_partkey": 1, "l_suppkey": 1,
@@ -198,6 +211,19 @@ def build_corpus() -> None:
          "l_extendedprice": 10000000.0, "l_discount": 0.0, "l_tax": 0.0,
          "l_returnflag": "N", "l_linestatus": "O",
          "l_shipdate": dt.datetime(1996, 2, 16)},
+        # REFERENTIAL twins (round 12): lines pointing AT the
+        # duplicated o_orderkey 900010 — the o↔l equi/exists/anti
+        # joins (Q4/Q12/Q18/Q21 shapes, late_order_priority) see a
+        # 2×2 fan on the equi side and a did-any-line-exist answer
+        # on the semi side; both engines must agree on both
+        {"l_orderkey": 900010, "l_partkey": 4, "l_suppkey": 3,
+         "l_linenumber": 1, "l_quantity": 2.0, "l_extendedprice": 20.0,
+         "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+         "l_linestatus": "O", "l_shipdate": dt.datetime(2024, 2, 5)},
+        {"l_orderkey": 900010, "l_partkey": 4, "l_suppkey": 3,
+         "l_linenumber": 2, "l_quantity": 3.0, "l_extendedprice": 30.0,
+         "l_discount": 0.1, "l_tax": 0.0, "l_returnflag": "R",
+         "l_linestatus": "F", "l_shipdate": dt.datetime(2024, 2, 6)},
     ])
     _append("part", [
         {"p_partkey": 900001, "p_name": None, "p_brand": None,
