@@ -108,6 +108,32 @@ GROWTH_NOTES: dict[str, tuple[str, float]] = {
         "linear; stream jitter class (±60-70 %, SCALE.md — measured "
         "2.0-3.8 s at 1× on identical code)"
     ), 12.0),
+    # zero-shuffle per-row text scans: work IS the row count, so 10×
+    # rows at ~linear wall is the designed behavior; the sub-second
+    # 1× walls make the ratio denominator jitter-sensitive (the
+    # sub-second aggregate floor, BENCH_FLOOR.json, guards their
+    # absolute drift)
+    "lang_id": ((
+        "zero-shuffle per-row n-gram scan — row-linear by "
+        "definition; 1× wall is sub-second (jitter-sensitive "
+        "denominator)"
+    ), 10.0),
+    "text_quality": ((
+        "zero-shuffle per-row ratio scan — row-linear by "
+        "definition; 1× wall is sub-second"
+    ), 10.0),
+    "doc_mask": ((
+        "zero-shuffle per-row regexp mask scan — row-linear by "
+        "definition; 1× wall is sub-second"
+    ), 10.0),
+    "token_stats": ((
+        "zero-shuffle per-row token-count scan — row-linear by "
+        "definition; 1× wall is sub-second"
+    ), 10.0),
+    "word_freq": ((
+        "map-side-combinable token count — work linear in tokens; "
+        "1× wall is sub-second"
+    ), 10.0),
     "stream_image_near_dup": ((
         "hash-on-ingest probe of a STATIC band index — stateless, "
         "linear in arrivals (the static side is the production "
