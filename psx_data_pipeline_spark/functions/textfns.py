@@ -38,6 +38,37 @@ NORMALIZE_SYMBOL_SQL = (
 )
 
 
+def ascii_upper(col: Column | str) -> Column:
+    """ASCII-only upcase — the oracle-exact form of upper().
+
+    The engines' full-unicode upper() disagree on multi-char case
+    folds (Spark 'ß'→'SS', DuckDB 'ß'→'ẞ' — the normalize_symbol
+    seam, re-found by the generative scrape fuzz on fallback_source).
+    translate() is codepoint-by-codepoint on both engines, so the
+    ASCII form is exact; non-ASCII passes through unchanged on both
+    sides. Fixture name columns are ASCII by construction, so on
+    driver data this computes the identical result to upper()."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _LOWER, _UPPER)
+
+
+ASCII_UPPER_SQL = f"translate({{0}}, '{_LOWER}', '{_UPPER}')"
+
+
+def ascii_lower(col: Column | str) -> Column:
+    """ASCII-only downcase — the oracle-exact form of lower().
+
+    Same seam class as ascii_upper: full-unicode lower() is
+    context-sensitive in Java (final sigma: 'ΑΣ'→'ας') but
+    unconditional in DuckDB's utf8proc ('ασ'), so the full form
+    cannot be oracle-exact on arbitrary text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _UPPER, _LOWER)
+
+
+ASCII_LOWER_SQL = f"translate({{0}}, '{_UPPER}', '{_LOWER}')"
+
+
 def valid_symbol(col: Column | str) -> Column:
     """Reference row filter (scrape_tickers.py:304): len>1, no 'SELECT'.
 

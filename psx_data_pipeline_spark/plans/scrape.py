@@ -18,6 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from psx_data_pipeline_spark.functions.textfns import (
+    ASCII_LOWER_SQL,
+    ASCII_UPPER_SQL,
+    ascii_lower,
+    ascii_upper,
+)
 from psx_data_pipeline_spark.operators.diff import snapshot_diff
 from psx_data_pipeline_spark.plans.registry import query
 from psx_data_pipeline_spark.plans.ticker import PREV_SQL, _prev
@@ -123,11 +129,16 @@ def q_market_watch_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # simulated fetch failure (custkey % 11 = 0) yields the default row
 # with an error marker instead of a task failure (X2, :337-345).
 
-_DETAILS_SQL = """
+# upper()/lower() are ASCII-only translate() on BOTH sides: the
+# engines' full-unicode case maps disagree on multi-char folds
+# (Spark 'ß'→'SS' vs DuckDB 'ẞ'; Java's contextual final sigma) —
+# found by the generative scrape fuzz; fixture names are ASCII so
+# driver results are unchanged (textfns.ascii_upper note).
+_DETAILS_SQL = f"""
   SELECT c_custkey AS symbol_id,
-         CASE WHEN c_custkey % 6 = 0 THEN upper(c_name) END AS detail_name,
+         CASE WHEN c_custkey % 6 = 0 THEN {ASCII_UPPER_SQL.format('c_name')} END AS detail_name,
          CASE WHEN c_custkey % 9 = 0 THEN 'TECHNOLOGY' END AS detail_sector,
-         lower(c_name) || CASE c_custkey % 7
+         {ASCII_LOWER_SQL.format('c_name')} || CASE c_custkey % 7
            WHEN 0 THEN ' express logistics provider'
            WHEN 1 THEN ' ironic media house'
            WHEN 2 THEN ' final settlement bank'
@@ -164,12 +175,12 @@ def q_company_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _prev(spark, sf_dir)
     det = c.where(F.col("c_custkey") % 3 == 0).select(
         F.col("c_custkey").alias("symbol_id"),
-        F.when(F.col("c_custkey") % 6 == 0, F.upper("c_name")).alias("detail_name"),
+        F.when(F.col("c_custkey") % 6 == 0, ascii_upper("c_name")).alias("detail_name"),
         F.when(F.col("c_custkey") % 9 == 0, F.lit("TECHNOLOGY")).alias(
             "detail_sector"
         ),
         F.concat(
-            F.lower("c_name"),
+            ascii_lower("c_name"),
             F.when(F.col("c_custkey") % 7 == 0, F.lit(" express logistics provider"))
             .when(F.col("c_custkey") % 7 == 1, F.lit(" ironic media house"))
             .when(F.col("c_custkey") % 7 == 2, F.lit(" final settlement bank"))
@@ -196,13 +207,14 @@ def q_company_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- S6: prioritized fallback source ----------------------------------------
 
-FALLBACK_SOURCE_ORACLE = """
+FALLBACK_SOURCE_ORACLE = f"""
 WITH psx AS (
   SELECT c_custkey AS symbol_id, c_name AS name, 'psx' AS src
   FROM customer WHERE c_custkey % 5 <> 0
 ),
 corporate AS (
-  SELECT c_custkey AS symbol_id, upper(c_name) AS name, 'corporate' AS src
+  SELECT c_custkey AS symbol_id,
+         {ASCII_UPPER_SQL.format('c_name')} AS name, 'corporate' AS src
   FROM customer
 )
 SELECT * FROM psx
@@ -226,7 +238,9 @@ def q_fallback_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corporate = c.select(
         F.col("c_custkey").alias("symbol_id"),
-        F.upper("c_name").alias("name"),
+        # ASCII-only upcase: full upper() is not oracle-exact on
+        # multi-char folds ('ß') — see textfns.ascii_upper
+        ascii_upper("c_name").alias("name"),
         F.lit("corporate").alias("src"),
     )
     return psx.unionByName(

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from psx_data_pipeline_spark.functions.textfns import WS_RE
+from psx_data_pipeline_spark.functions.textfns import (
+    ASCII_UPPER_SQL,
+    WS_RE,
+    ascii_upper,
+)
 from psx_data_pipeline_spark.operators.diff import detect_renames, snapshot_diff
 from psx_data_pipeline_spark.operators.merge import scd1_merge
 from psx_data_pipeline_spark.operators.sessions import latest_per_key
@@ -487,9 +491,13 @@ def q_change_log_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SCD-1 conditional merge (R7) + update stats (R9) --------------------------
 
-_UPDATES_SQL = """
+# ASCII-only upcase on both sides: the engines' full-unicode upper()
+# disagree on multi-char folds (Spark 'ß'→'SS' vs DuckDB 'ẞ') — the
+# same seam the generative scrape fuzz hit in fallback_source; fixture
+# names are ASCII so driver results are unchanged (textfns.ascii_upper).
+_UPDATES_SQL = f"""
   SELECT c_custkey AS symbol_id,
-         CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) END AS name,
+         CASE WHEN c_custkey % 3 = 0 THEN {ASCII_UPPER_SQL.format('c_name')} END AS name,
          CASE WHEN c_custkey % 6 = 0 THEN 'TECHNOLOGY' END AS sector
   FROM customer
 """
@@ -511,7 +519,7 @@ def _updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir)
     return c.select(
         F.col("c_custkey").alias("symbol_id"),
-        F.when(F.col("c_custkey") % 3 == 0, F.upper("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 3 == 0, ascii_upper("c_name")).alias("name"),
         F.when(F.col("c_custkey") % 6 == 0, F.lit("TECHNOLOGY")).alias("sector"),
     )
 
@@ -752,7 +760,7 @@ WITH base AS ({PREV_SQL}),
 upd_raw AS (
   SELECT c_custkey AS symbol_id,
          CASE WHEN c_custkey % 11 = 0 THEN 'No record found'
-              WHEN c_custkey % 3 = 0 THEN upper(c_name) END AS name,
+              WHEN c_custkey % 3 = 0 THEN {ASCII_UPPER_SQL.format('c_name')} END AS name,
          CASE WHEN c_custkey % 17 = 0 THEN 'Unknown'
               WHEN c_custkey % 6 = 0 THEN 'TECHNOLOGY' END AS sector
   FROM customer
@@ -784,7 +792,7 @@ def q_scd1_sentinel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd_raw = c.select(
         F.col("c_custkey").alias("symbol_id"),
         F.when(F.col("c_custkey") % 11 == 0, F.lit("No record found"))
-        .when(F.col("c_custkey") % 3 == 0, F.upper("c_name"))
+        .when(F.col("c_custkey") % 3 == 0, ascii_upper("c_name"))
         .alias("name"),
         F.when(F.col("c_custkey") % 17 == 0, F.lit("Unknown"))
         .when(F.col("c_custkey") % 6 == 0, F.lit("TECHNOLOGY"))
