@@ -552,22 +552,31 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        nb = (
-            bi.join(lbl.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("comp").alias("nb_comp"))
+        # ONE join + ONE groupBy per round (round-12, guide §2.4):
+        # each node's new label is min over {its own label} ∪ {its
+        # neighbors' labels}, expressed as a union of a neighbor-
+        # message arm and a self arm collapsed by a single map-side-
+        # combinable min — identical to the previous
+        # join→groupBy→left-join form (min(comp, coalesce(nb_comp,
+        # comp)) ≡ min over the union; every lbl id appears in the
+        # self arm, so no node is dropped) at one fewer shuffle of
+        # the label table per round. The previous label rides the
+        # self arm (its min is a no-op over one non-null value), so
+        # the convergence check stays a filter over the round output.
+        msgs = bi.join(lbl.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"),
+            "comp",
+            F.lit(None).cast(lbl.schema["comp"].dataType).alias(
+                "prev_comp"
+            ),
         )
-        # carry the previous label through the round so the
-        # convergence check is a filter over the (already
-        # checkpointed) round output — no extra join per round
+        own = lbl.select("id", "comp", F.col("comp").alias("prev_comp"))
         new = (
-            lbl.join(nb, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce("nb_comp", F.col("comp"))
-                ).alias("comp"),
-                F.col("comp").alias("prev_comp"),
+            msgs.unionByName(own)
+            .groupBy("id")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min("prev_comp").alias("prev_comp"),
             )
             .localCheckpoint()
         )

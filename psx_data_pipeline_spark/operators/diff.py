@@ -154,7 +154,7 @@ def detect_renames(
             F.explode(F.array_distinct(g)).alias("gram"),
         )
 
-    def rarest_gram(contained: DataFrame, side: str, container_grams: DataFrame) -> DataFrame:
+    def rarest_gram(contained: DataFrame, side: str, freq: DataFrame) -> DataFrame:
         """One row per contained name, carrying its globally rarest
         gram (ties broken on the gram string for determinism).
 
@@ -162,8 +162,10 @@ def detect_renames(
         (gfreq, gram) — same pick as a sort + row_number window
         (lexicographic struct order == the (gfreq asc, gram asc)
         sort) at one partial-aggregated shuffle instead of a full
-        per-key sort stage."""
-        freq = container_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
+        per-key sort stage. ``freq`` is the container side's cached
+        per-gram frequency table (built once below — round 12: parity
+        mode used to aggregate the new-side gram frequencies twice,
+        once here and once for the token path)."""
         g = grams(contained.where(F.length(f"{side}_name") >= B), side)
         scored = g.join(freq, "gram", "left").withColumn(
             "gfreq", F.coalesce("gfreq", F.lit(0))
@@ -231,8 +233,24 @@ def detect_renames(
             ).alias("gram"),
         )
 
-    new_grams = grams(new, "new")
-    old_grams = grams(old, "old")
+    # Gram tables and their per-gram frequency aggregates are each
+    # referenced by 2-3 candidate branches (containment join + rarest-
+    # gram frequency per direction, + the parity token path on the new
+    # side). All four frames are churn-bounded like old/new themselves,
+    # so cache them once instead of re-exploding / re-aggregating the
+    # same subtree per branch (round 12, guide §2.4 — the stage census
+    # read 90-129 stages on the rename consumers, mostly duplicated
+    # gram subtrees); registered in _SIDE_CACHE for the bench's
+    # memo-clearing hook exactly like old/new.
+    new_grams = grams(new, "new").cache()
+    old_grams = grams(old, "old").cache()
+    freq_new = new_grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("gfreq")
+    ).cache()
+    freq_old = old_grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("gfreq")
+    ).cache()
+    _SIDE_CACHE.extend((new_grams, old_grams, freq_new, freq_old))
 
     # Short-name residual pruning: names shorter than one gram need
     # the 1..B-1-substring equi-join fallback, but almost every real
@@ -273,13 +291,24 @@ def detect_renames(
     has_short_old = min_o is not None and min_o < B
     has_short_new = min_n is not None and min_n < B
 
+    # Candidate multiplicity note (round 12): the candidate union is
+    # deliberately NOT distinct-ed, and the per-branch distincts are
+    # gone too. A pair surfaced k times (several shared tokens, both
+    # containment directions, token+containment overlap) yields k
+    # bit-identical candidate rows; the r_old row_number picks exactly
+    # one row per old_key and ties among identical twins are value-
+    # identical, so the final (old,new) assignment is unchanged —
+    # while each removed distinct was a full exchange + hash-aggregate
+    # of the candidate set (guide §2.4: a distinct on data whose
+    # consumer already collapses it). k is bounded by the token count
+    # of a name plus 3, so the window shuffle grows by a small
+    # constant, not a blow-up.
     if not parity:
         # inverted-index candidates: share a significant whole token
         cand_tok = (
             keyed_tokens(old, "old")
             .join(keyed_tokens(new, "new"), "tok")
             .select(*cols)
-            .distinct()
         )
     else:
         # reference third clause: an old-name token (len>min_token_len)
@@ -295,7 +324,7 @@ def detect_renames(
                 lambda w: F.length(w) > min_token_len,
             ))).alias("tok"),
         )
-        nfreq = new_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
+        nfreq = freq_new
         tok_grams = tok_src.where(F.length("tok") >= B).select(
             "old_key", "old_name", "tok",
             F.explode(F.array_distinct(F.transform(
@@ -329,7 +358,6 @@ def detect_renames(
             tok_rarest.join(new_grams, "gram")
             .where(F.col("new_name").contains(F.col("tok")))
             .select(*cols)
-            .distinct()
         )
         # tokens shorter than one gram — possible only when
         # min_token_len < B-1 (tokens are filtered to len >
@@ -341,16 +369,15 @@ def detect_renames(
                 short_toks.withColumn("gram", F.col("tok"))
                 .join(short_grams(new, "new"), "gram")
                 .select(*cols)
-                .distinct()
             )
     old_in_new = (
-        rarest_gram(old, "old", new_grams)
+        rarest_gram(old, "old", freq_new)
         .join(new_grams, "gram")
         .where(F.col("new_name").contains(F.col("old_name")))
         .select(*cols)
     )
     new_in_old = (
-        rarest_gram(new, "new", old_grams)
+        rarest_gram(new, "new", freq_old)
         .join(old_grams, "gram")
         .where(F.col("old_name").contains(F.col("new_name")))
         .select(*cols)
@@ -374,8 +401,6 @@ def detect_renames(
             .join(short_grams(old, "old"), "gram")
             .select(*cols)
         )
-    cand = cand.distinct()
-
     contains = F.col("new_name").contains(F.col("old_name")) | F.col(
         "old_name"
     ).contains(F.col("new_name"))

@@ -202,12 +202,30 @@ def _packed_assign(qdf: DataFrame, cents: DataFrame) -> DataFrame:
     """(rid, vec_id, q, pk): pk = min over centroids of
     dist·K + (cid-1), one row per PHYSICAL input row (rid carries the
     uniqueness; vec_id/q ride along functionally — grouping by
-    (vec_id, q) alone merged payload twins, round-12 probe find)."""
-    pk = _dist(F.col("q"), F.col("c")) * _K + (F.col("cid") - 1)
-    return (
-        qdf.crossJoin(F.broadcast(cents))
-        .groupBy("rid", "vec_id", "q")
-        .agg(F.min(pk).alias("pk"))
+    (vec_id, q) alone merged payload twins, round-12 probe find).
+
+    Shuffle-free (round-12, guide §2.3/2.4): the K centroids are
+    collapsed into ONE row carrying an array of (cid, c) structs,
+    attached by a single-row broadcast cross join, and the min is an
+    array_min over a per-row transform — a pure map expression. The
+    previous form (crossJoin the K-row table, groupBy the unique rid)
+    re-shuffled the ENTIRE corpus — q arrays included — once per call
+    site (3 fit rounds + 2 final assignments) purely to collapse the
+    16 candidate rows the cross join had just fanned out; rid is
+    unique, so the groupBy combined nothing map-side. Result is
+    bit-identical: the same K integer pk candidates per row, min is
+    order-independent (collect_list order does not matter), and
+    distinct cids make the min unique (pk embeds cid in the low
+    bits)."""
+    carr = cents.agg(F.collect_list(F.struct("cid", "c")).alias("__cents"))
+    pk = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda ct: _dist(F.col("q"), ct["c"]) * _K + (ct["cid"] - 1),
+        )
+    )
+    return qdf.crossJoin(F.broadcast(carr)).select(
+        "rid", "vec_id", "q", pk.alias("pk")
     )
 
 
