@@ -331,11 +331,32 @@ def simhash_near_pairs(
     ).persist()  # read by both sides of the self-join below
     a = blk.select(F.col("id").alias("rep_a"), F.col("simhash").alias("sh_a"), "blk", "blkval")
     b = blk.select(F.col("id").alias("rep_b"), F.col("simhash").alias("sh_b"), "blk", "blkval")
+    # First-matching-block dedup (round-12, guide §2.4): a pair at
+    # Hamming ≤ d collides in up to n_blocks blocks, so the block
+    # join emits up to n_blocks bit-identical candidate rows — the
+    # previous .distinct() collapsed them with a full exchange +
+    # hash-aggregate of the candidate set. Both simhashes already
+    # ride the join row, so "is blk the FIRST matching block" is a
+    # pure map predicate: block i matches iff the xor restricted to
+    # block i is zero, and exactly the row whose earlier blocks all
+    # differ survives — one row per pair, no shuffle. The when-chain
+    # is unrolled over the (small, fixed) block count so it stays in
+    # whole-stage codegen (a higher-order forall would run
+    # interpreted on every candidate row).
+    def _blk_xor(i: int) -> Column:
+        return F.expr(
+            f"shiftright(sh_a ^ sh_b, {i * block_w})"
+            f" % shiftleft(CAST(1 AS BIGINT), {block_w})"
+        )
+
+    first_match = F.when(F.col("blk") == 0, F.lit(True))
+    acc = F.lit(True)
+    for i in range(1, n_blocks):
+        acc = acc & (_blk_xor(i - 1) != 0)
+        first_match = first_match.when(F.col("blk") == i, acc)
     rep_pairs = (
         a.join(b, ["blk", "blkval"])
-        .where(F.col("rep_a") < F.col("rep_b"))
-        .select("rep_a", "rep_b", "sh_a", "sh_b")
-        .distinct()
+        .where((F.col("rep_a") < F.col("rep_b")) & first_match)
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
@@ -571,6 +592,14 @@ def connected_components(
             ),
         )
         own = lbl.select("id", "comp", F.col("comp").alias("prev_comp"))
+        # LAZY checkpoint + count = ONE action per round (round-12,
+        # guide §1.2/2.4): the eager form ran two jobs per round — one
+        # materializing the checkpoint, one scanning it for the
+        # convergence count. Marking the checkpoint lazy makes the
+        # count's job compute the round output, persist it as the
+        # checkpoint blocks (localCheckpoint materializes on first
+        # use), and count the changed rows in the same pass; the next
+        # round reads the persisted blocks exactly as before.
         new = (
             msgs.unionByName(own)
             .groupBy("id")
@@ -578,7 +607,7 @@ def connected_components(
                 F.min("comp").alias("comp"),
                 F.min("prev_comp").alias("prev_comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new.where(F.col("comp") != F.col("prev_comp")).count()
         lbl = new.drop("prev_comp")
@@ -663,7 +692,11 @@ def connected_components_star(
             .unionByName(mins2.select("src", F.col("m").alias("dst")))
             .distinct()
         )
-        new_e = ss.localCheckpoint(eager=True)
+        # LAZY checkpoint: the signature agg below materializes the
+        # round's edge set and persists it as the checkpoint blocks in
+        # the SAME job — the eager form paid a separate checkpoint job
+        # per round before the agg scanned it (round-12, guide §1.2)
+        new_e = ss.localCheckpoint(eager=False)
         # set signature: count + XOR of per-edge hashes (edges are
         # distinct, so XOR is order-independent and cannot overflow)
         row = new_e.agg(

@@ -217,7 +217,15 @@ def _packed_assign(qdf: DataFrame, cents: DataFrame) -> DataFrame:
     order-independent (collect_list order does not matter), and
     distinct cids make the min unique (pk embeds cid in the low
     bits)."""
-    carr = cents.agg(F.collect_list(F.struct("cid", "c")).alias("__cents"))
+    # coalesce(1) first: the K-row table satisfies the global agg's
+    # single-partition requirement without the partial/final exchange
+    # the planner otherwise inserts INSIDE the broadcast build — one
+    # fewer query-stage job per _packed_assign call site (5 per
+    # kmeans fit+assign, 1 per semdedup), measured round-12 as the
+    # latency that made semdedup drift after the map-side rewrite.
+    carr = cents.coalesce(1).agg(
+        F.collect_list(F.struct("cid", "c")).alias("__cents")
+    )
     pk = F.array_min(
         F.transform(
             F.col("__cents"),
@@ -287,7 +295,12 @@ def fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-executes) every prior round's full-corpus aggregate,
         # and the top-level catalogue join duplicates the whole
         # tree once more — exactly 4 scans of the persisted input
-        # remain (3 rounds + final assignment)
+        # remain (3 rounds + final assignment). Kept EAGER (round-12
+        # measured): a lazy mark folds each round's materialization
+        # into the next round's broadcast-build job, which cut 3 jobs
+        # but ran the corpus rounds inside broadcast exchanges and
+        # measured ~0.4 s SLOWER min-of-3 — the dedicated per-round
+        # job is the cheaper execution context here.
         cents = _update(assigned, cents).localCheckpoint(eager=True)
     _CENTS_CACHE[key] = cents
     return cents

@@ -158,7 +158,15 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         est
-        .join(inter, ["ia", "ib"], "left")
+        # inter is bounded by the LSH candidate-pair set (output-bound,
+        # kilobytes) but sits behind a groupBy whose size estimate the
+        # planner inflates to the corpus scan — it picked a
+        # SortMergeJoin (sort + exchange on BOTH pair-bounded sides)
+        # for this left join in the round-12 plan capture. The
+        # explicit hint makes it the build side of a broadcast join
+        # (guide §3.1: estimates are often wrong after aggregation —
+        # hint when you know the side is small).
+        .join(F.broadcast(inter), ["ia", "ib"], "left")
         .join(sizes.select(F.col("id").alias("ia"), F.col("n").alias("na")),
               "ia")
         .join(sizes.select(F.col("id").alias("ib"), F.col("n").alias("nb")),
