@@ -423,14 +423,43 @@ def ngram_jaccard_pairs(
         F.array_distinct(word_shingles("__txt", shingle_n)).alias("shs"),
     ).withColumn("n_sh", F.size("shs")).persist()
     sh = base.select("id", "n_sh", F.explode("shs").alias("sh"))
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("sfreq"))
-    w = Window.partitionBy("id").orderBy(F.asc("sfreq"), F.asc("sh"))
+    # Per-shingle corpus frequency as an unordered count window over
+    # the exploded table (round 12, guide §2.4): ONE exchange of the
+    # shingle rows replaces the former groupBy-freq + equi-join pair
+    # (a second full exchange of the same rows into the sort-merge
+    # join, plus the partial-count exchange). The per-doc prefix rank
+    # is then a per-doc array_sort + slice instead of a row_number
+    # window — the (id) exchange it needs is the collect_list
+    # groupBy's, so the global (id, sfreq, sh) sort stage drops out
+    # too. Rank-identical: (sfreq, sh) pairs are distinct within a
+    # doc (shingles are array_distinct'd), so lexicographic struct
+    # sort order == the old (sfreq asc, sh asc) row_number order.
+    scored = sh.withColumn(
+        "sfreq", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    )
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = (
-        sh.join(freq, "sh")
-        .withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= prefix_len)
-        .select("id", "n_sh", "sh", "__rk")
+        scored.groupBy("id")
+        .agg(
+            F.max("n_sh").alias("n_sh"),  # constant per doc
+            F.collect_list(F.struct("sfreq", "sh")).alias("__ts"),
+        )
+        .select(
+            "id", "n_sh",
+            F.posexplode(
+                F.slice(
+                    F.array_sort("__ts"), F.lit(1),
+                    # greatest(0): a degenerate threshold > 1 makes
+                    # prefix_len negative — the old row_number filter
+                    # returned no rows there, and slice must not error
+                    F.greatest(prefix_len.cast("int"), F.lit(0)),
+                )
+            ).alias("__pos", "__t"),
+        )
+        .select(
+            "id", "n_sh", F.col("__t.sh").alias("sh"),
+            (F.col("__pos") + 1).alias("__rk"),
+        )
         .persist()  # both sides of the candidate self-join
     )
     # Two candidate prunes before anything wide moves:
