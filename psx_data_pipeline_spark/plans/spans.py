@@ -117,7 +117,16 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "s.pos", "s.shingle")
         .withColumn("h", F.xxhash64("shingle"))
     )
-    # (1) cross-doc candidate hashes: 8-byte group keys, partial agg
+    # (1) cross-doc candidate hashes: 8-byte group keys, partial agg.
+    # The scan+tokenize+explode shingle subtree appears 5× in the
+    # physical plan (10 parquet scans, zero ReusedExchange) because
+    # each broadcast build re-executes its lineage. Tried and
+    # REVERTED (round 12, guide §1.1): eagerly checkpointing the two
+    # dup-bounded broadcast tables cut the scans 10 → 4 but measured
+    # 2.85 vs 2.29 s min-of-3 at sf0.1 — the broadcast builds execute
+    # CONCURRENTLY inside the main job, so the redundant subtrees
+    # overlap in wall time, while the eager checkpoints serialize two
+    # upfront jobs (the PQ-codebook lesson, OPTIMIZATION_r12.md §12).
     cand_h = (
         sh.groupBy("h")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
