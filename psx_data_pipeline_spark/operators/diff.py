@@ -154,6 +154,36 @@ def detect_renames(
             F.explode(F.array_distinct(g)).alias("gram"),
         )
 
+    def rarest_gram(contained: DataFrame, side: str, freq: DataFrame) -> DataFrame:
+        """One row per contained name, carrying its globally rarest
+        gram (ties broken on the gram string for determinism).
+
+        The argmin is a map-side-combinable ``min_by`` over
+        (gfreq, gram) — same pick as a sort + row_number window
+        (lexicographic struct order == the (gfreq asc, gram asc)
+        sort) at one partial-aggregated shuffle instead of a full
+        per-key sort stage. ``freq`` is the container side's cached
+        per-gram frequency table (built once below — round 12: parity
+        mode used to aggregate the new-side gram frequencies twice,
+        once here and once for the token path)."""
+        g = grams(contained.where(F.length(f"{side}_name") >= B), side)
+        scored = g.join(freq, "gram", "left").withColumn(
+            "gfreq", F.coalesce("gfreq", F.lit(0))
+        )
+        best = scored.groupBy(f"{side}_key").agg(
+            F.min_by(
+                F.struct(
+                    "gram", f"{side}_name", F.col("gfreq").alias("gfreq")
+                ),
+                F.struct("gfreq", "gram"),
+            ).alias("__b")
+        )
+        return best.where(F.col("__b.gfreq") > 0).select(
+            f"{side}_key",
+            F.col(f"__b.{side}_name").alias(f"{side}_name"),
+            F.col("__b.gram").alias("gram"),
+        )
+
     def short_grams(df: DataFrame, side: str) -> DataFrame:
         """Distinct substrings of every length 0..B-1 of a container
         name. A contained string shorter than one gram (< B chars) IS
@@ -340,98 +370,23 @@ def detect_renames(
                 .join(short_grams(new, "new"), "gram")
                 .select(*cols)
             )
-    # Both containment directions fused into ONE freq-join + ONE
-    # rarest-gram groupBy + ONE container join (round 12, guide §2.4):
-    # the two directions ran the identical 3-exchange subtree twice
-    # (rarest_gram's freq join + per-key argmin, then the gram-table
-    # join), differing only in which side is contained. A direction
-    # tag d (0 = old-contained-in-new, 1 = new-contained-in-old) keyed
-    # into every join makes the union of the two joins equal one join
-    # of the tagged unions — same candidate multiset row for row,
-    # half the exchanges/AQE stages, at 2× rows per exchange. The
-    # per-key argmin groups by (d, k), so each direction's rarest
-    # gram is picked against its own container-side frequency exactly
-    # as before. The argmin itself stays a map-side-combinable
-    # ``min_by`` over (gfreq, gram) — same pick as a sort +
-    # row_number window (lexicographic struct order == the
-    # (gfreq asc, gram asc) sort), ties broken on the gram string
-    # for determinism; grams absent from the container side keep
-    # gfreq 0 and drop out (cannot be contained anywhere).
-    cont = (
-        old.where(F.length("old_name") >= B).select(
-            F.lit(0).alias("d"), F.col("old_key").alias("k"),
-            F.col("old_name").alias("nm"),
-        )
-        .unionByName(
-            new.where(F.length("new_name") >= B).select(
-                F.lit(1).alias("d"), F.col("new_key").alias("k"),
-                F.col("new_name").alias("nm"),
-            )
-        )
+    old_in_new = (
+        rarest_gram(old, "old", freq_new)
+        .join(new_grams, "gram")
+        .where(F.col("new_name").contains(F.col("old_name")))
+        .select(*cols)
     )
-    _idx = F.sequence(
-        F.lit(1), F.greatest(F.length("nm") - B + 1, F.lit(1))
-    )
-    cont_grams = cont.select(
-        "d", "k", "nm",
-        F.explode(F.array_distinct(
-            F.transform(_idx, lambda i: F.col("nm").substr(i, F.lit(B)))
-        )).alias("gram"),
-    )
-    freq_u = (
-        freq_new.select(F.lit(0).alias("d"), "gram", "gfreq")
-        .unionByName(
-            freq_old.select(F.lit(1).alias("d"), "gram", "gfreq")
-        )
-    )
-    rarest_u = (
-        cont_grams.join(freq_u, ["d", "gram"], "left")
-        .withColumn("gfreq", F.coalesce("gfreq", F.lit(0)))
-        .groupBy("d", "k")
-        .agg(
-            F.min_by(
-                F.struct("gram", "nm", F.col("gfreq").alias("gfreq")),
-                F.struct("gfreq", "gram"),
-            ).alias("__b")
-        )
-        .where(F.col("__b.gfreq") > 0)
-        .select(
-            "d", "k", F.col("__b.nm").alias("nm"),
-            F.col("__b.gram").alias("gram"),
-        )
-    )
-    containers = (
-        new_grams.select(
-            F.lit(0).alias("d"), F.col("new_key").alias("ck"),
-            F.col("new_name").alias("cnm"), "gram",
-        )
-        .unionByName(
-            old_grams.select(
-                F.lit(1).alias("d"), F.col("old_key").alias("ck"),
-                F.col("old_name").alias("cnm"), "gram",
-            )
-        )
-    )
-    contain_both = (
-        rarest_u.join(containers, ["d", "gram"])
-        .where(F.col("cnm").contains(F.col("nm")))
-        .select(
-            F.when(F.col("d") == 0, F.col("k")).otherwise(F.col("ck"))
-            .alias("old_key"),
-            F.when(F.col("d") == 0, F.col("nm")).otherwise(F.col("cnm"))
-            .alias("old_name"),
-            F.when(F.col("d") == 0, F.col("ck")).otherwise(F.col("k"))
-            .alias("new_key"),
-            F.when(F.col("d") == 0, F.col("cnm")).otherwise(F.col("nm"))
-            .alias("new_name"),
-        )
+    new_in_old = (
+        rarest_gram(new, "new", freq_old)
+        .join(old_grams, "gram")
+        .where(F.col("old_name").contains(F.col("new_name")))
         .select(*cols)
     )
     # residual: contained side shorter than one gram — the whole
     # short name equi-joins against the other side's short-substring
     # set (exact containment, no nested loop). Built only when the
     # probe above found short names on that side.
-    cand = cand_tok.unionByName(contain_both)
+    cand = cand_tok.unionByName(old_in_new).unionByName(new_in_old)
     if has_short_old:
         cand = cand.unionByName(
             old.where(F.length("old_name") < B)
