@@ -46,6 +46,25 @@ from psx_data_pipeline_spark.sources.fixtures import load_table_parallel
 
 _K = 16  # signature length — matches minhash_lsh_pairs
 
+# q_minhash_calibration's session-bounded working-frame caches (the
+# detect_renames _SIDE_CACHE pattern): the dup-collapse frame, the
+# signature table and the exploded shingle table are each referenced
+# by SEVERAL execution-time consumers below, and before round 13 they
+# were unpersisted at PLAN-CONSTRUCTION time — the round-12 plan
+# capture shows the scan+window+shingle/signature machinery rebuilt
+# 6x at execution (6 parquet scans, zero reuse). Registered here so
+# plans.clear_session_memos can unpersist them before any
+# re-measurement (bench lists minhash_calibration as a MEMO_OWNER);
+# memory is bounded by the distinct-text corpus at MEMORY_AND_DISK,
+# the same budget the kmeans _QUANT_CACHE already documents.
+_CALIB_CACHE: list[DataFrame] = []
+
+
+def clear_calibration_caches() -> None:
+    for df in _CALIB_CACHE:
+        df.unpersist()
+    _CALIB_CACHE.clear()
+
 MINHASH_CALIBRATION_ORACLE = f"""
 WITH reps AS (
   SELECT min(doc_id) AS id, text FROM documents
@@ -148,7 +167,9 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.explode(F.array_distinct(word_shingles("text", 3))).alias("sh"),
     ).persist()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # sizes is read twice (the na and nb joins) — one |reps|-row count
+    # table, cached so the shingle explode behind it runs once
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n")).persist()
     inter = (
         pairs
         .join(sh.select(F.col("id").alias("ia"), "sh"), "ia")
@@ -191,7 +212,15 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_exact_permille").cast("long").alias("min_exact_permille"),
         F.col("max_exact_permille").cast("long").alias("max_exact_permille"),
     )
-    sig.unpersist()
-    sh.unpersist()
-    grouped.unpersist()
+    # Round 13 (guide §2.4/§5): these persists used to be RELEASED
+    # here — at plan-construction time, BEFORE the returned plan ever
+    # executed, so only the eager `pairs` checkpoint benefited and the
+    # executed plan rebuilt the signature subtree 2x (est's sa/sb
+    # joins) and the shingle subtree 4x (sizes x2 + inter's two
+    # sides): 6 full scan+window+aggregate passes where two cached
+    # tables serve all (round-12 plan dump, `minhash_calibration`).
+    # They now stay persisted for the session, registered in
+    # _CALIB_CACHE; clear_session_memos unpersists them before any
+    # re-measurement, exactly like detect_renames' _SIDE_CACHE.
+    _CALIB_CACHE.extend((grouped, sig, sh, sizes))
     return out

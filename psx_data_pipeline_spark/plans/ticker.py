@@ -301,6 +301,14 @@ def clear_session_memos() -> None:
         df.unpersist()
     _QUANT_CACHE.clear()
     _CENTS_CACHE.clear()
+    # minhash_calibration's session-persisted working frames
+    # (plans/estimators._CALIB_CACHE) — same re-measurement honesty
+    # contract as the rename side caches above
+    from psx_data_pipeline_spark.plans.estimators import (
+        clear_calibration_caches,
+    )
+
+    clear_calibration_caches()
 
 
 # The materialized change table, one per (application, sf_dir). The
