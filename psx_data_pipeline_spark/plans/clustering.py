@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import threading
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from psx_data_pipeline_spark.operators.similarity import (
@@ -198,80 +198,104 @@ def _dist(q: Column, c: Column) -> Column:
     )
 
 
-def _packed_assign(qdf: DataFrame, cents: DataFrame) -> DataFrame:
+def _cents_lit(cents: list[tuple[int, list[int]]]) -> Column:
+    """The K fitted centroids as ONE literal array<struct<cid, c>>
+    column: 8 × 64 exact int64 literals riding the plan itself, so an
+    assignment pass is a pure map expression — no crossJoin, no
+    broadcast build, no per-round join machinery (round 13; the
+    round-12 form attached the same array through a single-row
+    broadcast cross join, which cost one broadcast-build query-stage
+    job per call site)."""
+    return F.array(*[
+        F.struct(
+            F.lit(int(cid)).cast("int").alias("cid"),
+            F.array(*[F.lit(int(v)).cast("long") for v in c]).alias("c"),
+        )
+        for cid, c in cents
+    ])
+
+
+def _packed_assign(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """(rid, vec_id, q, pk): pk = min over centroids of
     dist·K + (cid-1), one row per PHYSICAL input row (rid carries the
     uniqueness; vec_id/q ride along functionally — grouping by
     (vec_id, q) alone merged payload twins, round-12 probe find).
 
-    Shuffle-free (round-12, guide §2.3/2.4): the K centroids are
-    collapsed into ONE row carrying an array of (cid, c) structs,
-    attached by a single-row broadcast cross join, and the min is an
-    array_min over a per-row transform — a pure map expression. The
-    previous form (crossJoin the K-row table, groupBy the unique rid)
-    re-shuffled the ENTIRE corpus — q arrays included — once per call
-    site (3 fit rounds + 2 final assignments) purely to collapse the
-    16 candidate rows the cross join had just fanned out; rid is
-    unique, so the groupBy combined nothing map-side. Result is
-    bit-identical: the same K integer pk candidates per row, min is
-    order-independent (collect_list order does not matter), and
-    distinct cids make the min unique (pk embeds cid in the low
-    bits)."""
-    # coalesce(1) first: the K-row table satisfies the global agg's
-    # single-partition requirement without the partial/final exchange
-    # the planner otherwise inserts INSIDE the broadcast build — one
-    # fewer query-stage job per _packed_assign call site (5 per
-    # kmeans fit+assign, 1 per semdedup), measured round-12 as the
-    # latency that made semdedup drift after the map-side rewrite.
-    carr = cents.coalesce(1).agg(
-        F.collect_list(F.struct("cid", "c")).alias("__cents")
-    )
-    pk = F.array_min(
-        F.transform(
-            F.col("__cents"),
-            lambda ct: _dist(F.col("q"), ct["c"]) * _K + (ct["cid"] - 1),
+    Map-expression-only (round-13, guide §2.3/2.4 — continuing the
+    round-12 shuffle removal): the K centroids arrive as a LITERAL
+    array of (cid, c) structs (_cents_lit) and the min is an
+    array_min over a per-row transform. Result is bit-identical to
+    the round-12 broadcast-row form and the crossJoin+groupBy form
+    before it: the same K integer pk candidates per row, min is
+    order-independent, and distinct cids make the min unique (pk
+    embeds cid in the low bits). The transform/zip_with lambdas run
+    interpreted exactly as before — only the centroid TRANSPORT
+    changed, not the per-row arithmetic.
+
+    An empty centroid list (empty corpus) yields pk = NULL for every
+    row — the same result the empty-array transform produced — kept
+    as an explicit literal because array()'s element type cannot host
+    the struct lambda."""
+    if not cents:
+        pk = F.lit(None).cast("long")
+    else:
+        pk = F.array_min(
+            F.transform(
+                _cents_lit(cents),
+                lambda ct: _dist(F.col("q"), ct["c"]) * _K + (ct["cid"] - 1),
+            )
         )
-    )
-    return qdf.crossJoin(F.broadcast(carr)).select(
-        "rid", "vec_id", "q", pk.alias("pk")
-    )
+    return qdf.select("rid", "vec_id", "q", pk.alias("pk"))
 
 
-def _update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
-    sums = assigned.select(
-        (F.col("pk") % _K + 1).cast("int").alias("cid"), "q"
-    ).groupBy("cid").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        *[
-            F.sum(F.col("q")[d]).alias(f"s{d}")
-            for d in range(_DIM)
-        ],
-    )
-    mean = F.expr(
-        "array(" + ", ".join(f"s{d} div n" for d in range(_DIM)) + ")"
-    )
-    return (
-        prev.alias("p")
-        .join(sums.alias("s"), "cid", "left")
-        .select(
-            "cid",
-            F.when(F.col("s.n").isNull(), F.col("p.c"))
-            .otherwise(mean)
-            .alias("c"),
-        )
+def _cents_df(spark: SparkSession, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """The fitted centroids as a K-row local relation (LocalTableScan
+    — no scan, no job) for the consumers that JOIN against the
+    catalogue (kmeans_topics' final output)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("cid", T.IntegerType(), False),
+        T.StructField("c", T.ArrayType(T.LongType(), False), False),
+    ])
+    return spark.createDataFrame(
+        [(int(cid), [int(v) for v in c]) for cid, c in cents], schema
     )
 
 
 # Fitted centroids, one per (application, sf_dir): kmeans_topics and
 # semdedup both consume the same 3-round fit; the memo holds the
-# final K-row localCheckpoint so the second consumer pays zero
-# scans. Cleared by plans.clear_session_memos (the checkpointed
-# table is K rows — the dict drop suffices).
-_CENTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# K final (cid, centroid) tuples as plain Python ints — kilobytes,
+# no Spark-side storage. Cleared by plans.clear_session_memos (the
+# dict drop suffices).
+_CENTS_CACHE: dict[tuple[str, str], list] = {}
 
 
-def fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The K-row centroid table after the 3 unrolled rounds."""
+def fit_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]]]:
+    """The K (cid, centroid) pairs after the 3 unrolled rounds.
+
+    Round 13 (guide §1.2/§2.4): each round is now ONE action — a
+    bounded scalar probe (`.first()` on a single collect_list row,
+    the documented pattern of operators/diff's min-length probe and
+    the CC convergence scalar; K·_DIM ≈ 512 int64s cross the driver,
+    never corpus data) — and the next round's assignment inlines the
+    collected centroids as literals (_cents_lit). The round-12 chain
+    ran, PER ROUND, an eager K-row localCheckpoint job plus a
+    broadcast-build query-stage job inside the next assignment;
+    the census read 24 jobs / 33 stages for 27 tasks on
+    kmeans_topics — pure scheduler/AQE latency at any corpus size,
+    and at 100 TB three fewer broadcast barriers per fit. MLlib's
+    KMeans collects its K centroids to the driver each iteration for
+    exactly this reason.
+
+    Every quantity stays engine-computed and integer-exact: the
+    per-dimension truncating mean is `s div n` evaluated BY SPARK in
+    the same aggregate (only the finished int64s are collected), the
+    empty-cluster carry keeps the previous centroid, and the seed is
+    the K smallest (vec_id, q) rows with the total order re-imposed
+    in Python (collect_list order is nondeterministic; q arrays are
+    64 non-NULL int64s by the indexable_embedding gate, so Python
+    list comparison == Spark's equal-length array ordering)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _CENTS_CACHE.get(key)
     if hit is not None:
@@ -280,28 +304,35 @@ def fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed ordering is total over (vec_id, q): under a duplicate-id
     # twin inside the seed window, vec_id alone ties and the seed
     # pick is engine-arbitrary (round-11 hostile-id probe class)
-    init = qdf.orderBy("vec_id", "q").limit(_K)
-    cents = init.select(
-        F.row_number()
-        .over(Window.orderBy("vec_id", "q"))
-        .cast("int")
-        .alias("cid"),
-        F.col("q").alias("c"),
+    seed = (
+        qdf.orderBy("vec_id", "q").limit(_K)
+        .agg(F.collect_list(F.struct("vec_id", "q")).alias("s"))
+        .first()["s"]
+    )
+    rows = sorted(seed, key=lambda r: (r["vec_id"], list(r["q"])))
+    cents = [(i + 1, [int(x) for x in r["q"]]) for i, r in enumerate(rows)]
+    mean = F.expr(
+        "array(" + ", ".join(f"s{d} div n" for d in range(_DIM)) + ")"
     )
     for _ in range(_ITERS):
-        assigned = _packed_assign(qdf, cents)
-        # truncate lineage at the K-row table each round: without
-        # this the NEXT round's broadcast side re-embeds (and
-        # re-executes) every prior round's full-corpus aggregate,
-        # and the top-level catalogue join duplicates the whole
-        # tree once more — exactly 4 scans of the persisted input
-        # remain (3 rounds + final assignment). Kept EAGER (round-12
-        # measured): a lazy mark folds each round's materialization
-        # into the next round's broadcast-build job, which cut 3 jobs
-        # but ran the corpus rounds inside broadcast exchanges and
-        # measured ~0.4 s SLOWER min-of-3 — the dedicated per-round
-        # job is the cheaper execution context here.
-        cents = _update(assigned, cents).localCheckpoint(eager=True)
+        if not cents:  # empty corpus: nothing to fit
+            break
+        updated = (
+            _packed_assign(qdf, cents)
+            .select((F.col("pk") % _K + 1).cast("int").alias("cid"), "q")
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                *[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(_DIM)],
+            )
+            .select("cid", mean.alias("c"))
+            .agg(F.collect_list(F.struct("cid", "c")).alias("cs"))
+            .first()["cs"]
+        )
+        got = {int(r["cid"]): [int(x) for x in r["c"]] for r in updated}
+        # an empty cluster keeps its previous centroid (the former
+        # LEFT JOIN carry, now a dict fallback — same K rows)
+        cents = [(cid, got.get(cid, c)) for cid, c in cents]
     _CENTS_CACHE[key] = cents
     return cents
 
@@ -330,7 +361,7 @@ def q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return (
-        cents.alias("c")
+        _cents_df(spark, cents).alias("c")
         .join(fin.alias("st"), "cid", "left")
         .select(
             F.col("cid").alias("cluster_id"),
