@@ -74,9 +74,9 @@ from psx_data_pipeline_spark.plans.ticker import clear_session_memos  # noqa: F4
 MEMO_OWNERS = frozenset({
     "ticker_sync_changes", "cosine_topk", "ivf_topk", "pq_adc_topk",
     "kmeans_topics", "rename_detection_parity",
-    # round 13: its working frames (_CALIB_CACHE) persist for the
-    # session, so a re-measurement must drop them first
-    "minhash_calibration",
+    # round 13: their working frames (_CALIB_CACHE / _SPAN_CACHE)
+    # persist for the session, so a re-measurement must drop them
+    "minhash_calibration", "dup_span_fraction",
 })
 MEMO_CONSUMERS = frozenset({
     "change_log_format", "ann_recall", "pq_recall", "semdedup",

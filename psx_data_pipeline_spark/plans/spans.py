@@ -41,6 +41,20 @@ from psx_data_pipeline_spark.sources.fixtures import load_table_parallel
 
 _TOKS = TOKENS_SQL.format("text")
 
+# dup_span_fraction's session-bounded dup-table caches (the
+# detect_renames _SIDE_CACHE pattern): both tables are bounded by the
+# TRUE cross-document duplicate set, not the corpus; registered so
+# plans.clear_session_memos can unpersist them before a
+# re-measurement (dup_span_fraction is a MEMO_OWNER).
+_SPAN_CACHE: list[DataFrame] = []
+
+
+def clear_span_caches() -> None:
+    for df in _SPAN_CACHE:
+        df.unpersist()
+    _SPAN_CACHE.clear()
+
+
 # --- duplicated-span fraction ------------------------------------------------
 
 _SPAN_K = 5  # shingle width: spans shorter than this are not "duplication"
@@ -127,11 +141,21 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CONCURRENTLY inside the main job, so the redundant subtrees
     # overlap in wall time, while the eager checkpoints serialize two
     # upfront jobs (the PQ-codebook lesson, OPTIMIZATION_r12.md §12).
+    # Round 13 (VERDICT ask #7, guide §2.4/§5): the two dup-bounded
+    # broadcast build sides get a LAZY persist — first use
+    # materializes inside the main job (no upfront serialized job,
+    # which is what sank both r12 eager-checkpoint experiments), and
+    # the second reference reads the cached partitions instead of
+    # re-deriving the shingle subtree. cand_h is read by shc's two
+    # consumers (the dup build and cov); dup by cov. Both are bounded
+    # by the true cross-doc duplicate residue. Session registry +
+    # memo-owner clearing keep re-measurement honest.
     cand_h = (
         sh.groupBy("h")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
         .where(F.col("mn") != F.col("mx"))
         .select("h")
+        .persist()
     )
     shc = sh.join(cand_h, "h", "left_semi")
     # (2) exact verify on the candidate residue only
@@ -140,7 +164,9 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
         .where(F.col("mn") != F.col("mx"))
         .select("shingle")
+        .persist()
     )
+    _SPAN_CACHE.extend((cand_h, dup))
     # (3) covered positions, de-overlapped per doc
     cov = (
         shc.join(dup, "shingle", "left_semi")

@@ -309,6 +309,10 @@ def clear_session_memos() -> None:
     )
 
     clear_calibration_caches()
+    # dup_span_fraction's dup-bounded table caches (plans/spans)
+    from psx_data_pipeline_spark.plans.spans import clear_span_caches
+
+    clear_span_caches()
 
 
 # The materialized change table, one per (application, sf_dir). The
