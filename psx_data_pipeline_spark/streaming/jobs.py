@@ -239,7 +239,19 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the redelivery horizon (1 h here), not the stream's lifetime —
     the property that makes streaming dedup viable on an unbounded
     feed."""
-    feed = events_stream(spark, sf_dir).unionByName(events_stream(spark, sf_dir))
+    # Redelivery is modeled by fanning every source row out twice
+    # (posexplode over a 2-element array). Before round 13 this was a
+    # union of TWO independent readStream sources over the SAME file —
+    # two source listings, two offset logs, two scans per micro-batch
+    # (the r13 stream census: batch 0 read 200 K rows for a 100 K-row
+    # fixture). One source with a ×2 explode delivers the identical
+    # twice-each-row feed to the dedup operator — same dedup state,
+    # same watermark eviction exercise, same output (the duplicates
+    # are bit-identical either way) — at half the source machinery.
+    ev = events_stream(spark, sf_dir)
+    feed = ev.select(
+        "*", F.explode(F.array(F.lit(1), F.lit(2))).alias("__copy")
+    ).drop("__copy")
     out = (
         # watermark-bounded dedup needs an event time: NULL-ts rows
         # are excluded by contract (they would be dropped by the
@@ -386,6 +398,14 @@ def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     one bin, so no pair is produced twice) — and each probe touches
     one bin's rows. Same skew, same result set (6.2M pairs): 24.7 s —
     output-bound instead of state-probe-bound."""
+    # Two independent readStream sources, one per join leg — MEASURED
+    # (round 13): deriving both legs from a single source (a true
+    # stream-stream self-join) is supported and result-identical
+    # (oracle MATCH) but censused 2× SLOWER (wall 3.35 → 6.68 s,
+    # addBatch 1.17 → 2.26 s, and the watermark-flush batch 0.89 →
+    # 2.79 s) — the self-join plan re-executes the shared source
+    # subtree per leg anyway (numInputRows stayed 200 K) and loses
+    # the per-leg scan pushdown. Two sources it stays.
     clicks = (
         events_stream(spark, sf_dir)
         .where(F.col("event_type") == "click")
